@@ -1,0 +1,131 @@
+"""Config-driven attention block.
+
+Re-design of the reference's AttentionBlock (crates/core/src/layers/
+attention/block.rs:451 AttentionConfig, :630 AttentionBlock) — one
+parameterized module covering ~80% of decoder architectures via knobs:
+GQA, per-head QK-RMSNorm (before/after RoPE), logit softcap, sliding
+window, bias subsets, partial rotary, fused QKV. TPU-first: the block is a
+pure function; TP sharding comes from NamedSharding on the param tree, not
+from per-arch parallel layer types (reference parallel_layers.rs
+dissolves under SPMD).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops.attn_metadata import AttentionMetadata
+from ..ops.kv_write import write_kv_pages
+from ..ops.paged_attention import ragged_paged_attention_op
+from .linear import linear
+from .norm import rms_norm
+from .rotary import RotarySpec, apply_rope
+
+
+@dataclass(frozen=True)
+class AttentionSpec:
+    """Static per-layer attention description (hashable, closed over jit)."""
+
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    rotary: RotarySpec | None
+    sm_scale: float
+    qk_norm: bool = False  # per-head RMSNorm on q/k (Qwen3, Gemma2/3)
+    qk_norm_after_rope: bool = False
+    rms_eps: float = 1e-6
+    sliding_window: int | None = None
+    soft_cap: float | None = None
+    interleaved_rope: bool = False
+    norm_offset: float = 0.0  # 1.0 for Gemma-style (1+w) norms
+
+    @staticmethod
+    def from_model_config(
+        cfg: ModelConfig, layer_idx: int, *, sm_scale: float | None = None
+    ) -> "AttentionSpec":
+        return AttentionSpec(
+            num_heads=cfg.num_attention_heads,
+            num_kv_heads=cfg.num_key_value_heads,
+            head_dim=cfg.head_dim,
+            rotary=RotarySpec.from_model_config(cfg),
+            sm_scale=sm_scale if sm_scale is not None else cfg.head_dim**-0.5,
+            qk_norm=cfg.qk_norm,
+            rms_eps=cfg.rms_norm_eps,
+            sliding_window=cfg.layer_sliding_window(layer_idx),
+            soft_cap=cfg.attn_logit_softcapping,
+        )
+
+
+def attention_block(
+    spec: AttentionSpec,
+    params: dict,
+    x: jax.Array,  # [T, hidden]
+    md: AttentionMetadata,
+    kv_page: jax.Array,  # [num_pages, page_size, 2*K, D] — this layer's pool
+    rope_tables: tuple[jax.Array, jax.Array] | None,
+    *,
+    attention_backend: str = "auto",
+    k_scale: float | None = None,
+    v_scale: float | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Full attention layer: qkv proj → qk-norm/rope → KV write → ragged
+    paged attention → output proj. Returns (output [T, hidden], updated
+    kv_page)."""
+    t = x.shape[0]
+    h, k_heads, d = spec.num_heads, spec.num_kv_heads, spec.head_dim
+
+    if "qkv_proj" in params:
+        qkv = linear(x, params["qkv_proj"])
+        q, k, v = jnp.split(
+            qkv, [h * d, (h + k_heads) * d], axis=-1
+        )
+    else:
+        q = linear(x, params["q_proj"])
+        k = linear(x, params["k_proj"])
+        v = linear(x, params["v_proj"])
+    q = q.reshape(t, h, d)
+    k = k.reshape(t, k_heads, d)
+    v = v.reshape(t, k_heads, d)
+
+    def qk_normalize(q, k):
+        q = rms_norm(q, params["q_norm"], spec.rms_eps, weight_offset=spec.norm_offset)
+        k = rms_norm(k, params["k_norm"], spec.rms_eps, weight_offset=spec.norm_offset)
+        return q, k
+
+    if spec.qk_norm and not spec.qk_norm_after_rope:
+        q, k = qk_normalize(q, k)
+    if spec.rotary is not None and rope_tables is not None:
+        cos, sin = rope_tables
+        q, k = apply_rope(
+            q,
+            k,
+            md.positions,
+            cos,
+            sin,
+            rotary_dim=spec.rotary.rotary_dim,
+            interleaved=spec.interleaved_rope,
+        )
+    if spec.qk_norm and spec.qk_norm_after_rope:
+        q, k = qk_normalize(q, k)
+
+    kv_page = write_kv_pages(
+        kv_page, k, v, md.slot_mapping, k_scale=k_scale, v_scale=v_scale
+    )
+
+    out = ragged_paged_attention_op(
+        q,
+        kv_page,
+        md,
+        sm_scale=spec.sm_scale,
+        sliding_window=spec.sliding_window,
+        soft_cap=spec.soft_cap,
+        k_scale=k_scale,
+        v_scale=v_scale,
+        backend=attention_backend,
+    )
+    out = out.reshape(t, h * d)
+    return linear(out, params["o_proj"]), kv_page

@@ -1,0 +1,85 @@
+"""Model registry.
+
+Reference: crates/core/src/models/registry.rs (phf arch map) +
+models/factory.rs ArchFactory/Capabilities. Here the registry is a plain
+dict keyed on HF ``architectures[0]`` with lazy constructors; capability
+flags live on the model classes themselves.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from ..config import ModelConfig
+
+_REGISTRY: dict[str, Callable] = {}
+
+
+def register_model(*arch_names: str):
+    def deco(cls):
+        for n in arch_names:
+            _REGISTRY[n] = cls
+        return cls
+
+    return deco
+
+
+def _populate():
+    if _REGISTRY:
+        return
+    from .llama import (
+        LlamaForCausalLM,
+        MistralForCausalLM,
+        Qwen2ForCausalLM,
+        Qwen3ForCausalLM,
+    )
+
+    _REGISTRY.update(
+        {
+            "LlamaForCausalLM": LlamaForCausalLM,
+            "MistralForCausalLM": MistralForCausalLM,
+            "Qwen2ForCausalLM": Qwen2ForCausalLM,
+            "Qwen3ForCausalLM": Qwen3ForCausalLM,
+        }
+    )
+    try:
+        from .gemma import (
+            GemmaForCausalLM,
+            Gemma2ForCausalLM,
+            Gemma3ForCausalLM,
+        )
+
+        _REGISTRY.update(
+            {
+                "GemmaForCausalLM": GemmaForCausalLM,
+                "Gemma2ForCausalLM": Gemma2ForCausalLM,
+                "Gemma3ForCausalLM": Gemma3ForCausalLM,
+                "Gemma3ForConditionalGeneration": Gemma3ForCausalLM,
+            }
+        )
+    except ImportError:
+        pass
+    try:
+        from .qwen3_moe import Qwen3MoeForCausalLM
+
+        _REGISTRY["Qwen3MoeForCausalLM"] = Qwen3MoeForCausalLM
+    except ImportError:
+        pass
+
+
+def supported_architectures() -> list[str]:
+    _populate()
+    return sorted(_REGISTRY)
+
+
+def from_config(config: ModelConfig, **kwargs):
+    """Instantiate a model for an HF config (reference models/mod.rs:564
+    from_config dispatch)."""
+    _populate()
+    for arch in config.architectures:
+        if arch in _REGISTRY:
+            return _REGISTRY[arch](config, **kwargs)
+    raise ValueError(
+        f"unsupported architecture(s) {config.architectures}; "
+        f"supported: {supported_architectures()}"
+    )

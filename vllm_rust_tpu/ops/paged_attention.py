@@ -1,0 +1,160 @@
+"""Ragged paged attention: unified mixed prefill+decode attention.
+
+TPU-native replacement for the reference's attention backend stack
+(crates/core/kernels/paged_attention.cu V1/V2 decode kernels +
+crates/core/src/layers/attention/backend.rs prefill/decode split): on TPU a
+single ragged kernel serves chunked prefill and batched decode in one call,
+which is what makes the unified flattened-token step possible.
+
+Backends:
+  - ``ref``: jittable pure-XLA reference (static shapes, works on CPU) —
+    the correctness anchor, analogous to the reference's
+    NaiveAttentionBackend (layers/attention/naive.rs).
+  - ``jax``: the stock Pallas ragged-paged-attention kernel shipped with
+    JAX (jax.experimental.pallas.ops.tpu.ragged_paged_attention).
+  - ``pallas``: this repo's own kernel (ops/pallas/ragged_attention.py),
+    with inline quantized-KV dequant — the primary production path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import on_tpu
+from .attn_metadata import AttentionMetadata
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _ref_ragged_paged_attention(
+    q: jax.Array,  # [T, H, D]
+    kv_pages: jax.Array,  # [num_pages, page_size, 2K, D]
+    md: AttentionMetadata,
+    *,
+    sm_scale: float,
+    sliding_window: int | None,
+    soft_cap: float | None,
+    k_scale: float | None = None,
+    v_scale: float | None = None,
+) -> jax.Array:
+    """Jittable reference. Gathers each token's full sequence KV — O(T·P)
+    memory, fine for tests and tiny batches; not a production path."""
+    t, num_q_heads, head_dim = q.shape
+    num_pages, page_size, combined, _ = kv_pages.shape
+    num_kv_heads = combined // 2
+    group = num_q_heads // num_kv_heads
+    s = md.kv_lens.shape[0]
+    p = md.page_indices.shape[1]
+    n = p * page_size
+
+    token_idx = jnp.arange(t, dtype=jnp.int32)
+    seq_id = jnp.clip(
+        jnp.searchsorted(md.cu_q_lens, token_idx, side="right") - 1, 0, s - 1
+    )
+    q_start = md.cu_q_lens[seq_id]
+    q_len = md.cu_q_lens[seq_id + 1] - q_start
+    kv_len = md.kv_lens[seq_id]
+    q_pos = kv_len - q_len + (token_idx - q_start)  # [T] absolute kv position
+
+    pages = md.page_indices[seq_id]  # [T, P]
+    kv = kv_pages[pages].reshape(t, n, combined, head_dim)
+    k = kv[:, :, 0::2, :]  # [T, N, K, D]
+    v = kv[:, :, 1::2, :]
+    if k_scale is not None:
+        k = k.astype(jnp.float32) * k_scale
+    if v_scale is not None:
+        v = v.astype(jnp.float32) * v_scale
+    k = k.astype(jnp.float32)
+    v = v.astype(jnp.float32)
+
+    qf = q.astype(jnp.float32).reshape(t, num_kv_heads, group, head_dim)
+    scores = jnp.einsum("tkgd,tnkd->tkgn", qf, k) * sm_scale  # [T, K, G, N]
+    if soft_cap is not None:
+        scores = soft_cap * jnp.tanh(scores / soft_cap)
+
+    kv_span = jnp.arange(n, dtype=jnp.int32)[None, :]  # [1, N]
+    valid = kv_span <= q_pos[:, None]  # causal + length (q_pos < kv_len)
+    valid &= kv_span < kv_len[:, None]
+    if sliding_window is not None:
+        valid &= kv_span > (q_pos[:, None] - sliding_window)
+    scores = jnp.where(valid[:, None, None, :], scores, DEFAULT_MASK_VALUE)
+
+    weights = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("tkgn,tnkd->tkgd", weights, v)
+    return out.reshape(t, num_q_heads, head_dim).astype(q.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sm_scale",
+        "sliding_window",
+        "soft_cap",
+        "k_scale",
+        "v_scale",
+        "backend",
+    ),
+)
+def ragged_paged_attention_op(
+    q: jax.Array,
+    kv_pages: jax.Array,
+    md: AttentionMetadata,
+    *,
+    sm_scale: float,
+    sliding_window: int | None = None,
+    soft_cap: float | None = None,
+    k_scale: float | None = None,
+    v_scale: float | None = None,
+    backend: str = "auto",
+) -> jax.Array:
+    if backend == "auto":
+        backend = "jax" if on_tpu() else "ref"
+    if backend == "ref":
+        return _ref_ragged_paged_attention(
+            q,
+            kv_pages,
+            md,
+            sm_scale=sm_scale,
+            sliding_window=sliding_window,
+            soft_cap=soft_cap,
+            k_scale=k_scale,
+            v_scale=v_scale,
+        )
+    if backend == "jax":
+        from jax.experimental.pallas.ops.tpu.ragged_paged_attention.kernel import (
+            ragged_paged_attention,
+        )
+
+        return ragged_paged_attention(
+            q,
+            kv_pages,
+            md.kv_lens,
+            md.page_indices,
+            md.cu_q_lens,
+            md.num_seqs,
+            sm_scale=sm_scale,
+            sliding_window=sliding_window,
+            soft_cap=soft_cap,
+            k_scale=k_scale,
+            v_scale=v_scale,
+        )
+    if backend == "pallas":
+        from .pallas.ragged_attention import ragged_paged_attention_pallas
+
+        return ragged_paged_attention_pallas(
+            q,
+            kv_pages,
+            md.kv_lens,
+            md.page_indices,
+            md.cu_q_lens,
+            md.num_seqs,
+            sm_scale=sm_scale,
+            sliding_window=sliding_window,
+            soft_cap=soft_cap,
+            k_scale=k_scale,
+            v_scale=v_scale,
+        )
+    raise ValueError(f"unknown attention backend: {backend}")
