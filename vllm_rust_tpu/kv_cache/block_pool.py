@@ -1,0 +1,77 @@
+"""Physical page pool + per-request page tables.
+
+Reference semantics: kv_cache/block_pool.rs (free list), block_table.rs
+(logical→physical mapping, slot math: slot = page_id * page_size +
+pos % page_size — block_table.rs:63-71). Page 0 is reserved as the null
+page for padded tokens (TPU static-shape design) and is never allocated.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+from ..utils import cdiv
+
+
+class BlockPool:
+    """Free-list allocator over physical pages 1..num_pages-1."""
+
+    def __init__(self, num_pages: int, page_size: int):
+        self.num_pages = num_pages
+        self.page_size = page_size
+        self._free: deque[int] = deque(range(1, num_pages))
+
+    @property
+    def num_free(self) -> int:
+        return len(self._free)
+
+    @property
+    def total_usable(self) -> int:
+        return self.num_pages - 1
+
+    def allocate(self, n: int) -> list[int]:
+        if n > len(self._free):
+            raise MemoryError(f"requested {n} pages, only {len(self._free)} free")
+        return [self._free.popleft() for _ in range(n)]
+
+    def free(self, pages: list[int]) -> None:
+        for p in pages:
+            assert 0 < p < self.num_pages, p
+            self._free.append(p)
+
+
+class BlockTable:
+    """Logical→physical page mapping for one sequence."""
+
+    def __init__(self, pool: BlockPool):
+        self._pool = pool
+        self.pages: list[int] = []
+
+    def __len__(self) -> int:
+        return len(self.pages)
+
+    @property
+    def capacity_tokens(self) -> int:
+        return len(self.pages) * self._pool.page_size
+
+    def pages_needed(self, total_tokens: int) -> int:
+        """Additional pages required to hold ``total_tokens``."""
+        return max(0, cdiv(total_tokens, self._pool.page_size) - len(self.pages))
+
+    def ensure_capacity(self, total_tokens: int) -> None:
+        need = self.pages_needed(total_tokens)
+        if need:
+            self.pages.extend(self._pool.allocate(need))
+
+    def slot(self, pos: int) -> int:
+        ps = self._pool.page_size
+        return self.pages[pos // ps] * ps + pos % ps
+
+    def slots(self, start: int, end: int) -> list[int]:
+        """Physical slots for token positions [start, end)."""
+        ps = self._pool.page_size
+        return [self.pages[p // ps] * ps + p % ps for p in range(start, end)]
+
+    def release(self) -> None:
+        self._pool.free(self.pages)
+        self.pages = []

@@ -140,6 +140,11 @@ def ragged_paged_attention_op(
             soft_cap=soft_cap,
             k_scale=k_scale,
             v_scale=v_scale,
+            # conservative tiling: the library's tuned defaults assume more
+            # scoped VMEM than this target exposes (16 MiB)
+            num_kv_pages_per_block=8,
+            num_queries_per_block=32,
+            vmem_limit_bytes=100 * 1024 * 1024,
         )
     if backend == "pallas":
         from .pallas.ragged_attention import ragged_paged_attention_pallas

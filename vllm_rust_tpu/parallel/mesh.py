@@ -1,0 +1,92 @@
+"""Device mesh + parameter sharding rules.
+
+TP sharding follows the Megatron layout the reference implements manually
+(distributed/parallel_layers.rs Column/RowParallelLinear): attention and
+MLP input projections are column-sharded (output dim on "tp"), output
+projections row-sharded (input dim on "tp"), so each block needs exactly
+one all-reduce — which XLA inserts and schedules automatically. KV pools
+shard on the combined-KV-head axis, aligning paged attention with the
+same "tp" axis.
+
+Axes: dp = data/replica, tp = tensor parallel. (ep/sp arrive with MoE and
+long-context layers.)
+"""
+
+from __future__ import annotations
+
+import re
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    tp: int | None = None, dp: int = 1, devices=None
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if tp is None:
+        tp = n // dp
+    assert dp * tp <= n, f"mesh {dp}x{tp} needs {dp*tp} devices, have {n}"
+    dev = np.array(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(dev, ("dp", "tp"))
+
+
+# (regex over the flattened param path) -> PartitionSpec
+PARAM_RULES: list[tuple[str, P]] = [
+    (r"embed_tokens/weight$", P("tp", None)),  # vocab-parallel embedding
+    (r"lm_head/weight$", P(None, "tp")),
+    (r"(q_proj|k_proj|v_proj|qkv_proj|gate_up_proj)/weight$", P(None, "tp")),
+    (r"(q_proj|k_proj|v_proj|qkv_proj|gate_up_proj)/bias$", P("tp")),
+    (r"(gate_proj|up_proj)/weight$", P(None, "tp")),
+    (r"(gate_proj|up_proj)/bias$", P("tp")),
+    (r"(o_proj|down_proj)/weight$", P("tp", None)),
+    (r"(o_proj|down_proj)/bias$", P()),
+    # MoE expert weights: experts stacked on dim 0 → shard experts on tp
+    (r"experts/(gate_proj|up_proj|down_proj)/weight$", P("tp", None, None)),
+]
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def param_spec(path_str: str) -> P:
+    for pattern, spec in PARAM_RULES:
+        if re.search(pattern, path_str):
+            return spec
+    return P()  # replicate
+
+
+def shard_params(params, mesh: Mesh):
+    """device_put the param tree with per-role NamedShardings."""
+
+    def place(path, leaf):
+        spec = param_spec(_path_str(path))
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def kv_pages_sharding(mesh: Mesh) -> NamedSharding:
+    """[num_pages, page_size, 2*kv_heads, head_dim]: shard combined heads
+    on tp (decode context parallelism / DCP arrives later on a "sp" axis)."""
+    return NamedSharding(mesh, P(None, None, "tp", None))
+
+
+def params_shardings(params, mesh: Mesh):
+    """Sharding pytree (for jit in_shardings)."""
+
+    def spec_of(path, leaf):
+        return NamedSharding(mesh, param_spec(_path_str(path)))
+
+    return jax.tree_util.tree_map_with_path(spec_of, params)

@@ -1,0 +1,121 @@
+"""On-device batched sampler.
+
+Design (vs reference sampling/gpu.rs): one jitted function over the
+gathered last-position logits [S, V]. Penalties use a per-slot token
+count matrix kept on device (scatter-updated with the sampled token in
+the same step — no host round-trip). RNG is stateless: key =
+fold_in(fold_in(PRNGKey(seed), request_seed), position) — this makes
+recompute-preemption resume byte-identical streams for free (reference
+contract #3 preserves sampler RNG across preemption; here it is a pure
+function of (seed, position)).
+
+Feature flags (`use_penalties`, `use_top_filters`) are static so that
+all-greedy batches compile to a single argmax with no [S, V] sort.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-1e10)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class SamplerInputs:
+    """Per-step, per-sequence sampling controls (padded to S)."""
+
+    temperature: jax.Array  # [S] f32; 0 => greedy
+    top_k: jax.Array  # [S] i32; 0 => off
+    top_p: jax.Array  # [S] f32; 1.0 => off
+    min_p: jax.Array  # [S] f32; 0 => off
+    repetition_penalty: jax.Array  # [S] f32; 1.0 => off
+    presence_penalty: jax.Array  # [S] f32
+    frequency_penalty: jax.Array  # [S] f32
+    seed: jax.Array  # [S] u32 per-request seed
+    position: jax.Array  # [S] i32 sampling position (for stateless RNG)
+    ban_eos: jax.Array  # [S] bool — min_tokens not yet reached
+
+
+def apply_penalties(
+    logits: jax.Array,  # [S, V] f32
+    counts: jax.Array,  # [S, V] i32 generated-token counts
+    inputs: SamplerInputs,
+) -> jax.Array:
+    seen = counts > 0
+    rp = inputs.repetition_penalty[:, None]
+    logits = jnp.where(
+        seen, jnp.where(logits > 0, logits / rp, logits * rp), logits
+    )
+    logits = logits - inputs.frequency_penalty[:, None] * counts.astype(jnp.float32)
+    logits = logits - inputs.presence_penalty[:, None] * seen.astype(jnp.float32)
+    return logits
+
+
+def _top_filters(scaled: jax.Array, inputs: SamplerInputs) -> jax.Array:
+    """Apply top-k / top-p / min-p via one full descending sort."""
+    s, v = scaled.shape
+    sorted_logits, sorted_idx = jax.lax.top_k(scaled, v)  # [S, V] desc
+    ranks = jnp.arange(v, dtype=jnp.int32)[None, :]
+    k = jnp.where(inputs.top_k > 0, inputs.top_k, v)[:, None]
+    keep = ranks < k
+
+    probs = jax.nn.softmax(jnp.where(keep, sorted_logits, NEG_INF), axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep tokens while cumulative prob (exclusive) < top_p; first always kept
+    keep &= (cum - probs) < inputs.top_p[:, None]
+    # min_p: tokens with prob >= min_p * p_max
+    keep &= probs >= inputs.min_p[:, None] * probs[:, :1]
+
+    masked_sorted = jnp.where(keep, sorted_logits, NEG_INF)
+    # scatter back to vocab order
+    out = jnp.full_like(scaled, NEG_INF)
+    return out.at[jnp.arange(s)[:, None], sorted_idx].set(masked_sorted)
+
+
+def sample_tokens(
+    logits: jax.Array,  # [S, V] f32
+    inputs: SamplerInputs,
+    token_counts: jax.Array | None,  # [S, V] i32 (None when penalties off)
+    eos_ids: tuple[int, ...],
+    *,
+    use_penalties: bool,
+    use_top_filters: bool,
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (sampled token ids [S] i32, chosen logprobs [S] f32)."""
+    s, v = logits.shape
+    if use_penalties and token_counts is not None:
+        logits = apply_penalties(logits, token_counts, inputs)
+
+    if eos_ids:
+        eos = jnp.array(eos_ids, jnp.int32)
+        ban = inputs.ban_eos[:, None] & (
+            jnp.arange(v, dtype=jnp.int32)[None, :] == eos[:, None, None]
+        ).any(0)
+        logits = jnp.where(ban, NEG_INF, logits)
+
+    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    temp = jnp.maximum(inputs.temperature, 1e-6)[:, None]
+    scaled = logits / temp
+    if use_top_filters:
+        scaled = _top_filters(scaled, inputs)
+
+    def one_key(seed, pos):
+        return jax.random.fold_in(jax.random.PRNGKey(seed), pos)
+
+    keys = jax.vmap(one_key)(inputs.seed, inputs.position)
+    # per-seq independent keys → vmap categorical
+    sampled = jax.vmap(lambda k, l: jax.random.categorical(k, l))(keys, scaled)
+    sampled = sampled.astype(jnp.int32)
+
+    tokens = jnp.where(inputs.temperature <= 0.0, greedy_tok, sampled)
+
+    logprobs_all = jax.nn.log_softmax(logits, axis=-1)
+    chosen_lp = jnp.take_along_axis(
+        logprobs_all, tokens[:, None], axis=-1
+    ).squeeze(-1)
+    return tokens, chosen_lp
