@@ -284,6 +284,11 @@ class EngineConfig:
     attention_backend: str = "auto"  # auto | pallas | ref | jax
     enable_prefix_caching: bool = False
     seed: int = 0
+    # steps per token-ring cycle: results are fetched from the device in
+    # one transfer every `fetch_interval` steps (ADR 0008/0017 analogue).
+    # Larger = higher throughput (round-trip amortized), smaller = lower
+    # stop-condition latency. Minimum 2.
+    fetch_interval: int = 8
 
     def __post_init__(self):
         # Clamp bucket lists to configured maxima so we never compile

@@ -1,15 +1,25 @@
-"""LLMEngine: the continuous-batching host loop.
+"""LLMEngine: the continuous-batching host loop with pipelined dispatch.
 
 Reference: crates/core/src/engine/strategy.rs:426 run_engine_loop +
-helpers.rs (admission, batch build, sampling glue). Per step:
-schedule → build padded batch (numpy, host) → jitted unified step
-(device) → sync sampled tokens [S] (the only per-step DtoH) → update
-request state, detokenize, finish.
+helpers.rs (admission, batch build, sampling glue) + ADR 0008 (async
+scheduling overlap) + ADR 0017 (deferred DtoH / device-side feedback).
 
-Shape discipline: token count padded to a token bucket, sequence count
-to a seq bucket — each (T, S) pair is one XLA compilation, warmed at
-boot (replaces CUDA-graph capture at batch sizes {1..32}, reference
-warmup.rs).
+TPU design — the token-ring pipeline:
+  - Steps are dispatched without waiting for results; sampled tokens stay
+    on device in a ring buffer and feed later steps' inputs via in-kernel
+    gathers.
+  - The host fetches one WHOLE ring (K steps × S seqs of packed
+    token+logprob) in a single transfer per cycle, then detokenizes,
+    checks stop conditions and finishes requests — K steps late.
+  - Rings triple-buffer (write / prev / spare) so fetching one cycle's
+    results never blocks dispatching the next, and feedback can reach
+    tokens up to 2K steps unresolved (covers sequences that skip steps
+    and preemption re-prefills).
+
+A sequence may overshoot its stop condition by up to 2K decode steps;
+overshoot samples are discarded at processing time. Stop-condition
+latency is K steps — set fetch_interval=2 for latency-sensitive serving,
+8+ for throughput.
 """
 
 from __future__ import annotations
@@ -17,7 +27,8 @@ from __future__ import annotations
 import logging
 import time
 import zlib
-from typing import Callable
+from collections import deque
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -36,10 +47,22 @@ from ..request import (
 )
 from ..sampling.sampler import SamplerInputs
 from ..scheduler import ScheduledSeq, Scheduler
-from ..utils import cdiv, pick_bucket
+from ..utils import pick_bucket
 from .step_fn import StepFunction
 
 logger = logging.getLogger(__name__)
+
+PLACEHOLDER = -1  # unresolved sampled token (still on device)
+
+
+@dataclass
+class StepRecord:
+    """One dispatched, possibly still-executing step."""
+
+    cycle_id: int
+    ring_slot: int
+    # (seq, row in sampler axis, index into generated_token_ids)
+    entries: list[tuple[Sequence, int, int]]
 
 
 class LLMEngine:
@@ -65,14 +88,24 @@ class LLMEngine:
         self.eos_ids = tuple(sorted(eos_ids))
         self.step_fn = StepFunction(model, self.eos_ids)
 
-        n_slots = config.scheduler.max_num_seqs
-        self._free_slots = list(range(n_slots))
+        self.num_slots = config.scheduler.max_num_seqs
+        self._free_slots = list(range(self.num_slots))
         self.token_counts = jnp.zeros(
-            (n_slots, config.model.vocab_size), jnp.int32
+            (self.num_slots, config.model.vocab_size), jnp.int32
         )
         self.requests: dict[str, Sequence] = {}
+
+        # token-ring pipeline state
+        self.fetch_interval = max(2, config.fetch_interval)
+        ring_shape = (self.fetch_interval, 2 * self.num_slots)
+        self._ring_write = jnp.zeros(ring_shape, jnp.int32)
+        self._ring_prev = jnp.zeros(ring_shape, jnp.int32)
+        self._ring_spare = jnp.zeros(ring_shape, jnp.int32)
+        self._cycle_id = 0
+        self._cycle_pos = 0
+        self._in_flight: deque[StepRecord] = deque()
+
         self._step_count = 0
-        # engine stats (reference EngineStats, types.rs:392)
         self.stats = {
             "num_steps": 0,
             "num_preemptions": 0,
@@ -114,59 +147,72 @@ class LLMEngine:
 
     @property
     def has_unfinished(self) -> bool:
-        return self.scheduler.has_work
+        if self.scheduler.has_work:
+            return True
+        return any(
+            seq.finish_reason is None
+            for rec in self._in_flight
+            for seq, _, _ in rec.entries
+        )
 
     # -- the step ------------------------------------------------------------
 
     def step(self) -> list[RequestOutput]:
+        outputs: list[RequestOutput] = []
+        # process last cycle's results once the new cycle is under way —
+        # the fetch then waits only on long-finished work
+        if (
+            self._cycle_pos >= 1
+            and self._in_flight
+            and self._in_flight[0].cycle_id < self._cycle_id
+        ):
+            outputs.extend(self._process_old_cycle())
+
         decision = self.scheduler.schedule()
         self.stats["num_preemptions"] += len(decision.preempted)
         for seq in decision.preempted:
             self._release_slot(seq)
-        if not decision.scheduled:
-            return []
+        if decision.scheduled:
+            if self._cycle_pos >= self.fetch_interval:
+                self._rotate_rings()
+            for s in decision.scheduled:
+                if s.seq.slot < 0:
+                    self._assign_slot(s.seq)
+            self._in_flight.append(self._dispatch(decision.scheduled))
+            self._step_count += 1
+            self.stats["num_steps"] += 1
+        elif self._in_flight:
+            # nothing schedulable until lagging results are processed
+            outputs.extend(self._flush())
+        return outputs
 
-        scheduled = decision.scheduled
-        for s in scheduled:
-            if s.seq.slot < 0:
-                self._assign_slot(s.seq)
-
-        batch = self._build_batch(scheduled)
-        (md, input_ids, sampler_inputs, slot_ids, sample_mask,
-         use_penalties, use_top_filters) = batch
-
-        self.kv_pages, self.token_counts, tokens, logprobs = self.step_fn(
-            self.params,
-            self.kv_pages,
-            input_ids,
-            md,
-            sampler_inputs,
-            slot_ids,
-            sample_mask,
-            self.token_counts,
-            use_penalties=use_penalties,
-            use_top_filters=use_top_filters,
+    def _rotate_rings(self) -> None:
+        if self._in_flight and self._in_flight[0].cycle_id < self._cycle_id:
+            # straggler old-cycle records (only possible for very short
+            # cycles): resolve before their ring becomes the spare
+            self._process_old_cycle()
+        self._ring_write, self._ring_prev, self._ring_spare = (
+            self._ring_spare,
+            self._ring_write,
+            self._ring_prev,
         )
-        # the only per-step device→host transfer: S ints + S floats
-        tokens_h = np.asarray(tokens)
-        logprobs_h = np.asarray(logprobs)
+        self._cycle_id += 1
+        self._cycle_pos = 0
 
-        self._step_count += 1
-        self.stats["num_steps"] += 1
-        return self._process_outputs(scheduled, tokens_h, logprobs_h)
+    # -- batch building / dispatch --------------------------------------------
 
-    # -- batch building --------------------------------------------------------
-
-    def _build_batch(self, scheduled: list[ScheduledSeq]):
+    def _dispatch(self, scheduled: list[ScheduledSeq]) -> StepRecord:
         cfg = self.config
-        page_size = cfg.cache.page_size
         pages_per_seq = cfg.pages_per_seq
+        s_pad = self.num_slots
+        k = self.fetch_interval
+        ring_slot = self._cycle_pos
 
         total_tokens = sum(s.num_tokens for s in scheduled)
         t_pad = pick_bucket(total_tokens, cfg.token_buckets)
-        s_pad = pick_bucket(len(scheduled), cfg.seq_buckets)
 
         input_ids = np.zeros(t_pad, np.int32)
+        feedback_src = np.full(t_pad, -1, np.int32)
         positions = np.zeros(t_pad, np.int32)
         slot_mapping = np.zeros(t_pad, np.int32)
         kv_lens = np.zeros(s_pad, np.int32)
@@ -190,13 +236,29 @@ class LLMEngine:
         use_penalties = False
         use_top_filters = False
 
+        entries: list[tuple[Sequence, int, int]] = []
+
         offset = 0
         for i, s in enumerate(scheduled):
             seq, n = s.seq, s.num_tokens
             start = seq.num_computed_tokens
             end = start + n
             all_ids = seq.all_token_ids
-            input_ids[offset : offset + n] = all_ids[start:end]
+            chunk = all_ids[start:end]
+            input_ids[offset : offset + n] = chunk
+            for j, tok in enumerate(chunk):
+                if tok == PLACEHOLDER:
+                    gen_idx = start + j - seq.num_prompt_tokens
+                    c, slot, row = seq.pending[gen_idx]
+                    if c == self._cycle_id:
+                        sel = 0
+                    else:
+                        assert c == self._cycle_id - 1, (
+                            "unresolved token older than one ring cycle"
+                        )
+                        sel = 1
+                    feedback_src[offset + j] = (sel * k + slot) * s_pad + row
+                    input_ids[offset + j] = 0
             positions[offset : offset + n] = np.arange(start, end)
             table = self.kv.get_table(seq)
             slot_mapping[offset : offset + n] = table.slots(start, end)
@@ -206,7 +268,8 @@ class LLMEngine:
             cu_q_lens[i + 1] = cu_q_lens[i] + n
             logits_indices[i] = offset + n - 1
             slot_ids[i] = seq.slot
-            sample_mask[i] = s.is_final_prompt_chunk
+            is_final_chunk = s.is_final_prompt_chunk
+            sample_mask[i] = is_final_chunk
 
             p = seq.params
             temperature[i] = p.temperature
@@ -224,6 +287,15 @@ class LLMEngine:
                 p.top_k > 0 or p.top_p < 1.0 or p.min_p > 0.0
             )
             offset += n
+
+            # advance state optimistically (async scheduling)
+            seq.num_computed_tokens = end
+            if is_final_chunk:
+                gen_idx = seq.num_generated
+                seq.generated_token_ids.append(PLACEHOLDER)
+                seq.pending[gen_idx] = (self._cycle_id, ring_slot, i)
+                entries.append((seq, i, gen_idx))
+
         cu_q_lens[len(scheduled) + 1 :] = cu_q_lens[len(scheduled)]
 
         md = AttentionMetadata(
@@ -247,41 +319,74 @@ class LLMEngine:
             position=jnp.asarray(rng_pos),
             ban_eos=jnp.asarray(ban_eos),
         )
-        return (
-            md,
+        self.kv_pages, self.token_counts, self._ring_write = self.step_fn(
+            self.params,
+            self.kv_pages,
             jnp.asarray(input_ids),
+            md,
             sampler_inputs,
             jnp.asarray(slot_ids),
             jnp.asarray(sample_mask),
-            use_penalties,
-            use_top_filters,
+            self.token_counts,
+            self._ring_write,
+            self._ring_prev,
+            jnp.asarray(ring_slot, jnp.int32),
+            jnp.asarray(feedback_src),
+            use_penalties=use_penalties,
+            use_top_filters=use_top_filters,
         )
+        rec = StepRecord(
+            cycle_id=self._cycle_id, ring_slot=ring_slot, entries=entries
+        )
+        self._cycle_pos += 1
+        return rec
 
     def _seq_seed(self, seq: Sequence) -> int:
         if seq.params.seed is not None:
             return seq.params.seed & 0xFFFFFFFF
-        # stable per-request default seed (stable across preemption)
-        return (
-            zlib.crc32(seq.request_id.encode()) ^ self.config.seed
-        ) & 0xFFFFFFFF
+        return (zlib.crc32(seq.request_id.encode()) ^ self.config.seed) & 0xFFFFFFFF
 
     # -- output processing -----------------------------------------------------
 
-    def _process_outputs(
-        self,
-        scheduled: list[ScheduledSeq],
-        tokens: np.ndarray,
-        logprobs: np.ndarray,
-    ) -> list[RequestOutput]:
+    def _process_old_cycle(self) -> list[RequestOutput]:
+        """Fetch the previous cycle's ring (one transfer) and process all
+        of its records."""
+        ring_h = np.asarray(self._ring_prev)
         outputs: list[RequestOutput] = []
-        for i, s in enumerate(scheduled):
-            seq = s.seq
-            is_final_chunk = s.is_final_prompt_chunk  # BEFORE advancing state
-            seq.num_computed_tokens += s.num_tokens
-            if not is_final_chunk:
-                continue  # mid-prompt chunk: sampled token is meaningless
-            token = int(tokens[i])
-            seq.generated_token_ids.append(token)
+        while self._in_flight and self._in_flight[0].cycle_id < self._cycle_id:
+            rec = self._in_flight.popleft()
+            outputs.extend(self._process_record(rec, ring_h))
+        return outputs
+
+    def _flush(self) -> list[RequestOutput]:
+        """Drain everything in flight (used when the scheduler has nothing
+        to dispatch — e.g. all sequences awaiting finish processing)."""
+        outputs: list[RequestOutput] = []
+        if self._in_flight and self._in_flight[0].cycle_id < self._cycle_id:
+            outputs.extend(self._process_old_cycle())
+        if self._in_flight:
+            ring_h = np.asarray(self._ring_write)
+            while self._in_flight:
+                rec = self._in_flight.popleft()
+                outputs.extend(self._process_record(rec, ring_h))
+        return outputs
+
+    def _process_record(
+        self, record: StepRecord, ring_h: np.ndarray
+    ) -> list[RequestOutput]:
+        s = self.num_slots
+        row_data = ring_h[record.ring_slot]
+        tokens = row_data[:s]
+        logprobs = row_data[s:].view(np.float32)
+
+        outputs: list[RequestOutput] = []
+        for seq, row, gen_idx in record.entries:
+            if seq.finish_reason is not None:
+                continue  # finished/aborted while this step was in flight
+            token = int(tokens[row])
+            assert seq.generated_token_ids[gen_idx] == PLACEHOLDER
+            seq.generated_token_ids[gen_idx] = token
+            seq.pending.pop(gen_idx, None)
             self.stats["generated_tokens"] += 1
 
             new_text = ""
@@ -289,38 +394,43 @@ class LLMEngine:
                 new_text, seq.prefix_offset, seq.read_offset = (
                     detokenize_incrementally(
                         self.tokenizer,
-                        seq.all_token_ids,
+                        seq.all_token_ids[: seq.num_prompt_tokens + gen_idx + 1],
                         seq.prefix_offset or seq.num_prompt_tokens,
                         seq.read_offset or seq.num_prompt_tokens,
                     )
                 )
 
-            finish, stop_reason, emit_text = self._check_stop(seq, token, new_text)
+            finish, stop_reason, emit_text = self._check_stop(
+                seq, token, new_text, num_generated=gen_idx + 1
+            )
             seq.output_text += emit_text
 
-            out = RequestOutput(
-                request_id=seq.request_id,
-                new_token_ids=[token],
-                new_text=emit_text,
-                finished=finish is not None,
-                finish_reason=finish,
-                stop_reason=stop_reason,
-                output_text=seq.output_text,
-                token_ids=list(seq.generated_token_ids),
-                logprobs=[float(logprobs[i])]
-                if seq.params.logprobs is not None
-                else None,
+            outputs.append(
+                RequestOutput(
+                    request_id=seq.request_id,
+                    new_token_ids=[token],
+                    new_text=emit_text,
+                    finished=finish is not None,
+                    finish_reason=finish,
+                    stop_reason=stop_reason,
+                    output_text=seq.output_text,
+                    token_ids=list(seq.generated_token_ids[: gen_idx + 1]),
+                    logprobs=[float(logprobs[row])]
+                    if seq.params.logprobs is not None
+                    else None,
+                )
             )
-            outputs.append(out)
             if finish is not None:
+                # drop in-flight overshoot samples beyond this token
+                del seq.generated_token_ids[gen_idx + 1 :]
                 self._finish(seq, finish, stop_reason)
         return outputs
 
     def _check_stop(
-        self, seq: Sequence, token: int, new_text: str
+        self, seq: Sequence, token: int, new_text: str, num_generated: int
     ) -> tuple[FinishReason | None, str | int | None, str]:
         p = seq.params
-        min_ok = seq.num_generated >= p.min_tokens
+        min_ok = num_generated >= p.min_tokens
         if min_ok and not p.ignore_eos and token in self.eos_ids:
             return FinishReason.STOP, None, ""
         if min_ok and token in p.stop_token_ids:
@@ -329,10 +439,10 @@ class LLMEngine:
             stop_str, idx = find_stop(seq.output_text, new_text, p.stop)
             if stop_str is not None:
                 keep = idx - len(seq.output_text)
-                return FinishReason.STOP, stop_str, new_text[:max(keep, 0)]
-        if seq.num_generated >= p.max_tokens:
+                return FinishReason.STOP, stop_str, new_text[: max(keep, 0)]
+        if num_generated >= p.max_tokens:
             return FinishReason.LENGTH, None, new_text
-        if seq.total_len >= self.config.max_model_len:
+        if seq.num_prompt_tokens + num_generated >= self.config.max_model_len:
             return FinishReason.LENGTH, None, new_text
         return None, None, new_text
 
@@ -347,6 +457,7 @@ class LLMEngine:
         seq.status = RequestStatus.FINISHED
         seq.finish_reason = reason
         seq.stop_reason = stop_reason
+        seq.pending.clear()
         self.kv.free(seq)
         self._release_slot(seq)
         self.scheduler.remove(seq)
@@ -359,10 +470,9 @@ class LLMEngine:
             # re-materialize penalty counts after preemption/slot reuse
             row = np.zeros(self.config.model.vocab_size, np.int32)
             for t in seq.generated_token_ids:
-                row[t] += 1
-            self.token_counts = self.token_counts.at[seq.slot].set(
-                jnp.asarray(row)
-            )
+                if t >= 0:
+                    row[t] += 1
+            self.token_counts = self.token_counts.at[seq.slot].set(jnp.asarray(row))
         else:
             self.token_counts = self.token_counts.at[seq.slot].set(0)
 
@@ -383,12 +493,11 @@ class LLMEngine:
         """Synchronous batch generation (reference engine/mod.rs generate)."""
         if params is None:
             params = SamplingParams()
-        param_list = (
-            params if isinstance(params, list) else [params] * len(prompts)
-        )
+        param_list = params if isinstance(params, list) else [params] * len(prompts)
         finals: dict[str, RequestOutput] = {}
+        tag = self._step_count
         for i, (prompt, p) in enumerate(zip(prompts, param_list)):
-            self.add_request(f"gen-{self._step_count}-{i}", prompt, p)
+            self.add_request(f"gen-{tag}-{i}", prompt, p)
         deadline = time.monotonic() + timeout_s
         while self.has_unfinished:
             if time.monotonic() > deadline:
@@ -396,5 +505,7 @@ class LLMEngine:
             for out in self.step():
                 if out.finished:
                     finals[out.request_id] = out
-        ordered = sorted(finals.values(), key=lambda o: int(o.request_id.rsplit("-", 1)[1]))
+        ordered = sorted(
+            finals.values(), key=lambda o: int(o.request_id.rsplit("-", 1)[1])
+        )
         return ordered

@@ -1,17 +1,19 @@
-"""The unified jitted engine step.
+"""The unified jitted engine step with an on-device token ring.
 
 One call = model forward over the flattened mixed batch + last-position
-gather + on-device sampling + penalty-count update. KV pools and the
-count matrix are donated, so XLA updates them in place. This replaces
-the reference's per-mode execution strategies + CUDA-graph capture
-(engine/standard.rs, cuda_graph_runner.rs): bucketed static shapes give
-the same "compile once, replay forever" property natively.
+gather + on-device sampling + penalty-count update. KV pools, the count
+matrix and the token ring are donated, so XLA updates them in place.
+
+Token ring: sampled (token, logprob) rows accumulate in a device-resident
+ring buffer [K, 2S]. The next step's decode inputs gather directly from
+the ring (device-side token feedback — the reference's ADR 0017 deferred-
+DtoH design taken further), and the host fetches a WHOLE ring in one
+transfer every K steps instead of syncing per step. This amortizes the
+dispatch→fetch round-trip (~27 ms over the axon tunnel, measured) across
+K steps; the reference pays an analogous cost per CUDA-graph replay sync.
 """
 
 from __future__ import annotations
-
-import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +29,7 @@ class StepFunction:
         self._jit = jax.jit(
             self._step,
             static_argnames=("use_penalties", "use_top_filters"),
-            donate_argnames=("kv_pages", "token_counts"),
+            donate_argnames=("kv_pages", "token_counts", "ring"),
         )
 
     def _step(
@@ -40,10 +42,25 @@ class StepFunction:
         slot_ids: jax.Array,  # [S] i32 persistent engine slots
         sample_mask: jax.Array,  # [S] bool — real sample this step
         token_counts: jax.Array,  # [num_slots, V] i32
+        ring: jax.Array,  # [K, 2S] i32 — this cycle's output ring (donated)
+        prev_ring: jax.Array,  # [K, 2S] i32 — previous cycle's ring (read)
+        ring_slot: jax.Array,  # [] i32 — row to write this step's outputs
+        feedback_src: jax.Array,  # [T] i32 — flat ring index, or -1
         *,
         use_penalties: bool,
         use_top_filters: bool,
     ):
+        s = slot_ids.shape[0]
+        k = ring.shape[0]
+        # Device-side token feedback: token slots whose id was produced by a
+        # still-unfetched step gather from the ring. Flat index space:
+        # [0, K*S) = current ring, [K*S, 2*K*S) = previous cycle's ring.
+        ring_tokens = jnp.concatenate(
+            [ring[:, :s].reshape(k * s), prev_ring[:, :s].reshape(k * s)]
+        )
+        fed = ring_tokens[jnp.clip(feedback_src, 0, 2 * k * s - 1)]
+        input_ids = jnp.where(feedback_src >= 0, fed, input_ids)
+
         hidden, kv_pages = self.model(params, input_ids, md, kv_pages)
         sel = hidden[md.logits_indices]  # [S, H]
         logits = self.model.compute_logits(params, sel)  # [S, V] f32
@@ -61,31 +78,13 @@ class StepFunction:
             token_counts = token_counts.at[slot_ids, tokens].add(
                 sample_mask.astype(jnp.int32), mode="drop"
             )
-        return kv_pages, token_counts, tokens, logprobs
+        row = jnp.concatenate(
+            [tokens, jax.lax.bitcast_convert_type(logprobs, jnp.int32)]
+        )
+        ring = ring.at[ring_slot].set(row)
+        return kv_pages, token_counts, ring
 
-    def __call__(
-        self,
-        params,
-        kv_pages,
-        input_ids,
-        md,
-        sampler_inputs,
-        slot_ids,
-        sample_mask,
-        token_counts,
-        *,
-        use_penalties: bool,
-        use_top_filters: bool,
-    ):
+    def __call__(self, *args, use_penalties: bool, use_top_filters: bool):
         return self._jit(
-            params,
-            kv_pages,
-            input_ids,
-            md,
-            sampler_inputs,
-            slot_ids,
-            sample_mask,
-            token_counts,
-            use_penalties=use_penalties,
-            use_top_filters=use_top_filters,
+            *args, use_penalties=use_penalties, use_top_filters=use_top_filters
         )

@@ -91,6 +91,9 @@ class Sequence:
     output_text: str = ""
     # number of prompt tokens matched from the prefix cache
     num_cached_tokens: int = 0
+    # gen_idx -> (cycle_id, ring_slot, row): ring location of each
+    # still-on-device sampled token (token-ring pipeline, engine/engine.py)
+    pending: dict[int, tuple[int, int, int]] = field(default_factory=dict)
 
     @property
     def num_prompt_tokens(self) -> int:

@@ -125,6 +125,13 @@ class Scheduler:
         for seq in list(self.running):
             if budget <= 0:
                 break  # stays running, scheduled next step
+            if (
+                seq.num_generated >= seq.params.max_tokens
+                or seq.total_len >= self.max_model_len
+            ):
+                # at budget; finish happens when the lagging in-flight
+                # results are processed (async pipelined stepping)
+                continue
             remaining = seq.remaining_prefill
             if remaining > 0:  # continued (chunked) prefill
                 if partial_prefills >= max(1, cfg.max_num_partial_prefills) and (
