@@ -1,0 +1,129 @@
+"""Packed step-metadata layout: ONE host→device transfer per step.
+
+The axon-tunneled TPU serializes each host transfer RPC against in-flight
+executions (~2.7 ms each, measured); 13 per-step metadata arrays cost
+more than the model forward. All step metadata therefore travels as a
+single flat int32 vector (floats bitcast), unpacked with static offsets
+inside the jitted step. The reference faces the same class of problem
+with CUDA launch/H2D overhead and solves it with CUDA graphs + pooled
+tensors (output_pool.rs); one packed transfer is the TPU/tunnel analogue.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attn_metadata import AttentionMetadata
+from ..sampling.sampler import SamplerInputs
+
+
+@dataclass(frozen=True)
+class PackLayout:
+    """Static offsets for a (T, S, P) batch shape."""
+
+    t: int
+    s: int
+    p: int
+
+    @property
+    def token_base(self) -> int:
+        return 2
+
+    @property
+    def seq_base(self) -> int:
+        return 2 + 4 * self.t
+
+    @property
+    def page_base(self) -> int:
+        return self.seq_base + 9 * self.s + 1
+
+    @property
+    def float_base(self) -> int:
+        return self.page_base + self.s * self.p
+
+    @property
+    def total(self) -> int:
+        return self.float_base + 6 * self.s
+
+
+class HostBatch:
+    """Host-side packed buffer with named views (numpy, zero-copy)."""
+
+    def __init__(self, t: int, s: int, p: int):
+        self.layout = PackLayout(t, s, p)
+        self.buf = np.zeros(self.layout.total, np.int32)
+        L = self.layout
+        tb, sb, pb, fb = L.token_base, L.seq_base, L.page_base, L.float_base
+        self.header = self.buf[0:2]  # [ring_slot, num_seqs]
+        self.input_ids = self.buf[tb : tb + t]
+        self.feedback_src = self.buf[tb + t : tb + 2 * t]
+        self.positions = self.buf[tb + 2 * t : tb + 3 * t]
+        self.slot_mapping = self.buf[tb + 3 * t : tb + 4 * t]
+        self.kv_lens = self.buf[sb : sb + s]
+        self.logits_indices = self.buf[sb + s : sb + 2 * s]
+        self.slot_ids = self.buf[sb + 2 * s : sb + 3 * s]
+        self.sample_mask = self.buf[sb + 3 * s : sb + 4 * s]
+        self.ban_eos = self.buf[sb + 4 * s : sb + 5 * s]
+        self.top_k = self.buf[sb + 5 * s : sb + 6 * s]
+        self.seeds = self.buf[sb + 6 * s : sb + 7 * s].view(np.uint32)
+        self.rng_pos = self.buf[sb + 7 * s : sb + 8 * s]
+        self.cu_q_lens = self.buf[sb + 8 * s : sb + 9 * s + 1]
+        self.page_indices = self.buf[pb : pb + s * p].reshape(s, p)
+        floats = self.buf[fb:].view(np.float32)
+        self.temperature = floats[0:s]
+        self.top_p = floats[s : 2 * s]
+        self.min_p = floats[2 * s : 3 * s]
+        self.repetition_penalty = floats[3 * s : 4 * s]
+        self.presence_penalty = floats[4 * s : 5 * s]
+        self.frequency_penalty = floats[5 * s : 6 * s]
+
+    def reset(self):
+        self.buf.fill(0)
+        self.feedback_src.fill(-1)
+        self.temperature.fill(1.0)
+        self.top_p.fill(1.0)
+        self.repetition_penalty.fill(1.0)
+
+
+def unpack_device(meta, layout: PackLayout):
+    """Inside-jit unpack of the packed vector into metadata structs."""
+    t, s, p = layout.t, layout.s, layout.p
+    tb, sb, pb, fb = (
+        layout.token_base,
+        layout.seq_base,
+        layout.page_base,
+        layout.float_base,
+    )
+    import jax
+
+    floats = jax.lax.bitcast_convert_type(meta[fb:], jnp.float32)
+    ring_slot = meta[0]
+    md = AttentionMetadata(
+        slot_mapping=meta[tb + 3 * t : tb + 4 * t],
+        kv_lens=meta[sb : sb + s],
+        page_indices=meta[pb : pb + s * p].reshape(s, p),
+        cu_q_lens=meta[sb + 8 * s : sb + 9 * s + 1],
+        num_seqs=meta[1:2],
+        positions=meta[tb + 2 * t : tb + 3 * t],
+        logits_indices=meta[sb + s : sb + 2 * s],
+    )
+    si = SamplerInputs(
+        temperature=floats[0:s],
+        top_k=meta[sb + 5 * s : sb + 6 * s],
+        top_p=floats[s : 2 * s],
+        min_p=floats[2 * s : 3 * s],
+        repetition_penalty=floats[3 * s : 4 * s],
+        presence_penalty=floats[4 * s : 5 * s],
+        frequency_penalty=floats[5 * s : 6 * s],
+        seed=meta[sb + 6 * s : sb + 7 * s].astype(jnp.uint32),
+        position=meta[sb + 7 * s : sb + 8 * s],
+        ban_eos=meta[sb + 4 * s : sb + 5 * s] > 0,
+    )
+    input_ids = meta[tb : tb + t]
+    feedback_src = meta[tb + t : tb + 2 * t]
+    slot_ids = meta[sb + 2 * s : sb + 3 * s]
+    sample_mask = meta[sb + 3 * s : sb + 4 * s] > 0
+    return ring_slot, input_ids, feedback_src, md, si, slot_ids, sample_mask

@@ -37,7 +37,6 @@ import numpy as np
 from ..config import EngineConfig
 from ..detokenizer import detokenize_incrementally, find_stop
 from ..kv_cache.manager import KVCacheManager
-from ..ops.attn_metadata import AttentionMetadata
 from ..request import (
     FinishReason,
     RequestOutput,
@@ -45,9 +44,9 @@ from ..request import (
     SamplingParams,
     Sequence,
 )
-from ..sampling.sampler import SamplerInputs
 from ..scheduler import ScheduledSeq, Scheduler
 from ..utils import pick_bucket
+from .batch_pack import HostBatch
 from .step_fn import StepFunction
 
 logger = logging.getLogger(__name__)
@@ -104,6 +103,7 @@ class LLMEngine:
         self._cycle_id = 0
         self._cycle_pos = 0
         self._in_flight: deque[StepRecord] = deque()
+        self._host_batches: dict[int, HostBatch] = {}
 
         self._step_count = 0
         self.stats = {
@@ -201,41 +201,28 @@ class LLMEngine:
 
     # -- batch building / dispatch --------------------------------------------
 
+    def _host_batch(self, t_pad: int) -> HostBatch:
+        hb = self._host_batches.get(t_pad)
+        if hb is None:
+            hb = HostBatch(t_pad, self.num_slots, self.config.pages_per_seq)
+            self._host_batches[t_pad] = hb
+        hb.reset()
+        return hb
+
     def _dispatch(self, scheduled: list[ScheduledSeq]) -> StepRecord:
         cfg = self.config
-        pages_per_seq = cfg.pages_per_seq
         s_pad = self.num_slots
         k = self.fetch_interval
         ring_slot = self._cycle_pos
 
         total_tokens = sum(s.num_tokens for s in scheduled)
         t_pad = pick_bucket(total_tokens, cfg.token_buckets)
-
-        input_ids = np.zeros(t_pad, np.int32)
-        feedback_src = np.full(t_pad, -1, np.int32)
-        positions = np.zeros(t_pad, np.int32)
-        slot_mapping = np.zeros(t_pad, np.int32)
-        kv_lens = np.zeros(s_pad, np.int32)
-        page_indices = np.zeros((s_pad, pages_per_seq), np.int32)
-        cu_q_lens = np.zeros(s_pad + 1, np.int32)
-        logits_indices = np.zeros(s_pad, np.int32)
-        slot_ids = np.zeros(s_pad, np.int32)
-        sample_mask = np.zeros(s_pad, bool)
-
-        temperature = np.full(s_pad, 1.0, np.float32)
-        top_k = np.zeros(s_pad, np.int32)
-        top_p = np.ones(s_pad, np.float32)
-        min_p = np.zeros(s_pad, np.float32)
-        rep_pen = np.ones(s_pad, np.float32)
-        pres_pen = np.zeros(s_pad, np.float32)
-        freq_pen = np.zeros(s_pad, np.float32)
-        seeds = np.zeros(s_pad, np.uint32)
-        rng_pos = np.zeros(s_pad, np.int32)
-        ban_eos = np.zeros(s_pad, bool)
+        hb = self._host_batch(t_pad)
+        hb.header[0] = ring_slot
+        hb.header[1] = len(scheduled)
 
         use_penalties = False
         use_top_filters = False
-
         entries: list[tuple[Sequence, int, int]] = []
 
         offset = 0
@@ -243,9 +230,8 @@ class LLMEngine:
             seq, n = s.seq, s.num_tokens
             start = seq.num_computed_tokens
             end = start + n
-            all_ids = seq.all_token_ids
-            chunk = all_ids[start:end]
-            input_ids[offset : offset + n] = chunk
+            chunk = seq.all_token_ids[start:end]
+            hb.input_ids[offset : offset + n] = chunk
             for j, tok in enumerate(chunk):
                 if tok == PLACEHOLDER:
                     gen_idx = start + j - seq.num_prompt_tokens
@@ -257,31 +243,31 @@ class LLMEngine:
                             "unresolved token older than one ring cycle"
                         )
                         sel = 1
-                    feedback_src[offset + j] = (sel * k + slot) * s_pad + row
-                    input_ids[offset + j] = 0
-            positions[offset : offset + n] = np.arange(start, end)
+                    hb.feedback_src[offset + j] = (sel * k + slot) * s_pad + row
+                    hb.input_ids[offset + j] = 0
+            hb.positions[offset : offset + n] = np.arange(start, end)
             table = self.kv.get_table(seq)
-            slot_mapping[offset : offset + n] = table.slots(start, end)
-            kv_lens[i] = end
+            hb.slot_mapping[offset : offset + n] = table.slots(start, end)
+            hb.kv_lens[i] = end
             pages = table.pages
-            page_indices[i, : len(pages)] = pages
-            cu_q_lens[i + 1] = cu_q_lens[i] + n
-            logits_indices[i] = offset + n - 1
-            slot_ids[i] = seq.slot
+            hb.page_indices[i, : len(pages)] = pages
+            hb.cu_q_lens[i + 1] = hb.cu_q_lens[i] + n
+            hb.logits_indices[i] = offset + n - 1
+            hb.slot_ids[i] = seq.slot
             is_final_chunk = s.is_final_prompt_chunk
-            sample_mask[i] = is_final_chunk
+            hb.sample_mask[i] = is_final_chunk
 
             p = seq.params
-            temperature[i] = p.temperature
-            top_k[i] = p.top_k
-            top_p[i] = p.top_p
-            min_p[i] = p.min_p
-            rep_pen[i] = p.repetition_penalty
-            pres_pen[i] = p.presence_penalty
-            freq_pen[i] = p.frequency_penalty
-            seeds[i] = self._seq_seed(seq)
-            rng_pos[i] = end
-            ban_eos[i] = seq.num_generated < p.min_tokens
+            hb.temperature[i] = p.temperature
+            hb.top_k[i] = p.top_k
+            hb.top_p[i] = p.top_p
+            hb.min_p[i] = p.min_p
+            hb.repetition_penalty[i] = p.repetition_penalty
+            hb.presence_penalty[i] = p.presence_penalty
+            hb.frequency_penalty[i] = p.frequency_penalty
+            hb.seeds[i] = self._seq_seed(seq)
+            hb.rng_pos[i] = end
+            hb.ban_eos[i] = seq.num_generated < p.min_tokens
             use_penalties |= p.uses_penalties
             use_top_filters |= (not p.greedy) and (
                 p.top_k > 0 or p.top_p < 1.0 or p.min_p > 0.0
@@ -296,42 +282,18 @@ class LLMEngine:
                 seq.pending[gen_idx] = (self._cycle_id, ring_slot, i)
                 entries.append((seq, i, gen_idx))
 
-        cu_q_lens[len(scheduled) + 1 :] = cu_q_lens[len(scheduled)]
+        hb.cu_q_lens[len(scheduled) + 1 :] = hb.cu_q_lens[len(scheduled)]
 
-        md = AttentionMetadata(
-            slot_mapping=jnp.asarray(slot_mapping),
-            kv_lens=jnp.asarray(kv_lens),
-            page_indices=jnp.asarray(page_indices),
-            cu_q_lens=jnp.asarray(cu_q_lens),
-            num_seqs=jnp.asarray([len(scheduled)], jnp.int32),
-            positions=jnp.asarray(positions),
-            logits_indices=jnp.asarray(logits_indices),
-        )
-        sampler_inputs = SamplerInputs(
-            temperature=jnp.asarray(temperature),
-            top_k=jnp.asarray(top_k),
-            top_p=jnp.asarray(top_p),
-            min_p=jnp.asarray(min_p),
-            repetition_penalty=jnp.asarray(rep_pen),
-            presence_penalty=jnp.asarray(pres_pen),
-            frequency_penalty=jnp.asarray(freq_pen),
-            seed=jnp.asarray(seeds),
-            position=jnp.asarray(rng_pos),
-            ban_eos=jnp.asarray(ban_eos),
-        )
         self.kv_pages, self.token_counts, self._ring_write = self.step_fn(
             self.params,
             self.kv_pages,
-            jnp.asarray(input_ids),
-            md,
-            sampler_inputs,
-            jnp.asarray(slot_ids),
-            jnp.asarray(sample_mask),
+            # single h2d transfer; copy because jnp.asarray may alias the
+            # (reused) host buffer zero-copy on the CPU backend
+            jnp.asarray(hb.buf.copy()),
             self.token_counts,
             self._ring_write,
             self._ring_prev,
-            jnp.asarray(ring_slot, jnp.int32),
-            jnp.asarray(feedback_src),
+            layout=hb.layout,
             use_penalties=use_penalties,
             use_top_filters=use_top_filters,
         )

@@ -18,8 +18,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.attn_metadata import AttentionMetadata
-from ..sampling.sampler import SamplerInputs, sample_tokens
+from ..sampling.sampler import sample_tokens
+from .batch_pack import PackLayout, unpack_device
 
 
 class StepFunction:
@@ -28,7 +28,7 @@ class StepFunction:
         self.eos_ids = eos_ids
         self._jit = jax.jit(
             self._step,
-            static_argnames=("use_penalties", "use_top_filters"),
+            static_argnames=("layout", "use_penalties", "use_top_filters"),
             donate_argnames=("kv_pages", "token_counts", "ring"),
         )
 
@@ -36,20 +36,24 @@ class StepFunction:
         self,
         params,
         kv_pages: list[jax.Array],
-        input_ids: jax.Array,  # [T]
-        md: AttentionMetadata,
-        sampler_inputs: SamplerInputs,  # [S]
-        slot_ids: jax.Array,  # [S] i32 persistent engine slots
-        sample_mask: jax.Array,  # [S] bool — real sample this step
+        meta: jax.Array,  # packed int32 vector (batch_pack.PackLayout)
         token_counts: jax.Array,  # [num_slots, V] i32
         ring: jax.Array,  # [K, 2S] i32 — this cycle's output ring (donated)
         prev_ring: jax.Array,  # [K, 2S] i32 — previous cycle's ring (read)
-        ring_slot: jax.Array,  # [] i32 — row to write this step's outputs
-        feedback_src: jax.Array,  # [T] i32 — flat ring index, or -1
         *,
+        layout: PackLayout,
         use_penalties: bool,
         use_top_filters: bool,
     ):
+        (
+            ring_slot,
+            input_ids,
+            feedback_src,
+            md,
+            sampler_inputs,
+            slot_ids,
+            sample_mask,
+        ) = unpack_device(meta, layout)
         s = slot_ids.shape[0]
         k = ring.shape[0]
         # Device-side token feedback: token slots whose id was produced by a
@@ -84,7 +88,12 @@ class StepFunction:
         ring = ring.at[ring_slot].set(row)
         return kv_pages, token_counts, ring
 
-    def __call__(self, *args, use_penalties: bool, use_top_filters: bool):
+    def __call__(
+        self, *args, layout: PackLayout, use_penalties: bool, use_top_filters: bool
+    ):
         return self._jit(
-            *args, use_penalties=use_penalties, use_top_filters=use_top_filters
+            *args,
+            layout=layout,
+            use_penalties=use_penalties,
+            use_top_filters=use_top_filters,
         )

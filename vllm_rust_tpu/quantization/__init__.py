@@ -1,21 +1,21 @@
 """Quantization stack.
 
 Reference: crates/core/src/quantization/ (23 formats behind the
-QuantizationConfig/QuantizedLinear traits, config.rs:110,147). Here each
-format provides: a detection hook (from checkpoint config/files), a weight
-transformer (raw checkpoint tensors -> packed device payload), and an
-apply fn (fused dequant+matmul — Pallas kernels for the hot shapes).
+QuantizationConfig/QuantizedLinear traits, config.rs:110,147). Each
+format provides: detection (from checkpoint config), a host-side weight
+transformer (checkpoint packing -> TPU kernel layout), and an apply fn
+(fused dequant+matmul Pallas kernel) registered by name.
 """
 
 from .registry import (
-    QuantMethod,
     apply_quantized_linear,
     detect_quantization,
     register_quant_method,
 )
+from .types import QuantLinear
 
 __all__ = [
-    "QuantMethod",
+    "QuantLinear",
     "apply_quantized_linear",
     "detect_quantization",
     "register_quant_method",

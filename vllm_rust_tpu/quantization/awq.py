@@ -1,0 +1,76 @@
+"""AWQ 4-bit weight-only quantization.
+
+Reference: quantization/awq.rs (AwqLinear :400) + awq_gemv.cu. AWQ
+checkpoints store, per linear (HF names relative to the layer):
+  qweight: int32 [K, N/8]  — 8 int4 along N per int32, order [0,2,4,6,1,3,5,7]
+  qzeros:  int32 [K/g, N/8] — same packing
+  scales:  f16   [K/g, N]
+
+At load we unpack once on host and repack to the TPU kernel layout
+(K-half nibble packing, see ops/pallas/quant_matmul.py): the checkpoint
+format never reaches the device.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..layers import linear as linear_mod
+from ..ops.pallas.quant_matmul import quant_matmul_w4a16
+from .registry import register_quant_method
+from .types import QuantLinear
+
+# AWQ's interleaved nibble order within each int32
+_AWQ_ORDER = np.array([0, 2, 4, 6, 1, 3, 5, 7])
+
+
+def unpack_awq_int32(packed: np.ndarray) -> np.ndarray:
+    """[R, C/8] int32 -> [R, C] uint8 (values 0..15), AWQ nibble order."""
+    r, c8 = packed.shape
+    shifts = np.arange(8, dtype=np.uint32) * 4
+    # nibble i of each int32 is column (8*j + _AWQ_ORDER[i])
+    nibbles = (
+        (packed[:, :, None].astype(np.uint32) >> shifts[None, None, :]) & 0xF
+    ).astype(np.uint8)  # [R, C/8, 8] in packed order
+    out = np.empty((r, c8, 8), np.uint8)
+    out[:, :, _AWQ_ORDER] = nibbles
+    return out.reshape(r, c8 * 8)
+
+
+def repack_k_half(q: np.ndarray) -> np.ndarray:
+    """[K, N] uint8 int4 values -> [K/2, N] uint8 K-half nibble packing."""
+    k, n = q.shape
+    assert k % 2 == 0
+    half = k // 2
+    return (q[:half] | (q[half:] << 4)).astype(np.uint8)
+
+
+def load_awq_linear(
+    qweight: np.ndarray,  # int32 [K, N/8]
+    qzeros: np.ndarray,  # int32 [K/g, N/8]
+    scales: np.ndarray,  # f16 [K/g, N]
+    bias: np.ndarray | None = None,
+) -> QuantLinear:
+    q = unpack_awq_int32(qweight)  # [K, N] 0..15
+    z = unpack_awq_int32(qzeros)  # [K/g, N]
+    s = scales.astype(np.float32)
+    zs = (z.astype(np.float32) * s).astype(jnp.bfloat16)
+    return QuantLinear(
+        qweight=jnp.asarray(repack_k_half(q)),
+        scales=jnp.asarray(s.astype(jnp.bfloat16)),
+        zs=jnp.asarray(zs),
+        bias=jnp.asarray(bias) if bias is not None else None,
+        method="awq",
+    )
+
+
+@register_quant_method("awq")
+def apply_awq(x, p: QuantLinear):
+    t_shape = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    out = quant_matmul_w4a16(x2, p.qweight, p.scales, p.zs)
+    out = out.reshape(*t_shape, -1).astype(x.dtype)
+    if p.bias is not None:
+        out = out + p.bias.astype(out.dtype)
+    return out

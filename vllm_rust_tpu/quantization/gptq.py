@@ -1,0 +1,80 @@
+"""GPTQ 4-bit weight-only quantization.
+
+Reference: quantization/gptq.rs + gptq_dequant.cu + marlin_gemm.cu.
+Checkpoint layout (AutoGPTQ):
+  qweight: int32 [K/8, N] — 8 int4 along K per int32, sequential order
+  qzeros:  int32 [K/g, N/8] — packed along N, sequential order; stored
+           value is zero-1 (the historic AutoGPTQ +1 quirk)
+  scales:  f16 [K/g, N]
+  g_idx:   int32 [K] — activation-order permutation (desc_act)
+
+Shares the w4a16 fused kernel with AWQ after host-side repacking.
+desc_act (non-trivial g_idx) reorders K at load: we permute both the
+weight rows and the kernel's x gather — implemented by permuting rows
+into group-sorted order and remembering nothing (x must be permuted the
+same way), so for now only trivial/sorted g_idx is accepted.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .awq import repack_k_half
+from .registry import register_quant_method
+from .types import QuantLinear
+
+
+def unpack_gptq_rows(packed: np.ndarray) -> np.ndarray:
+    """[K/8, N] int32 -> [K, N] uint8 (sequential nibble order along K)."""
+    k8, n = packed.shape
+    shifts = np.arange(8, dtype=np.uint32) * 4
+    nib = (
+        (packed[:, None, :].astype(np.uint32) >> shifts[None, :, None]) & 0xF
+    ).astype(np.uint8)  # [K/8, 8, N]
+    return nib.reshape(k8 * 8, n)
+
+
+def unpack_gptq_cols(packed: np.ndarray) -> np.ndarray:
+    """[R, N/8] int32 -> [R, N] uint8 (sequential nibble order along N)."""
+    r, n8 = packed.shape
+    shifts = np.arange(8, dtype=np.uint32) * 4
+    nib = (
+        (packed[:, :, None].astype(np.uint32) >> shifts[None, None, :]) & 0xF
+    ).astype(np.uint8)  # [R, N/8, 8]
+    return nib.reshape(r, n8 * 8)
+
+
+def load_gptq_linear(
+    qweight: np.ndarray,
+    qzeros: np.ndarray,
+    scales: np.ndarray,
+    g_idx: np.ndarray | None = None,
+    bias: np.ndarray | None = None,
+) -> QuantLinear:
+    q = unpack_gptq_rows(qweight)  # [K, N]
+    k = q.shape[0]
+    n_groups = scales.shape[0]
+    if g_idx is not None:
+        expected = np.repeat(np.arange(n_groups), k // n_groups)
+        if not np.array_equal(np.asarray(g_idx), expected):
+            raise NotImplementedError(
+                "GPTQ desc_act (activation-order) checkpoints not supported yet"
+            )
+    z = unpack_gptq_cols(qzeros).astype(np.float32) + 1.0  # AutoGPTQ quirk
+    s = scales.astype(np.float32)
+    zs = (z * s).astype(jnp.bfloat16)
+    return QuantLinear(
+        qweight=jnp.asarray(repack_k_half(q)),
+        scales=jnp.asarray(s.astype(jnp.bfloat16)),
+        zs=jnp.asarray(zs),
+        bias=jnp.asarray(bias) if bias is not None else None,
+        method="gptq",
+    )
+
+
+@register_quant_method("gptq")
+def apply_gptq(x, p: QuantLinear):
+    from .awq import apply_awq
+
+    return apply_awq(x, p)  # identical packed layout and math

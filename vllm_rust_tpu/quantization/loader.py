@@ -1,0 +1,87 @@
+"""Quantized checkpoint loading.
+
+Reference: loader.rs:308 quant detection → quantization/weight_loader.rs
+name remapping. Groups per-linear checkpoint tensors (qweight/qzeros/
+scales/bias), converts each format's packing to the TPU kernel layout on
+host, and grafts QuantLinear nodes into the model's param tree.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+
+_AWQ_PARTS = {"qweight", "qzeros", "scales", "bias"}
+_GPTQ_PARTS = {"qweight", "qzeros", "scales", "g_idx", "bias"}
+
+
+def load_quantized_weights(
+    model,
+    method: str,
+    hf_config: dict,
+    weights: Iterable[tuple[str, np.ndarray]],
+):
+    """Build the param tree for a quantized checkpoint.
+
+    Non-quantized tensors (norms, embeddings, lm_head) route through the
+    model's normal name mapping; linear groups become QuantLinear nodes.
+    """
+    if method not in ("awq", "gptq"):
+        raise NotImplementedError(f"quant method {method} not yet supported")
+
+    params = model.init_params(rng=None)
+    groups: dict[str, dict[str, np.ndarray]] = {}
+
+    for name, arr in weights:
+        base, _, leaf = name.rpartition(".")
+        if leaf in _AWQ_PARTS | _GPTQ_PARTS and base:
+            groups.setdefault(base, {})[leaf] = np.asarray(arr)
+        else:
+            path = model._param_path(name)
+            if path is None:
+                continue
+            tree_path, transpose = path
+            a = np.asarray(arr)
+            if transpose:
+                a = a.T
+            node = params
+            for p in tree_path[:-1]:
+                node = node[p]
+            import jax.numpy as jnp
+
+            node[tree_path[-1]] = jnp.asarray(a, model.dtype)
+
+    for base, parts in groups.items():
+        if "qweight" not in parts:
+            continue
+        path = model._param_path(f"{base}.weight")
+        if path is None:
+            continue
+        tree_path, _ = path
+        assert tree_path[-1] == "weight"
+        if method == "awq":
+            from .awq import load_awq_linear
+
+            ql = load_awq_linear(
+                parts["qweight"],
+                parts["qzeros"],
+                parts["scales"],
+                parts.get("bias"),
+            )
+        else:
+            from .gptq import load_gptq_linear
+
+            ql = load_gptq_linear(
+                parts["qweight"],
+                parts["qzeros"],
+                parts["scales"],
+                parts.get("g_idx"),
+                parts.get("bias"),
+            )
+        # replace the whole linear dict with the QuantLinear node
+        node = params
+        for p in tree_path[:-2]:
+            node = node[p]
+        node[tree_path[-2]] = ql
+    return params

@@ -1,25 +1,20 @@
 """Quant method registry + dispatch.
 
 Reference: quantization/config.rs:15-64 QuantizationMethod enum +
-detection.rs:16 auto-detection. A quantized linear's params dict carries
-`{"quant": "<method>", ...payload...}`; `apply_quantized_linear` routes to
-the registered kernel.
+detection.rs:16 auto-detection. A quantized linear is a QuantLinear
+whose static `method` field routes to the registered apply fn (a fused
+dequant-matmul kernel).
 """
 
 from __future__ import annotations
 
-from typing import Callable, Protocol
+from typing import Callable
 
 import jax
 
+from .types import QuantLinear
 
-class QuantMethod(Protocol):
-    name: str
-
-    def apply(self, x: jax.Array, params: dict) -> jax.Array: ...
-
-
-_METHODS: dict[str, Callable[[jax.Array, dict], jax.Array]] = {}
+_METHODS: dict[str, Callable[[jax.Array, QuantLinear], jax.Array]] = {}
 
 
 def register_quant_method(name: str):
@@ -31,22 +26,21 @@ def register_quant_method(name: str):
 
 
 def _ensure_loaded():
-    if _METHODS:
-        return
     import importlib
 
-    for mod in ("awq", "gguf", "fp8", "int8", "gptq"):
+    for mod in ("awq", "gptq", "fp8", "int8", "gguf"):
         try:
             importlib.import_module(f".{mod}", __package__)  # registers itself
         except ImportError:
             pass
 
 
-def apply_quantized_linear(x: jax.Array, params: dict, method: str) -> jax.Array:
-    _ensure_loaded()
-    if method not in _METHODS:
-        raise ValueError(f"unknown quant method {method}; have {sorted(_METHODS)}")
-    return _METHODS[method](x, params)
+def apply_quantized_linear(x: jax.Array, p: QuantLinear) -> jax.Array:
+    if p.method not in _METHODS:
+        _ensure_loaded()
+    if p.method not in _METHODS:
+        raise ValueError(f"unknown quant method {p.method}; have {sorted(_METHODS)}")
+    return _METHODS[p.method](x, p)
 
 
 def detect_quantization(hf_config: dict, model_dir: str | None = None) -> str | None:
@@ -55,6 +49,6 @@ def detect_quantization(hf_config: dict, model_dir: str | None = None) -> str | 
     qc = hf_config.get("quantization_config")
     if qc:
         method = qc.get("quant_method", "").lower()
-        if method in ("awq", "gptq", "fp8", "compressed-tensors", "bitsandbytes"):
+        if method:
             return method
     return None
