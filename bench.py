@@ -15,8 +15,13 @@ import json
 import os
 import time
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
 import jax
 import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def qwen3_4b_config():
@@ -58,8 +63,52 @@ def qwen3_small_config():
     )
 
 
+def quantize_params_awq(model, params, group_size=128):
+    """Replace every decoder linear with synthetic 4-bit weights (random
+    int4 + unit-ish scales) — exercises the real AWQ kernel path at the
+    real shapes without a checkpoint."""
+    import numpy as np
+
+    from vllm_rust_tpu.ops.pallas.quant_matmul import prepare_tiled_scales
+    from vllm_rust_tpu.quantization.awq import repack_k_half
+    from vllm_rust_tpu.quantization.types import QuantLinear
+
+    rng = np.random.default_rng(0)
+
+    def quantize(node):
+        w = node["weight"]
+        k, n = w.shape
+        g = group_size if k % group_size == 0 else k
+        q = rng.integers(0, 16, size=(k, n), dtype=np.uint8)
+        s = np.full((k // g, n), 0.01, np.float32)
+        zs = np.full((k // g, n), 0.08, np.float32)
+        aux = {}
+        tiled = prepare_tiled_scales(
+            s.astype(jnp.bfloat16), zs.astype(jnp.bfloat16), k // 2
+        )
+        if tiled is not None:
+            aux = {
+                "s_tiled": jnp.asarray(tiled[0]),
+                "zs_tiled": jnp.asarray(tiled[1]),
+            }
+        return QuantLinear(
+            qweight=jnp.asarray(repack_k_half(q)),
+            scales=jnp.asarray(s, jnp.bfloat16),
+            zs=jnp.asarray(zs, jnp.bfloat16),
+            aux=aux,
+            method="awq",
+        )
+
+    for lp in params["layers"]:
+        for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            lp["self_attn"][proj] = quantize(lp["self_attn"][proj])
+        for proj in ("gate_proj", "up_proj", "down_proj"):
+            lp["mlp"][proj] = quantize(lp["mlp"][proj])
+    return params
+
+
 def run_bench(model_cfg, *, concurrency=16, prompt_len=64, gen_len=64,
-              num_pages=2048, page_size=16):
+              num_pages=2048, page_size=16, quant=None):
     from vllm_rust_tpu.config import CacheConfig, EngineConfig, SchedulerConfig
     from vllm_rust_tpu.engine import LLMEngine
     from vllm_rust_tpu.models import from_config
@@ -67,6 +116,8 @@ def run_bench(model_cfg, *, concurrency=16, prompt_len=64, gen_len=64,
 
     model = from_config(model_cfg, dtype=jnp.bfloat16)
     params = model.init_params(jax.random.PRNGKey(0))
+    if quant == "awq":
+        params = quantize_params_awq(model, params)
     cfg = EngineConfig(
         model=model_cfg,
         cache=CacheConfig(num_pages=num_pages, page_size=page_size),
@@ -96,12 +147,14 @@ def run_bench(model_cfg, *, concurrency=16, prompt_len=64, gen_len=64,
 
 
 def main():
-    size = os.environ.get("BENCH_MODEL", "qwen3-4b")
-    cfg = qwen3_4b_config() if size == "qwen3-4b" else qwen3_small_config()
+    size = os.environ.get("BENCH_MODEL", "qwen3-4b-awq")
+    quant = "awq" if size.endswith("-awq") else None
+    base_size = size.removesuffix("-awq")
+    cfg = qwen3_4b_config() if base_size == "qwen3-4b" else qwen3_small_config()
     try:
-        tps = run_bench(cfg)
+        tps = run_bench(cfg, quant=quant)
     except Exception:
-        if size == "qwen3-4b":
+        if base_size == "qwen3-4b":
             # fall back to the small geometry rather than produce nothing
             cfg = qwen3_small_config()
             tps = run_bench(cfg)
@@ -112,7 +165,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"decode_tokens_per_sec_c16_{size}_bf16_dummy",
+                "metric": f"decode_tokens_per_sec_c16_{size}_dummy",
                 "value": round(tps, 2),
                 "unit": "tok/s",
                 "vs_baseline": round(tps / baseline, 3),

@@ -73,7 +73,14 @@ def test_kernel_matches_ref(t, k, n, g):
     zs = jnp.asarray(
         rng.uniform(0.0, 0.1, size=(k // g, n)).astype(np.float32), jnp.bfloat16
     )
-    out_k = quant_matmul_w4a16(x, qweight, scales, zs)
+    from vllm_rust_tpu.ops.pallas.quant_matmul import prepare_tiled_scales
+
+    tiled = prepare_tiled_scales(np.asarray(scales), np.asarray(zs), k // 2)
+    if tiled is not None:
+        s_t, zs_t = jnp.asarray(tiled[0]), jnp.asarray(tiled[1])
+    else:
+        s_t = zs_t = None
+    out_k = quant_matmul_w4a16(x, qweight, scales, zs, s_t, zs_t)
     out_r = quant_matmul_w4a16_ref(x, qweight, scales, zs)
     np.testing.assert_allclose(
         np.asarray(out_k, np.float32),

@@ -1,0 +1,209 @@
+"""HTTP API tests over a dummy-model engine.
+
+Reference: crates/server API handler tests + grammar_strictness_e2e.rs
+style end-to-end flows — here with aiohttp's test client.
+"""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import asyncio
+
+from aiohttp.test_utils import TestClient, TestServer
+
+from vllm_rust_tpu.config import CacheConfig, EngineConfig, SchedulerConfig
+from vllm_rust_tpu.engine import LLMEngine
+from vllm_rust_tpu.engine.async_engine import AsyncLLMEngine
+from vllm_rust_tpu.models import from_config
+from vllm_rust_tpu.server.app import build_app
+from vllm_rust_tpu.testing import tiny_llama_config
+from vllm_rust_tpu.tokenizer import MockTokenizer
+
+
+def with_client(test_fn):
+    """Run an async test against a fresh server (no pytest-asyncio here)."""
+
+    def wrapper():
+        async def main():
+            client, aeng = await _make_client()
+            try:
+                await test_fn(client)
+            finally:
+                await client.close()
+                aeng.shutdown()
+
+        asyncio.run(main())
+
+    wrapper.__name__ = test_fn.__name__  # keep pytest collection name;
+    # (functools.wraps would leak the `client` arg into pytest's fixture
+    # resolution)
+    return wrapper
+
+
+async def _make_client():
+    model_cfg = tiny_llama_config()
+    cfg = EngineConfig(
+        model=model_cfg,
+        cache=CacheConfig(num_pages=32, page_size=16),
+        scheduler=SchedulerConfig(max_num_seqs=8, max_tokens_per_step=128),
+        max_model_len=128,
+        token_buckets=(16, 32, 64, 128),
+        fetch_interval=2,
+    )
+    model = from_config(model_cfg, dtype=jnp.float32)
+    params = model.init_params(jax.random.PRNGKey(0))
+    tok = MockTokenizer()
+    engine = LLMEngine(model, params, cfg, tokenizer=tok)
+    aeng = AsyncLLMEngine(engine)
+    app = build_app(aeng, tok, model_name="tiny-llama")
+    server = TestServer(app)
+    c = TestClient(server)
+    await c.start_server()
+    return c, aeng
+
+
+@with_client
+async def test_health_version_models(client):
+    r = await client.get("/health")
+    assert r.status == 200
+    r = await client.get("/version")
+    assert (await r.json())["version"]
+    r = await client.get("/v1/models")
+    data = await r.json()
+    assert data["data"][0]["id"] == "tiny-llama"
+
+
+@with_client
+async def test_completions(client):
+    r = await client.post(
+        "/v1/completions",
+        json={
+            "prompt": "hello",
+            "max_tokens": 6,
+            "temperature": 0.0,
+            "ignore_eos": True,
+        },
+    )
+    assert r.status == 200
+    data = await r.json()
+    assert data["object"] == "text_completion"
+    assert data["choices"][0]["finish_reason"] == "length"
+    assert data["usage"]["completion_tokens"] == 6
+    assert data["usage"]["prompt_tokens"] == 5
+
+
+@with_client
+async def test_completions_streaming(client):
+    r = await client.post(
+        "/v1/completions",
+        json={
+            "prompt": "hi",
+            "max_tokens": 5,
+            "temperature": 0.0,
+            "ignore_eos": True,
+            "stream": True,
+            "stream_options": {"include_usage": True},
+        },
+    )
+    assert r.status == 200
+    assert r.headers["Content-Type"].startswith("text/event-stream")
+    body = await r.text()
+    chunks = [
+        json.loads(line[6:])
+        for line in body.splitlines()
+        if line.startswith("data: ") and line != "data: [DONE]"
+    ]
+    assert body.rstrip().endswith("data: [DONE]")
+    finishes = [c["choices"][0]["finish_reason"] for c in chunks if c["choices"]]
+    assert finishes[-1] == "length"
+    usage = [c for c in chunks if c.get("usage")]
+    assert usage and usage[-1]["usage"]["completion_tokens"] == 5
+
+
+@with_client
+async def test_chat_completions(client):
+    r = await client.post(
+        "/v1/chat/completions",
+        json={
+            "messages": [{"role": "user", "content": "abc"}],
+            "max_tokens": 4,
+            "temperature": 0.0,
+            "ignore_eos": True,
+        },
+    )
+    assert r.status == 200
+    data = await r.json()
+    assert data["object"] == "chat.completion"
+    assert data["choices"][0]["message"]["role"] == "assistant"
+
+
+@with_client
+async def test_anthropic_messages(client):
+    r = await client.post(
+        "/v1/messages",
+        json={
+            "model": "m",
+            "messages": [{"role": "user", "content": "xyz"}],
+            "max_tokens": 4,
+        },
+    )
+    assert r.status == 200
+    data = await r.json()
+    assert data["type"] == "message"
+    assert data["content"][0]["type"] == "text"
+    assert data["usage"]["output_tokens"] >= 1
+
+
+@with_client
+async def test_anthropic_streaming(client):
+    r = await client.post(
+        "/v1/messages",
+        json={
+            "model": "m",
+            "messages": [{"role": "user", "content": "xyz"}],
+            "max_tokens": 4,
+            "stream": True,
+        },
+    )
+    body = await r.text()
+    assert "event: message_start" in body
+    assert "event: content_block_delta" in body or "event: message_stop" in body
+    assert "event: message_stop" in body
+
+
+@with_client
+async def test_tokenize_detokenize(client):
+    r = await client.post("/tokenize", json={"prompt": "abc"})
+    data = await r.json()
+    assert data["tokens"] == [97, 98, 99]
+    r = await client.post("/detokenize", json={"tokens": [97, 98, 99]})
+    assert (await r.json())["text"] == "abc"
+
+
+@with_client
+async def test_validation_error(client):
+    r = await client.post("/v1/completions", json={"prompt": "x", "max_tokens": 0})
+    assert r.status == 400
+    data = await r.json()
+    assert data["error"]["type"] == "invalid_request_error"
+
+
+@with_client
+async def test_metrics(client):
+    await client.post(
+        "/v1/completions",
+        json={"prompt": "q", "max_tokens": 2, "temperature": 0.0, "ignore_eos": True},
+    )
+    r = await client.get("/metrics")
+    text = await r.text()
+    assert "vllm_tpu_generated_tokens" in text
+
+
+@with_client
+async def test_pause_resume(client):
+    r = await client.post("/pause")
+    assert (await client.get("/is_paused")).status == 200
+    assert (await (await client.get("/is_paused")).json())["paused"] is True
+    await client.post("/resume")
+    assert (await (await client.get("/is_paused")).json())["paused"] is False

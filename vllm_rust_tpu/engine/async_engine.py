@@ -1,0 +1,190 @@
+"""Async engine: thread-hosted engine loop + asyncio streaming facade.
+
+Reference: crates/core/src/engine/handle.rs (EngineHandle over an mpsc
+command channel) + engine loop phases (strategy.rs:426). Same shape here:
+the engine runs on a dedicated thread (it blocks on device fetches); the
+asyncio side talks to it through a command queue and receives per-request
+events through asyncio queues bridged with call_soon_threadsafe.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import queue
+import threading
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, AsyncIterator
+
+from ..request import RequestOutput, SamplingParams
+from .engine import LLMEngine
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class _Command:
+    kind: str  # add | abort | stop | pause | resume | reset
+    request_id: str = ""
+    prompt: Any = None
+    params: SamplingParams | None = None
+    priority: int = 0
+    done: threading.Event | None = None
+    error: Exception | None = None
+
+
+class AsyncLLMEngine:
+    """Streaming facade over LLMEngine.
+
+    Engine thread: drain commands → step → route outputs. Idle-waits on
+    the command queue when no work (no busy spin)."""
+
+    def __init__(self, engine: LLMEngine, loop: asyncio.AbstractEventLoop | None = None):
+        self.engine = engine
+        self._loop = loop or asyncio.get_event_loop()
+        self._cmds: queue.Queue[_Command] = queue.Queue()
+        self._streams: dict[str, asyncio.Queue] = {}
+        self._paused = False
+        self._stopping = False
+        self._thread = threading.Thread(
+            target=self._run, name="engine-loop", daemon=True
+        )
+        self._thread.start()
+
+    # -- public API ----------------------------------------------------------
+
+    async def generate_stream(
+        self,
+        prompt: str | list[int],
+        params: SamplingParams | None = None,
+        request_id: str | None = None,
+        priority: int = 0,
+    ) -> AsyncIterator[RequestOutput]:
+        """Yields RequestOutput deltas; the final one has finished=True."""
+        request_id = request_id or f"req-{uuid.uuid4().hex[:16]}"
+        q: asyncio.Queue = asyncio.Queue()
+        self._streams[request_id] = q
+        ev = threading.Event()
+        cmd = _Command(
+            kind="add",
+            request_id=request_id,
+            prompt=prompt,
+            params=params,
+            priority=priority,
+            done=ev,
+        )
+        self._cmds.put(cmd)
+        await asyncio.get_event_loop().run_in_executor(None, ev.wait)
+        if cmd.error is not None:
+            self._streams.pop(request_id, None)
+            raise cmd.error
+        try:
+            while True:
+                out = await q.get()
+                if isinstance(out, Exception):
+                    raise out
+                yield out
+                if out.finished:
+                    return
+        finally:
+            self._streams.pop(request_id, None)
+            if not self._stopping:
+                self._cmds.put(_Command(kind="abort", request_id=request_id))
+
+    async def generate(
+        self,
+        prompt: str | list[int],
+        params: SamplingParams | None = None,
+        request_id: str | None = None,
+    ) -> RequestOutput:
+        last = None
+        async for out in self.generate_stream(prompt, params, request_id):
+            last = out
+        assert last is not None
+        return last
+
+    def abort(self, request_id: str) -> None:
+        self._cmds.put(_Command(kind="abort", request_id=request_id))
+
+    def pause(self) -> None:
+        self._cmds.put(_Command(kind="pause"))
+
+    def resume(self) -> None:
+        self._cmds.put(_Command(kind="resume"))
+
+    @property
+    def is_paused(self) -> bool:
+        return self._paused
+
+    def get_stats(self) -> dict:
+        s = dict(self.engine.stats)
+        s["num_waiting"] = len(self.engine.scheduler.waiting)
+        s["num_running"] = len(self.engine.scheduler.running)
+        s["free_kv_pages"] = self.engine.kv.num_free_pages
+        s["total_kv_pages"] = self.engine.kv.pool.total_usable
+        return s
+
+    def shutdown(self) -> None:
+        self._stopping = True
+        self._cmds.put(_Command(kind="stop"))
+        self._thread.join(timeout=10)
+
+    # -- engine thread -------------------------------------------------------
+
+    def _run(self) -> None:
+        while True:
+            try:
+                # block when idle; poll commands when busy
+                block = not (self.engine.has_unfinished and not self._paused)
+                try:
+                    cmd = self._cmds.get(block=block, timeout=None if not block else 1)
+                except queue.Empty:
+                    cmd = None
+                while cmd is not None:
+                    if cmd.kind == "stop":
+                        return
+                    self._handle(cmd)
+                    try:
+                        cmd = self._cmds.get(block=False)
+                    except queue.Empty:
+                        cmd = None
+                if self.engine.has_unfinished and not self._paused:
+                    for out in self.engine.step():
+                        self._route(out)
+            except Exception:
+                logger.exception("engine loop error")
+                # propagate to all open streams, then keep serving
+                for rid, q in list(self._streams.items()):
+                    self._push(q, RuntimeError("engine error; request aborted"))
+                    self.engine.abort_request(rid)
+
+    def _handle(self, cmd: _Command) -> None:
+        if cmd.kind == "add":
+            try:
+                self.engine.add_request(
+                    cmd.request_id, cmd.prompt, cmd.params, cmd.priority
+                )
+            except Exception as e:  # admission errors surface to the caller
+                cmd.error = e
+            finally:
+                if cmd.done:
+                    cmd.done.set()
+        elif cmd.kind == "abort":
+            self.engine.abort_request(cmd.request_id)
+        elif cmd.kind == "pause":
+            self._paused = True
+        elif cmd.kind == "resume":
+            self._paused = False
+
+    def _route(self, out: RequestOutput) -> None:
+        q = self._streams.get(out.request_id)
+        if q is not None:
+            self._push(q, out)
+        elif not out.finished:
+            # stream receiver gone → abort and reclaim (reference
+            # strategy.rs:520-531 reap loop)
+            self.engine.abort_request(out.request_id)
+
+    def _push(self, q: asyncio.Queue, item) -> None:
+        self._loop.call_soon_threadsafe(q.put_nowait, item)

@@ -39,6 +39,7 @@ class LLM:
         dtype=None,
         dummy_weights: bool = False,
         seed: int = 0,
+        fetch_interval: int = 8,
     ):
         if model in _DUMMY_CONFIGS:
             model_cfg = _DUMMY_CONFIGS[model]()
@@ -84,6 +85,7 @@ class LLM:
             ),
             max_model_len=max_model_len,
             seed=seed,
+            fetch_interval=fetch_interval,
         )
         self.engine = LLMEngine(m, params, cfg, tokenizer=tokenizer)
         self.tokenizer = tokenizer

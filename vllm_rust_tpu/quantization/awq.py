@@ -46,6 +46,34 @@ def repack_k_half(q: np.ndarray) -> np.ndarray:
     return (q[:half] | (q[half:] << 4)).astype(np.uint8)
 
 
+def make_w4a16_linear(
+    q: np.ndarray,  # [K, N] uint8 int4 values
+    s: np.ndarray,  # [K/g, N] f32 scales
+    zs: np.ndarray,  # [K/g, N] f32 zero*scale
+    bias: np.ndarray | None,
+    method: str,
+) -> QuantLinear:
+    """Shared packer for all 4-bit grouped formats: K-half repack + scale
+    tiling for the Pallas kernel."""
+    from ..ops.pallas.quant_matmul import prepare_tiled_scales
+
+    kp = q.shape[0] // 2
+    s_bf = s.astype(jnp.bfloat16)
+    zs_bf = zs.astype(jnp.bfloat16)
+    aux = {}
+    tiled = prepare_tiled_scales(s_bf, zs_bf, kp)
+    if tiled is not None:
+        aux = {"s_tiled": jnp.asarray(tiled[0]), "zs_tiled": jnp.asarray(tiled[1])}
+    return QuantLinear(
+        qweight=jnp.asarray(repack_k_half(q)),
+        scales=jnp.asarray(s_bf),
+        zs=jnp.asarray(zs_bf),
+        bias=jnp.asarray(bias) if bias is not None else None,
+        aux=aux,
+        method=method,
+    )
+
+
 def load_awq_linear(
     qweight: np.ndarray,  # int32 [K, N/8]
     qzeros: np.ndarray,  # int32 [K/g, N/8]
@@ -55,21 +83,22 @@ def load_awq_linear(
     q = unpack_awq_int32(qweight)  # [K, N] 0..15
     z = unpack_awq_int32(qzeros)  # [K/g, N]
     s = scales.astype(np.float32)
-    zs = (z.astype(np.float32) * s).astype(jnp.bfloat16)
-    return QuantLinear(
-        qweight=jnp.asarray(repack_k_half(q)),
-        scales=jnp.asarray(s.astype(jnp.bfloat16)),
-        zs=jnp.asarray(zs),
-        bias=jnp.asarray(bias) if bias is not None else None,
-        method="awq",
-    )
+    zs = z.astype(np.float32) * s
+    return make_w4a16_linear(q, s, zs, bias, "awq")
 
 
 @register_quant_method("awq")
 def apply_awq(x, p: QuantLinear):
     t_shape = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    out = quant_matmul_w4a16(x2, p.qweight, p.scales, p.zs)
+    out = quant_matmul_w4a16(
+        x2,
+        p.qweight,
+        p.scales,
+        p.zs,
+        p.aux.get("s_tiled"),
+        p.aux.get("zs_tiled"),
+    )
     out = out.reshape(*t_shape, -1).astype(x.dtype)
     if p.bias is not None:
         out = out + p.bias.astype(out.dtype)

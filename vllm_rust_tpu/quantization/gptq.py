@@ -20,7 +20,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from .awq import repack_k_half
+from .awq import repack_k_half  # noqa: F401 (kept for API)
 from .registry import register_quant_method
 from .types import QuantLinear
 
@@ -63,14 +63,9 @@ def load_gptq_linear(
             )
     z = unpack_gptq_cols(qzeros).astype(np.float32) + 1.0  # AutoGPTQ quirk
     s = scales.astype(np.float32)
-    zs = (z * s).astype(jnp.bfloat16)
-    return QuantLinear(
-        qweight=jnp.asarray(repack_k_half(q)),
-        scales=jnp.asarray(s.astype(jnp.bfloat16)),
-        zs=jnp.asarray(zs),
-        bias=jnp.asarray(bias) if bias is not None else None,
-        method="gptq",
-    )
+    from .awq import make_w4a16_linear
+
+    return make_w4a16_linear(q, s, z * s, bias, "gptq")
 
 
 @register_quant_method("gptq")

@@ -1,0 +1,546 @@
+"""aiohttp application: OpenAI + Anthropic compatible API.
+
+Reference: crates/server/src/api/ (router mod.rs:894-952, streaming.rs
+SSE writer, middleware.rs request-id/auth, chat.rs/completions.rs
+handlers). Round-1 surface: health/version/models/metrics, tokenize/
+detokenize, /v1/completions, /v1/chat/completions, /v1/messages
+(Anthropic), pause/resume admin — streaming and non-streaming.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import time
+import uuid
+from typing import Any
+
+from aiohttp import web
+from pydantic import ValidationError
+
+from .. import __version__
+from ..engine.async_engine import AsyncLLMEngine
+from ..request import FinishReason, SamplingParams
+from .protocol import (
+    AnthropicMessagesRequest,
+    ChatCompletionRequest,
+    CompletionRequest,
+    chat_response,
+    completion_response,
+    usage_dict,
+)
+
+logger = logging.getLogger(__name__)
+
+FINISH_MAP = {
+    FinishReason.STOP: "stop",
+    FinishReason.LENGTH: "length",
+    FinishReason.ABORT: "abort",
+    FinishReason.ERROR: "error",
+}
+
+
+def _error(status: int, message: str, err_type: str = "invalid_request_error"):
+    return web.json_response(
+        {"error": {"message": message, "type": err_type, "code": status}},
+        status=status,
+    )
+
+
+@web.middleware
+async def request_middleware(request: web.Request, handler):
+    """Request-id + API-key auth + uniform error envelope (reference:
+    api/middleware.rs:27-290)."""
+    request["request_id"] = request.headers.get(
+        "x-request-id", f"rid-{uuid.uuid4().hex[:16]}"
+    )
+    api_key = request.app.get("api_key")
+    if api_key and request.path.startswith("/v1"):
+        auth = request.headers.get("authorization", "")
+        xkey = request.headers.get("x-api-key", "")
+        if auth != f"Bearer {api_key}" and xkey != api_key:
+            return _error(401, "invalid API key", "authentication_error")
+    try:
+        resp = await handler(request)
+    except ValidationError as e:
+        return _error(400, str(e))
+    except web.HTTPException:
+        raise
+    except ValueError as e:
+        return _error(400, str(e))
+    except Exception:
+        logger.exception("handler error [%s]", request["request_id"])
+        return _error(500, "internal server error", "internal_error")
+    resp.headers.setdefault("x-request-id", request["request_id"])
+    return resp
+
+
+class Server:
+    def __init__(
+        self,
+        engine: AsyncLLMEngine,
+        tokenizer,
+        model_name: str = "model",
+        api_key: str | None = None,
+    ):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.model_name = model_name
+        self.api_key = api_key
+        self.start_time = time.time()
+
+    # -- basic ----------------------------------------------------------------
+
+    async def health(self, request):
+        return web.json_response({"status": "ok"})
+
+    async def ping(self, request):
+        return web.json_response({})
+
+    async def version(self, request):
+        return web.json_response({"version": __version__})
+
+    async def models(self, request):
+        return web.json_response(
+            {
+                "object": "list",
+                "data": [
+                    {
+                        "id": self.model_name,
+                        "object": "model",
+                        "created": int(self.start_time),
+                        "owned_by": "vllm_rust_tpu",
+                    }
+                ],
+            }
+        )
+
+    async def server_info(self, request):
+        return web.json_response(
+            {
+                "version": __version__,
+                "model": self.model_name,
+                "uptime_s": time.time() - self.start_time,
+                "stats": self.engine.get_stats(),
+            }
+        )
+
+    async def metrics(self, request):
+        """Prometheus text exposition (reference api/mod.rs:829-897)."""
+        s = self.engine.get_stats()
+        lines = []
+        for k, v in s.items():
+            name = f"vllm_tpu_{k}"
+            lines.append(f"# TYPE {name} gauge")
+            lines.append(f"{name} {v}")
+        return web.Response(
+            text="\n".join(lines) + "\n", content_type="text/plain"
+        )
+
+    async def tokenize(self, request):
+        body = await request.json()
+        ids = self.tokenizer.encode(
+            body.get("prompt", body.get("text", "")),
+            add_special_tokens=body.get("add_special_tokens", True),
+        )
+        return web.json_response({"tokens": ids, "count": len(ids)})
+
+    async def detokenize(self, request):
+        body = await request.json()
+        text = self.tokenizer.decode(body.get("tokens", []))
+        return web.json_response({"prompt": text, "text": text})
+
+    async def pause(self, request):
+        self.engine.pause()
+        return web.json_response({"status": "paused"})
+
+    async def resume(self, request):
+        self.engine.resume()
+        return web.json_response({"status": "running"})
+
+    async def is_paused(self, request):
+        return web.json_response({"paused": self.engine.is_paused})
+
+    # -- completions -----------------------------------------------------------
+
+    async def completions(self, request):
+        req = CompletionRequest(**await request.json())
+        prompts = req.prompt
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        elif prompts and isinstance(prompts[0], int):
+            prompts = [prompts]
+        if len(prompts) != 1 and req.stream:
+            return _error(400, "streaming supports a single prompt")
+        params = req.sampling_params()
+        rid = f"cmpl-{uuid.uuid4().hex[:24]}"
+
+        if req.stream:
+            return await self._stream_completion(request, rid, prompts[0], req, params)
+
+        choices = []
+        prompt_tokens = 0
+        completion_tokens = 0
+        for i, prompt in enumerate(prompts):
+            out = await self.engine.generate(prompt, params, f"{rid}-{i}")
+            seq = self.engine.engine.requests.get(f"{rid}-{i}")
+            n_prompt = seq.num_prompt_tokens if seq else 0
+            text = out.output_text
+            if req.echo and isinstance(prompt, str):
+                text = prompt + text
+            choices.append(
+                {
+                    "index": i,
+                    "text": text,
+                    "finish_reason": FINISH_MAP.get(out.finish_reason, "stop"),
+                    "logprobs": None,
+                }
+            )
+            prompt_tokens += n_prompt
+            completion_tokens += len(out.token_ids)
+        return web.json_response(
+            completion_response(
+                rid,
+                req.model or self.model_name,
+                choices,
+                usage_dict(prompt_tokens, completion_tokens),
+            )
+        )
+
+    async def _stream_completion(self, request, rid, prompt, req, params):
+        resp = await self._sse_response(request)
+        n_tokens = 0
+        async for out in self.engine.generate_stream(prompt, params, rid):
+            n_tokens += 1
+            chunk = {
+                "id": rid,
+                "object": "text_completion",
+                "created": int(time.time()),
+                "model": req.model or self.model_name,
+                "choices": [
+                    {
+                        "index": 0,
+                        "text": out.new_text,
+                        "finish_reason": FINISH_MAP.get(out.finish_reason)
+                        if out.finished
+                        else None,
+                    }
+                ],
+            }
+            await self._sse_send(resp, chunk)
+        if req.stream_options and req.stream_options.get("include_usage"):
+            seq = self.engine.engine.requests.get(rid)
+            await self._sse_send(
+                resp,
+                {
+                    "id": rid,
+                    "object": "text_completion",
+                    "choices": [],
+                    "usage": usage_dict(
+                        seq.num_prompt_tokens if seq else 0, n_tokens
+                    ),
+                },
+            )
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+    # -- chat ------------------------------------------------------------------
+
+    def _apply_chat_template(self, req: ChatCompletionRequest) -> str:
+        messages = [m.model_dump(exclude_none=True) for m in req.messages]
+        return self.tokenizer.apply_chat_template(
+            messages,
+            tools=req.tools,
+            add_generation_prompt=True,
+            chat_template=req.chat_template,
+            **req.chat_template_kwargs,
+        )
+
+    async def chat_completions(self, request):
+        req = ChatCompletionRequest(**await request.json())
+        prompt = self._apply_chat_template(req)
+        params = req.sampling_params()
+        rid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
+
+        if req.stream:
+            return await self._stream_chat(request, rid, prompt, req, params)
+
+        out = await self.engine.generate(prompt, params, rid)
+        seq = self.engine.engine.requests.get(rid)
+        choices = [
+            {
+                "index": 0,
+                "message": {"role": "assistant", "content": out.output_text},
+                "finish_reason": FINISH_MAP.get(out.finish_reason, "stop"),
+                "logprobs": None,
+            }
+        ]
+        return web.json_response(
+            chat_response(
+                rid,
+                req.model or self.model_name,
+                choices,
+                usage_dict(
+                    seq.num_prompt_tokens if seq else 0, len(out.token_ids)
+                ),
+            )
+        )
+
+    async def _stream_chat(self, request, rid, prompt, req, params):
+        resp = await self._sse_response(request)
+        created = int(time.time())
+        model = req.model or self.model_name
+        first = {
+            "id": rid,
+            "object": "chat.completion.chunk",
+            "created": created,
+            "model": model,
+            "choices": [
+                {
+                    "index": 0,
+                    "delta": {"role": "assistant", "content": ""},
+                    "finish_reason": None,
+                }
+            ],
+        }
+        await self._sse_send(resp, first)
+        n_tokens = 0
+        async for out in self.engine.generate_stream(prompt, params, rid):
+            n_tokens += 1
+            delta: dict[str, Any] = {}
+            if out.new_text:
+                delta["content"] = out.new_text
+            chunk = {
+                "id": rid,
+                "object": "chat.completion.chunk",
+                "created": created,
+                "model": model,
+                "choices": [
+                    {
+                        "index": 0,
+                        "delta": delta,
+                        "finish_reason": FINISH_MAP.get(out.finish_reason)
+                        if out.finished
+                        else None,
+                    }
+                ],
+            }
+            await self._sse_send(resp, chunk)
+        if req.stream_options and req.stream_options.get("include_usage"):
+            seq = self.engine.engine.requests.get(rid)
+            await self._sse_send(
+                resp,
+                {
+                    "id": rid,
+                    "object": "chat.completion.chunk",
+                    "created": created,
+                    "model": model,
+                    "choices": [],
+                    "usage": usage_dict(
+                        seq.num_prompt_tokens if seq else 0, n_tokens
+                    ),
+                },
+            )
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+    # -- anthropic -------------------------------------------------------------
+
+    async def anthropic_messages(self, request):
+        req = AnthropicMessagesRequest(**await request.json())
+        prompt = self.tokenizer.apply_chat_template(
+            req.to_chat_messages(), add_generation_prompt=True
+        )
+        params = req.sampling_params()
+        rid = f"msg_{uuid.uuid4().hex[:24]}"
+
+        if req.stream:
+            return await self._stream_anthropic(request, rid, prompt, req, params)
+
+        out = await self.engine.generate(prompt, params, rid)
+        seq = self.engine.engine.requests.get(rid)
+        stop_reason = "end_turn"
+        if out.finish_reason == FinishReason.LENGTH:
+            stop_reason = "max_tokens"
+        elif isinstance(out.stop_reason, str):
+            stop_reason = "stop_sequence"
+        return web.json_response(
+            {
+                "id": rid,
+                "type": "message",
+                "role": "assistant",
+                "model": req.model or self.model_name,
+                "content": [{"type": "text", "text": out.output_text}],
+                "stop_reason": stop_reason,
+                "stop_sequence": out.stop_reason
+                if isinstance(out.stop_reason, str)
+                else None,
+                "usage": {
+                    "input_tokens": seq.num_prompt_tokens if seq else 0,
+                    "output_tokens": len(out.token_ids),
+                },
+            }
+        )
+
+    async def _stream_anthropic(self, request, rid, prompt, req, params):
+        resp = await self._sse_response(request)
+
+        async def event(name: str, data: dict):
+            payload = f"event: {name}\ndata: {json.dumps(data)}\n\n"
+            await resp.write(payload.encode())
+
+        await event(
+            "message_start",
+            {
+                "type": "message_start",
+                "message": {
+                    "id": rid,
+                    "type": "message",
+                    "role": "assistant",
+                    "model": req.model or self.model_name,
+                    "content": [],
+                    "usage": {"input_tokens": 0, "output_tokens": 0},
+                },
+            },
+        )
+        await event(
+            "content_block_start",
+            {
+                "type": "content_block_start",
+                "index": 0,
+                "content_block": {"type": "text", "text": ""},
+            },
+        )
+        n = 0
+        last = None
+        async for out in self.engine.generate_stream(prompt, params, rid):
+            n += 1
+            last = out
+            if out.new_text:
+                await event(
+                    "content_block_delta",
+                    {
+                        "type": "content_block_delta",
+                        "index": 0,
+                        "delta": {"type": "text_delta", "text": out.new_text},
+                    },
+                )
+        await event("content_block_stop", {"type": "content_block_stop", "index": 0})
+        stop_reason = "end_turn"
+        if last and last.finish_reason == FinishReason.LENGTH:
+            stop_reason = "max_tokens"
+        await event(
+            "message_delta",
+            {
+                "type": "message_delta",
+                "delta": {"stop_reason": stop_reason, "stop_sequence": None},
+                "usage": {"output_tokens": n},
+            },
+        )
+        await event("message_stop", {"type": "message_stop"})
+        await resp.write_eof()
+        return resp
+
+    # -- sse helpers -----------------------------------------------------------
+
+    async def _sse_response(self, request) -> web.StreamResponse:
+        resp = web.StreamResponse(
+            status=200,
+            headers={
+                "Content-Type": "text/event-stream",
+                "Cache-Control": "no-cache",
+                "Connection": "keep-alive",
+            },
+        )
+        await resp.prepare(request)
+        return resp
+
+    async def _sse_send(self, resp, data: dict) -> None:
+        await resp.write(f"data: {json.dumps(data)}\n\n".encode())
+
+
+def build_app(
+    engine: AsyncLLMEngine,
+    tokenizer,
+    model_name: str = "model",
+    api_key: str | None = None,
+) -> web.Application:
+    s = Server(engine, tokenizer, model_name, api_key)
+    app = web.Application(middlewares=[request_middleware])
+    app["api_key"] = api_key
+    app["server"] = s
+    app.add_routes(
+        [
+            web.get("/health", s.health),
+            web.get("/ping", s.ping),
+            web.post("/ping", s.ping),
+            web.get("/version", s.version),
+            web.get("/v1/models", s.models),
+            web.get("/server_info", s.server_info),
+            web.get("/metrics", s.metrics),
+            web.post("/tokenize", s.tokenize),
+            web.post("/detokenize", s.detokenize),
+            web.post("/pause", s.pause),
+            web.post("/sleep", s.pause),
+            web.post("/resume", s.resume),
+            web.post("/wake_up", s.resume),
+            web.get("/is_paused", s.is_paused),
+            web.get("/is_sleeping", s.is_paused),
+            web.post("/v1/completions", s.completions),
+            web.post("/v1/chat/completions", s.chat_completions),
+            web.post("/v1/messages", s.anthropic_messages),
+        ]
+    )
+    return app
+
+
+def run_server(args=None) -> None:
+    """CLI entry: python -m vllm_rust_tpu.server --model <path> [...]"""
+    import argparse
+
+    parser = argparse.ArgumentParser(description="vllm_rust_tpu OpenAI server")
+    parser.add_argument("--model", required=True)
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--max-model-len", type=int, default=None)
+    parser.add_argument("--max-num-seqs", type=int, default=64)
+    parser.add_argument("--kv-cache-dtype", default="auto")
+    parser.add_argument("--api-key", default=None)
+    parser.add_argument("--served-model-name", default=None)
+    parser.add_argument("--dummy-weights", action="store_true")
+    parser.add_argument("--fetch-interval", type=int, default=4)
+    ns = parser.parse_args(args)
+
+    from ..entrypoints import LLM
+
+    llm = LLM(
+        ns.model,
+        max_model_len=ns.max_model_len,
+        max_num_seqs=ns.max_num_seqs,
+        kv_cache_dtype=ns.kv_cache_dtype,
+        dummy_weights=ns.dummy_weights,
+        fetch_interval=ns.fetch_interval,
+    )
+
+    async def main():
+        loop = asyncio.get_event_loop()
+        aeng = AsyncLLMEngine(llm.engine, loop)
+        app = build_app(
+            aeng,
+            llm.tokenizer,
+            model_name=ns.served_model_name or ns.model,
+            api_key=ns.api_key,
+        )
+        runner = web.AppRunner(app)
+        await runner.setup()
+        site = web.TCPSite(runner, ns.host, ns.port)
+        await site.start()
+        logger.info("serving on %s:%d", ns.host, ns.port)
+        while True:
+            await asyncio.sleep(3600)
+
+    logging.basicConfig(level=logging.INFO)
+    asyncio.run(main())
