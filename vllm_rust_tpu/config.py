@@ -260,6 +260,24 @@ class SchedulerConfig:
 
 
 # ---------------------------------------------------------------------------
+# Speculative decoding config
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SpeculativeConfig:
+    """Reference: engine/types.rs SpeculativeConfig + AcceptanceMethod."""
+
+    method: str = "ngram"  # ngram | draft_model | eagle | medusa | mtp
+    num_draft_tokens: int = 4
+    # ngram
+    min_ngram: int = 1
+    max_ngram: int = 4
+    # draft_model
+    draft_model: str | None = None
+
+
+# ---------------------------------------------------------------------------
 # Engine config
 # ---------------------------------------------------------------------------
 
@@ -289,6 +307,7 @@ class EngineConfig:
     # Larger = higher throughput (round-trip amortized), smaller = lower
     # stop-condition latency. Minimum 2.
     fetch_interval: int = 8
+    speculative: "SpeculativeConfig | None" = None
 
     def __post_init__(self):
         # Clamp bucket lists to configured maxima so we never compile

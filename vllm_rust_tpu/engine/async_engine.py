@@ -108,9 +108,13 @@ class AsyncLLMEngine:
         self._cmds.put(_Command(kind="abort", request_id=request_id))
 
     def pause(self) -> None:
+        # flag is read by the engine thread each iteration; setting it
+        # directly makes pause observable immediately
+        self._paused = True
         self._cmds.put(_Command(kind="pause"))
 
     def resume(self) -> None:
+        self._paused = False
         self._cmds.put(_Command(kind="resume"))
 
     @property

@@ -11,7 +11,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .config import CacheConfig, EngineConfig, ModelConfig, SchedulerConfig
+from .config import (
+    CacheConfig,
+    EngineConfig,
+    ModelConfig,
+    SchedulerConfig,
+    SpeculativeConfig,
+)
 from .engine import LLMEngine
 from .loader import load_model, resolve_model_path
 from .request import RequestOutput, SamplingParams
@@ -40,6 +46,7 @@ class LLM:
         dummy_weights: bool = False,
         seed: int = 0,
         fetch_interval: int = 8,
+        speculative: "SpeculativeConfig | dict | None" = None,
     ):
         if model in _DUMMY_CONFIGS:
             model_cfg = _DUMMY_CONFIGS[model]()
@@ -87,7 +94,27 @@ class LLM:
             seed=seed,
             fetch_interval=fetch_interval,
         )
-        self.engine = LLMEngine(m, params, cfg, tokenizer=tokenizer)
+        if isinstance(speculative, dict):
+            speculative = SpeculativeConfig(**speculative)
+        cfg.speculative = speculative
+        if speculative is not None:
+            from .spec_decode import NgramProposer
+            from .spec_decode.engine import SpecLLMEngine
+
+            if speculative.method != "ngram":
+                raise NotImplementedError(
+                    f"speculative method {speculative.method} not yet available"
+                )
+            proposer = NgramProposer(
+                num_draft_tokens=speculative.num_draft_tokens,
+                min_ngram=speculative.min_ngram,
+                max_ngram=speculative.max_ngram,
+            )
+            self.engine = SpecLLMEngine(
+                m, params, cfg, tokenizer=tokenizer, proposer=proposer
+            )
+        else:
+            self.engine = LLMEngine(m, params, cfg, tokenizer=tokenizer)
         self.tokenizer = tokenizer
 
     def generate(

@@ -199,10 +199,10 @@ class LlamaForCausalLM:
         x = params["embed_tokens"]["weight"][input_ids]
         if self.embedding_multiplier is not None:
             x = (x.astype(jnp.float32) * self.embedding_multiplier).astype(self.dtype)
-        rope_tables = (params["rope_cos"], params["rope_sin"])
 
         new_kv = []
         for i, lp in enumerate(params["layers"]):
+            rope_tables = self.rope_tables_for_layer(params, i)
             residual = x
             h = rms_norm(
                 x, lp["input_layernorm"], cfg.rms_norm_eps, weight_offset=self.norm_offset
@@ -245,6 +245,11 @@ class LlamaForCausalLM:
 
         x = rms_norm(x, params["norm"], cfg.rms_norm_eps, weight_offset=self.norm_offset)
         return x, new_kv
+
+    def rope_tables_for_layer(self, params: dict, layer_idx: int):
+        """Per-layer RoPE table selection (Gemma-3 overrides: sliding
+        layers use a local-frequency table)."""
+        return (params["rope_cos"], params["rope_sin"])
 
     def compute_logits(self, params: dict, hidden: jax.Array) -> jax.Array:
         """hidden [S, H] -> logits [S, V] (float32)."""

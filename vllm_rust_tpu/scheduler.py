@@ -62,6 +62,8 @@ class Scheduler:
         self.waiting: list[Sequence] = []
         self.running: list[Sequence] = []
         self._idle_rounds = 0
+        # tokens a decode step claims (speculative engines override to K+1)
+        self.decode_width = lambda seq: 1
 
     # -- admission ----------------------------------------------------------
 
@@ -133,14 +135,14 @@ class Scheduler:
                 # results are processed (async pipelined stepping)
                 continue
             remaining = seq.remaining_prefill
-            if remaining > 0:  # continued (chunked) prefill
+            if remaining <= 1:  # decode (possibly a speculative window)
+                n = max(1, min(self.decode_width(seq), budget))
+            else:  # continued (chunked) prefill
                 if partial_prefills >= max(1, cfg.max_num_partial_prefills) and (
                     remaining > budget
                 ):
                     continue  # throttled this step, stays running
                 n = min(remaining, budget)
-            else:  # decode
-                n = 1
             if not self._try_allocate(seq, n, d):
                 no_fit.append(seq)
                 continue

@@ -1,0 +1,231 @@
+"""Speculative engine: synchronous propose → score → verify loop.
+
+Reference: crates/core/src/engine/speculative.rs (SpeculativeExecution
+:439, execute_decodes :763) + the KV-trim-to-accepted contract. The
+engine steps synchronously (no token ring): each step proposes drafts on
+host, scores the [last, d_1..d_K] window on device, fetches the packed
+(samples, accepted, logprobs) result, emits up to K+1 tokens per
+sequence and rolls `num_computed_tokens` back to the accepted length —
+rejected-draft KV entries are simply overwritten by the next step (same
+pages, recomputed slot mapping).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..config import EngineConfig
+from ..engine.engine import LLMEngine
+from ..request import RequestOutput, Sequence
+from ..scheduler import ScheduledSeq
+from ..utils import pick_bucket
+from .step import SpecStepFunction
+
+
+class SpecLLMEngine(LLMEngine):
+    def __init__(self, model, params, config: EngineConfig, tokenizer=None,
+                 proposer=None):
+        super().__init__(model, params, config, tokenizer)
+        assert proposer is not None
+        self.proposer = proposer
+        self.k = proposer.max_draft_tokens
+        self.spec_step_fn = SpecStepFunction(model, self.eos_ids)
+        # decode steps claim a K+1 token window (greedy requests only;
+        # clamped near max_model_len)
+        def _width(seq):
+            if not seq.params.greedy:
+                return 1
+            return max(
+                1,
+                min(self.k + 1, self.config.max_model_len - seq.num_computed_tokens),
+            )
+
+        self.scheduler.decode_width = _width
+        self.stats["draft_tokens"] = 0
+        self.stats["accepted_tokens"] = 0
+
+    # -- synchronous spec stepping --------------------------------------------
+
+    def step(self) -> list[RequestOutput]:
+        decision = self.scheduler.schedule()
+        self.stats["num_preemptions"] += len(decision.preempted)
+        for seq in decision.preempted:
+            self._release_slot(seq)
+        if not decision.scheduled:
+            return []
+        for s in decision.scheduled:
+            if s.seq.slot < 0:
+                self._assign_slot(s.seq)
+        return self._spec_dispatch_and_process(decision.scheduled)
+
+    def _spec_dispatch_and_process(
+        self, scheduled: list[ScheduledSeq]
+    ) -> list[RequestOutput]:
+        cfg = self.config
+        s_pad = self.num_slots
+        k1 = self.k + 1
+
+        total_tokens = sum(s.num_tokens for s in scheduled)
+        t_pad = pick_bucket(total_tokens, cfg.token_buckets)
+        hb = self._host_batch(t_pad)
+        hb.header[1] = len(scheduled)
+
+        gather_idx = np.zeros((s_pad, k1), np.int32)
+        drafts = np.full((s_pad, self.k), -1, np.int32)
+        use_penalties = False
+        use_top_filters = False
+        entries = []  # (seq, row, start, n, n_drafts, is_final_chunk)
+
+        offset = 0
+        for i, sch in enumerate(scheduled):
+            seq, n = sch.seq, sch.num_tokens
+            start = seq.num_computed_tokens
+            is_decode = start == seq.total_len - 1
+            if is_decode and n > 1:
+                # fill the window with drafts (pad -1 → never accepted)
+                d = self.proposer.propose(seq)[: n - 1]
+                drafts[i, : len(d)] = d
+                n_drafts = n - 1
+                chunk = [seq.all_token_ids[start]] + [
+                    int(drafts[i, j]) if drafts[i, j] >= 0 else 0
+                    for j in range(n - 1)
+                ]
+                self.stats["draft_tokens"] += len(d)
+            else:
+                n_drafts = 0
+                chunk = seq.all_token_ids[start : start + n]
+            end = start + n
+
+            hb.input_ids[offset : offset + n] = chunk
+            hb.positions[offset : offset + n] = np.arange(start, end)
+            table = self.kv.get_table(seq)
+            hb.slot_mapping[offset : offset + n] = table.slots(start, end)
+            hb.kv_lens[i] = end
+            hb.page_indices[i, : len(table.pages)] = table.pages
+            hb.cu_q_lens[i + 1] = hb.cu_q_lens[i] + n
+            hb.logits_indices[i] = offset + n - 1
+            hb.slot_ids[i] = seq.slot
+            is_final_chunk = sch.is_final_prompt_chunk
+            hb.sample_mask[i] = is_final_chunk
+
+            if is_decode:
+                gather_idx[i] = offset + np.arange(k1).clip(0, n - 1)
+            else:
+                gather_idx[i] = offset + n - 1  # duplicate last position
+
+            p = seq.params
+            hb.temperature[i] = p.temperature
+            hb.top_k[i] = p.top_k
+            hb.top_p[i] = p.top_p
+            hb.min_p[i] = p.min_p
+            hb.repetition_penalty[i] = p.repetition_penalty
+            hb.presence_penalty[i] = p.presence_penalty
+            hb.frequency_penalty[i] = p.frequency_penalty
+            hb.seeds[i] = self._seq_seed(seq)
+            hb.rng_pos[i] = seq.total_len
+            hb.ban_eos[i] = seq.num_generated < p.min_tokens
+            use_penalties |= p.uses_penalties
+            use_top_filters |= (not p.greedy) and (
+                p.top_k > 0 or p.top_p < 1.0 or p.min_p > 0.0
+            )
+            entries.append((seq, i, start, n, n_drafts, is_final_chunk, is_decode))
+            offset += n
+        hb.cu_q_lens[len(scheduled) + 1 :] = hb.cu_q_lens[len(scheduled)]
+
+        self.kv_pages, self.token_counts, packed = self.spec_step_fn(
+            self.params,
+            self.kv_pages,
+            jnp.asarray(hb.buf.copy()),
+            jnp.asarray(gather_idx),
+            jnp.asarray(drafts),
+            self.token_counts,
+            layout=hb.layout,
+            k1=k1,
+            use_penalties=use_penalties,
+            use_top_filters=use_top_filters,
+        )
+        packed_h = np.asarray(packed)
+        sampled = packed_h[: s_pad * k1].reshape(s_pad, k1)
+        acc = packed_h[s_pad * k1 : s_pad * k1 + s_pad]
+        logprobs = packed_h[s_pad * k1 + s_pad :].view(np.float32).reshape(s_pad, k1)
+
+        self._step_count += 1
+        self.stats["num_steps"] += 1
+        return self._process_spec(entries, sampled, acc, logprobs)
+
+    def _process_spec(self, entries, sampled, acc, logprobs):
+        outputs: list[RequestOutput] = []
+        for seq, row, start, n, n_drafts, is_final_chunk, is_decode in entries:
+            if not is_final_chunk:
+                seq.num_computed_tokens = start + n
+                continue
+            a = int(min(acc[row], n_drafts)) if is_decode else 0
+            self.stats["accepted_tokens"] += a
+            emit = [int(sampled[row, j]) for j in range(a + 1)]
+            if is_decode:
+                # KV valid up to last accepted draft + 1 (trim-to-accepted)
+                seq.num_computed_tokens = start + a + 1
+            else:
+                # prefill final chunk: whole chunk valid, 1 token emitted
+                seq.num_computed_tokens = start + n
+            out = self._emit_tokens(
+                seq, emit, [float(logprobs[row, j]) for j in range(a + 1)]
+            )
+            outputs.extend(out)
+            self.proposer.on_tokens_verified(seq, a)
+        return outputs
+
+    def _emit_tokens(self, seq: Sequence, tokens, lps) -> list[RequestOutput]:
+        outs = []
+        from ..request import FinishReason
+
+        for tok, lp in zip(tokens, lps):
+            if seq.finish_reason is not None:
+                break
+            seq.generated_token_ids.append(tok)
+            self.stats["generated_tokens"] += 1
+            new_text = ""
+            if self.tokenizer is not None:
+                from ..detokenizer import detokenize_incrementally
+
+                new_text, seq.prefix_offset, seq.read_offset = (
+                    detokenize_incrementally(
+                        self.tokenizer,
+                        seq.all_token_ids,
+                        seq.prefix_offset or seq.num_prompt_tokens,
+                        seq.read_offset or seq.num_prompt_tokens,
+                    )
+                )
+            finish, stop_reason, emit_text = self._check_stop(
+                seq, tok, new_text, num_generated=seq.num_generated
+            )
+            seq.output_text += emit_text
+            outs.append(
+                RequestOutput(
+                    request_id=seq.request_id,
+                    new_token_ids=[tok],
+                    new_text=emit_text,
+                    finished=finish is not None,
+                    finish_reason=finish,
+                    stop_reason=stop_reason,
+                    output_text=seq.output_text,
+                    token_ids=list(seq.generated_token_ids),
+                    logprobs=[lp] if seq.params.logprobs is not None else None,
+                )
+            )
+            if finish is not None:
+                # trim computed to the finished token (drop later drafts)
+                seq.num_computed_tokens = min(
+                    seq.num_computed_tokens, seq.total_len - 1
+                )
+                self.proposer.on_request_complete(seq)
+                self._finish(seq, finish, stop_reason)
+                break
+        return outs
+
+    @property
+    def acceptance_rate(self) -> float:
+        d = self.stats["draft_tokens"]
+        return self.stats["accepted_tokens"] / d if d else 0.0
