@@ -103,19 +103,27 @@ def _q4k_to_quant_linear(reader: GGUFReader, name: str) -> QuantLinear:
     ti = reader.tensors[name]
     raw = reader.tensor_bytes(name)
     n_out, n_in = tuple(reversed(ti.shape))  # torch convention
-    blocks = raw.reshape(n_out * n_in // 256, 144)
-    d = _f16(blocks[:, 0:2].reshape(-1))[:, None]
-    dmin = _f16(blocks[:, 2:4].reshape(-1))[:, None]
-    sc, m = _k_scales_6bit(blocks[:, 4:16])  # [B, 8]
-    scales_g = (d * sc).astype(np.float32)  # per-32 group scale
-    zs_g = (dmin * m).astype(np.float32)  # per-32 group min (zero*scale)
-    qs = blocks[:, 16:144]
-    # unpack nibbles into element order [B, 256]
-    q = np.empty((blocks.shape[0], 256), np.uint8)
-    for c in range(4):
-        chunk = qs[:, c * 32 : (c + 1) * 32]
-        q[:, c * 64 : c * 64 + 32] = chunk & 0xF
-        q[:, c * 64 + 32 : c * 64 + 64] = chunk >> 4
+    from ..native import native_extract_q4k
+
+    extracted = native_extract_q4k(raw, ti.num_elements)
+    if extracted is not None:
+        q, s_flat, zs_flat = extracted
+        scales_g = s_flat.reshape(-1, 8)
+        zs_g = zs_flat.reshape(-1, 8)
+    else:
+        blocks = raw.reshape(n_out * n_in // 256, 144)
+        d = _f16(blocks[:, 0:2].reshape(-1))[:, None]
+        dmin = _f16(blocks[:, 2:4].reshape(-1))[:, None]
+        sc, m = _k_scales_6bit(blocks[:, 4:16])  # [B, 8]
+        scales_g = (d * sc).astype(np.float32)  # per-32 group scale
+        zs_g = (dmin * m).astype(np.float32)  # per-32 group zero*scale
+        qs = blocks[:, 16:144]
+        # unpack nibbles into element order [B, 256]
+        q = np.empty((blocks.shape[0], 256), np.uint8)
+        for c in range(4):
+            chunk = qs[:, c * 32 : (c + 1) * 32]
+            q[:, c * 64 : c * 64 + 32] = chunk & 0xF
+            q[:, c * 64 + 32 : c * 64 + 64] = chunk >> 4
     # reshape to weight matrices: rows = out, inner = in
     q = q.reshape(n_out, n_in)  # int4 values
     scales = scales_g.reshape(n_out, n_in // 32)

@@ -192,6 +192,11 @@ def _f16(buf: np.ndarray) -> np.ndarray:
 
 def dequantize(raw: np.ndarray, ggml_type: int, n_elems: int) -> np.ndarray:
     name, be, bb = GGML_TYPES[ggml_type]
+    from ..native import native_dequant
+
+    native = native_dequant(name, raw, n_elems)
+    if native is not None:
+        return native
     fn = _DEQUANT.get(name)
     if fn is None:
         raise NotImplementedError(f"GGML type {name} dequant not implemented")
