@@ -207,3 +207,16 @@ async def test_pause_resume(client):
     assert (await (await client.get("/is_paused")).json())["paused"] is True
     await client.post("/resume")
     assert (await (await client.get("/is_paused")).json())["paused"] is False
+
+
+@with_client
+async def test_embeddings_endpoint(client):
+    r = await client.post(
+        "/v1/embeddings", json={"input": ["hello", "world"]}
+    )
+    assert r.status == 200
+    data = await r.json()
+    assert data["object"] == "list"
+    assert len(data["data"]) == 2
+    assert len(data["data"][0]["embedding"]) == 64
+    assert data["usage"]["prompt_tokens"] == 10

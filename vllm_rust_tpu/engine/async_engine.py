@@ -25,13 +25,14 @@ logger = logging.getLogger(__name__)
 
 @dataclass
 class _Command:
-    kind: str  # add | abort | stop | pause | resume | reset
+    kind: str  # add | abort | embed | stop | pause | resume
     request_id: str = ""
     prompt: Any = None
-    params: SamplingParams | None = None
+    params: Any = None
     priority: int = 0
     done: threading.Event | None = None
     error: Exception | None = None
+    result: Any = None
 
 
 class AsyncLLMEngine:
@@ -104,6 +105,23 @@ class AsyncLLMEngine:
         assert last is not None
         return last
 
+    async def embed(
+        self,
+        inputs: list,
+        pooling: str = "mean",
+        normalize: bool = True,
+    ):
+        """Embeddings routed through the engine thread (one-shot, bypasses
+        the scheduler — reference EngineCommand::Embed)."""
+        ev = threading.Event()
+        cmd = _Command(kind="embed", prompt=inputs, done=ev)
+        cmd.params = {"pooling": pooling, "normalize": normalize}  # type: ignore
+        self._cmds.put(cmd)
+        await asyncio.get_event_loop().run_in_executor(None, ev.wait)
+        if cmd.error is not None:
+            raise cmd.error
+        return cmd.result
+
     def abort(self, request_id: str) -> None:
         self._cmds.put(_Command(kind="abort", request_id=request_id))
 
@@ -170,6 +188,14 @@ class AsyncLLMEngine:
                     cmd.request_id, cmd.prompt, cmd.params, cmd.priority
                 )
             except Exception as e:  # admission errors surface to the caller
+                cmd.error = e
+            finally:
+                if cmd.done:
+                    cmd.done.set()
+        elif cmd.kind == "embed":
+            try:
+                cmd.result = self.engine.embed(cmd.prompt, **cmd.params)
+            except Exception as e:
                 cmd.error = e
             finally:
                 if cmd.done:

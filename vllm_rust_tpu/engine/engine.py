@@ -77,7 +77,11 @@ class LLMEngine:
         self.config = config
         self.tokenizer = tokenizer
 
-        self.kv = KVCacheManager(config.cache, model.kv_head_info)
+        self.kv = KVCacheManager(
+            config.cache,
+            model.kv_head_info,
+            enable_prefix_caching=config.enable_prefix_caching,
+        )
         self.kv_pages = self.kv.create_device_pools(model.dtype)
         self.scheduler = Scheduler(config.scheduler, self.kv, config.max_model_len)
 
@@ -106,6 +110,7 @@ class LLMEngine:
         self._host_batches: dict[int, HostBatch] = {}
 
         self._step_count = 0
+        self._embed_runners: dict = {}
         self.stats = {
             "num_steps": 0,
             "num_preemptions": 0,
@@ -276,6 +281,7 @@ class LLMEngine:
 
             # advance state optimistically (async scheduling)
             seq.num_computed_tokens = end
+            self.kv.register_computed(seq)
             if is_final_chunk:
                 gen_idx = seq.num_generated
                 seq.generated_token_ids.append(PLACEHOLDER)
@@ -442,6 +448,34 @@ class LLMEngine:
         if seq.slot >= 0:
             self._free_slots.append(seq.slot)
             seq.slot = -1
+
+    def reset_prefix_cache(self) -> int:
+        return self.kv.reset_prefix_cache()
+
+    # -- embeddings ------------------------------------------------------------
+
+    def embed(
+        self,
+        inputs: list[str | list[int]],
+        *,
+        pooling: str = "mean",
+        normalize: bool = True,
+    ) -> np.ndarray:
+        """Pooled embeddings (reference handle.rs embed / EngineCommand::
+        Embed one-shot path)."""
+        from .embedding import engine_embed
+
+        token_lists = []
+        for x in inputs:
+            if isinstance(x, str):
+                if self.tokenizer is None:
+                    raise ValueError("string input requires a tokenizer")
+                token_lists.append(self.tokenizer.encode(x))
+            else:
+                token_lists.append(list(x))
+        return engine_embed(
+            self, token_lists, pooling=pooling, normalize=normalize
+        )
 
     # -- convenience -----------------------------------------------------------
 

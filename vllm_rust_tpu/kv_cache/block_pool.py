@@ -14,12 +14,17 @@ from ..utils import cdiv
 
 
 class BlockPool:
-    """Free-list allocator over physical pages 1..num_pages-1."""
+    """Free-list allocator over physical pages 1..num_pages-1.
+
+    ``evict_source`` (set by the KV manager when prefix caching is on)
+    supplies reclaimable cached pages when the free list runs dry —
+    the reference's eviction-aware allocation (prefix_cache.rs evict)."""
 
     def __init__(self, num_pages: int, page_size: int):
         self.num_pages = num_pages
         self.page_size = page_size
         self._free: deque[int] = deque(range(1, num_pages))
+        self.evict_source = None  # callable -> page id | None
 
     @property
     def num_free(self) -> int:
@@ -30,9 +35,24 @@ class BlockPool:
         return self.num_pages - 1
 
     def allocate(self, n: int) -> list[int]:
-        if n > len(self._free):
-            raise MemoryError(f"requested {n} pages, only {len(self._free)} free")
-        return [self._free.popleft() for _ in range(n)]
+        out: list[int] = []
+        while len(out) < n:
+            if self._free:
+                out.append(self._free.popleft())
+            elif self.evict_source is not None:
+                page = self.evict_source()
+                if page is None:
+                    self._free.extendleft(reversed(out))
+                    raise MemoryError(
+                        f"requested {n} pages, exhausted free list and cache"
+                    )
+                out.append(page)
+            else:
+                self._free.extendleft(reversed(out))
+                raise MemoryError(
+                    f"requested {n} pages, only {len(self._free)} free"
+                )
+        return out
 
     def free(self, pages: list[int]) -> None:
         for p in pages:

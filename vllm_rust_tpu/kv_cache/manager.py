@@ -28,11 +28,24 @@ _KV_DTYPES = {
 
 
 class KVCacheManager:
-    def __init__(self, config: CacheConfig, kv_head_info: list[tuple[int, int]]):
+    def __init__(
+        self,
+        config: CacheConfig,
+        kv_head_info: list[tuple[int, int]],
+        enable_prefix_caching: bool = False,
+    ):
         self.config = config
         self.kv_head_info = kv_head_info
         self.pool = BlockPool(config.num_pages, config.page_size)
         self.tables: dict[str, BlockTable] = {}
+        self.prefix = None
+        if enable_prefix_caching:
+            from .prefix_cache import PrefixCache
+
+            self.prefix = PrefixCache()
+            self.pool.evict_source = self.prefix.evict
+        # request_id -> number of pages already registered in the cache
+        self._registered: dict[str, int] = {}
 
     # -- device pools -------------------------------------------------------
 
@@ -58,7 +71,10 @@ class KVCacheManager:
 
     @property
     def num_free_pages(self) -> int:
-        return self.pool.num_free
+        n = self.pool.num_free
+        if self.prefix is not None:
+            n += self.prefix.num_evictable
+        return n
 
     def get_table(self, seq: Sequence) -> BlockTable:
         t = self.tables.get(seq.request_id)
@@ -69,7 +85,10 @@ class KVCacheManager:
 
     def can_allocate(self, seq: Sequence, num_new_tokens: int) -> bool:
         t = self.get_table(seq)
-        return t.pages_needed(seq.num_computed_tokens + num_new_tokens) <= self.pool.num_free
+        return (
+            t.pages_needed(seq.num_computed_tokens + num_new_tokens)
+            <= self.num_free_pages
+        )
 
     def allocate(self, seq: Sequence, num_new_tokens: int) -> None:
         self.get_table(seq).ensure_capacity(seq.num_computed_tokens + num_new_tokens)
@@ -83,11 +102,88 @@ class KVCacheManager:
 
     def free(self, seq: Sequence) -> None:
         t = self.tables.pop(seq.request_id, None)
+        self._registered.pop(seq.request_id, None)
         if t is not None:
-            t.release()
+            self._release_pages(t)
 
     def free_for_recompute(self, seq: Sequence) -> None:
         """Preemption (recompute mode): return all pages, keep the request."""
         t = self.tables.get(seq.request_id)
+        self._registered.pop(seq.request_id, None)
         if t is not None:
-            t.release()
+            self._release_pages(t)
+
+    def _release_pages(self, table: BlockTable) -> None:
+        if self.prefix is None:
+            table.release()
+            return
+        plain = [p for p in table.pages if not self.prefix.release(p)]
+        self.pool.free(plain)
+        table.pages = []
+
+    # -- prefix caching -------------------------------------------------------
+
+    def match_prefix(self, seq: Sequence) -> None:
+        """At (re)admission: adopt cached pages covering the longest known
+        prefix; always leave >= 1 token to prefill (contract #5)."""
+        if self.prefix is None or seq.num_computed_tokens > 0:
+            return
+        table = self.get_table(seq)
+        if table.pages:
+            return
+        ps = self.config.page_size
+        known = [t for t in seq.all_token_ids if t >= 0]
+        usable = len(known) - 1  # leave at least one token
+        n_full = usable // ps
+        if n_full <= 0:
+            return
+        from .prefix_cache import chunk_hash
+
+        hashes = []
+        h = 0
+        for i in range(n_full):
+            h = chunk_hash(h, tuple(known[i * ps : (i + 1) * ps]))
+            hashes.append(h)
+        pages = self.prefix.match(hashes)
+        if pages:
+            table.pages = pages
+            seq.num_computed_tokens = len(pages) * ps
+            seq.num_cached_tokens = max(
+                seq.num_cached_tokens, len(pages) * ps
+            )
+            # cached pages count as already registered
+            self._registered[seq.request_id] = len(pages)
+
+    def register_computed(self, seq: Sequence) -> None:
+        """Register newly-completed full pages (called after the engine
+        advances num_computed_tokens)."""
+        if self.prefix is None:
+            return
+        table = self.tables.get(seq.request_id)
+        if table is None:
+            return
+        from .prefix_cache import chunk_hash
+
+        ps = self.config.page_size
+        done = self._registered.get(seq.request_id, 0)
+        target = seq.num_computed_tokens // ps
+        ids = seq.all_token_ids
+        # recompute the chain up to `done` lazily (cheap: hash of hashes)
+        h = 0
+        for i in range(done):
+            h = chunk_hash(h, tuple(ids[i * ps : (i + 1) * ps]))
+        for i in range(done, min(target, len(table.pages))):
+            chunk = ids[i * ps : (i + 1) * ps]
+            if len(chunk) < ps or any(t < 0 for t in chunk):
+                break  # unresolved ring placeholders: retry next step
+            h = chunk_hash(h, tuple(chunk))
+            self.prefix.register(h, table.pages[i])
+            done = i + 1
+        self._registered[seq.request_id] = done
+
+    def reset_prefix_cache(self) -> int:
+        if self.prefix is None:
+            return 0
+        pages = self.prefix.reset()
+        self.pool.free(pages)
+        return len(pages)

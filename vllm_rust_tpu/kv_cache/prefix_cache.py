@@ -1,0 +1,116 @@
+"""Prefix cache: content-hash page reuse with refcounts + LRU eviction.
+
+Reference: kv_cache/prefix_cache.rs (match_prefix :205, register/release
+refcounts, LRU evict :341, stats). A full KV page whose tokens are known
+is registered under a chain hash of its content; later requests sharing
+the prefix adopt those physical pages without recomputation. Pages with
+zero references stay cached (evictable LRU) until the allocator needs
+them back.
+
+Immutability: only FULL pages are registered, and matched tokens are
+never re-scheduled, so shared pages are never written — except the
+benign same-value overwrite when a fully-matched prompt re-prefills its
+final token (contract #5 requires leaving one token to produce logits).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from dataclasses import dataclass, field
+
+
+def chunk_hash(prev: int, tokens: tuple[int, ...]) -> int:
+    return hash((prev, tokens))
+
+
+@dataclass
+class PrefixCacheStats:
+    queries: int = 0
+    hits: int = 0  # pages reused
+    evictions: int = 0
+    registered: int = 0
+
+    @property
+    def hit_rate(self) -> float:
+        return self.hits / self.queries if self.queries else 0.0
+
+
+class PrefixCache:
+    def __init__(self):
+        self.hash_to_page: dict[int, int] = {}
+        self.page_hash: dict[int, int] = {}  # page -> hash
+        self.refcount: dict[int, int] = {}
+        self.evictable: OrderedDict[int, None] = OrderedDict()  # LRU
+        self.stats = PrefixCacheStats()
+
+    # -- matching -------------------------------------------------------------
+
+    def match(self, hashes: list[int]) -> list[int]:
+        """Longest prefix of ``hashes`` present in cache → pages (increfed)."""
+        pages: list[int] = []
+        self.stats.queries += 1
+        for h in hashes:
+            page = self.hash_to_page.get(h)
+            if page is None:
+                break
+            pages.append(page)
+        for p in pages:
+            self._incref(p)
+        self.stats.hits += len(pages)
+        return pages
+
+    def _incref(self, page: int) -> None:
+        self.refcount[page] = self.refcount.get(page, 0) + 1
+        self.evictable.pop(page, None)
+
+    # -- registration ----------------------------------------------------------
+
+    def register(self, h: int, page: int) -> None:
+        """Make a (full, immutable) page reusable under hash ``h``. The
+        owning sequence's reference is counted."""
+        if h in self.hash_to_page:
+            return  # another copy already cached; keep this one private
+        if page in self.page_hash:
+            return
+        self.hash_to_page[h] = page
+        self.page_hash[page] = h
+        self._incref(page)
+        self.stats.registered += 1
+
+    # -- release / eviction ----------------------------------------------------
+
+    def release(self, page: int) -> bool:
+        """Drop one reference. Returns True if the page is managed by the
+        cache (caller must NOT return it to the free pool); False if the
+        page is not cached (caller frees normally)."""
+        if page not in self.page_hash:
+            return False
+        rc = self.refcount.get(page, 0) - 1
+        if rc <= 0:
+            self.refcount.pop(page, None)
+            self.evictable[page] = None  # keep cached, evictable
+        else:
+            self.refcount[page] = rc
+        return True
+
+    @property
+    def num_evictable(self) -> int:
+        return len(self.evictable)
+
+    def evict(self) -> int | None:
+        """Evict the least-recently-used page; returns it for reuse."""
+        if not self.evictable:
+            return None
+        page, _ = self.evictable.popitem(last=False)
+        h = self.page_hash.pop(page)
+        self.hash_to_page.pop(h, None)
+        self.refcount.pop(page, None)
+        self.stats.evictions += 1
+        return page
+
+    def reset(self) -> list[int]:
+        """Drop everything evictable (admin reset_prefix_cache)."""
+        pages = list(self.evictable)
+        for _ in range(len(pages)):
+            self.evict()
+        return pages

@@ -163,6 +163,7 @@ class Scheduler:
                 break
             if budget <= 0:
                 break
+            self.kv.match_prefix(seq)  # prefix-cache adoption (no-op if off)
             remaining = seq.remaining_prefill
             if remaining == 0:
                 # resumed swap case: straight to decode (reference

@@ -347,6 +347,45 @@ class Server:
         await resp.write_eof()
         return resp
 
+    # -- embeddings ------------------------------------------------------------
+
+    async def embeddings(self, request):
+        from .protocol import EmbeddingRequest
+
+        req = EmbeddingRequest(**await request.json())
+        inputs = req.input
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        elif inputs and isinstance(inputs[0], int):
+            inputs = [inputs]
+        embs = await self.engine.embed(inputs)
+        prompt_tokens = sum(
+            len(self.tokenizer.encode(x)) if isinstance(x, str) else len(x)
+            for x in inputs
+        )
+        data = []
+        for i, e in enumerate(embs):
+            vec = e.tolist()
+            if req.dimensions:
+                vec = vec[: req.dimensions]
+            if req.encoding_format == "base64":
+                import base64
+
+                import numpy as np
+
+                vec = base64.b64encode(
+                    np.asarray(vec, np.float32).tobytes()
+                ).decode()
+            data.append({"object": "embedding", "index": i, "embedding": vec})
+        return web.json_response(
+            {
+                "object": "list",
+                "data": data,
+                "model": req.model or self.model_name,
+                "usage": usage_dict(prompt_tokens, 0),
+            }
+        )
+
     # -- anthropic -------------------------------------------------------------
 
     async def anthropic_messages(self, request):
@@ -490,6 +529,7 @@ def build_app(
             web.get("/is_paused", s.is_paused),
             web.get("/is_sleeping", s.is_paused),
             web.post("/v1/completions", s.completions),
+            web.post("/v1/embeddings", s.embeddings),
             web.post("/v1/chat/completions", s.chat_completions),
             web.post("/v1/messages", s.anthropic_messages),
         ]

@@ -170,6 +170,7 @@ class SpecLLMEngine(LLMEngine):
             else:
                 # prefill final chunk: whole chunk valid, 1 token emitted
                 seq.num_computed_tokens = start + n
+            self.kv.register_computed(seq)
             out = self._emit_tokens(
                 seq, emit, [float(logprobs[row, j]) for j in range(a + 1)]
             )
