@@ -1,0 +1,138 @@
+"""Mixture-of-Experts layer.
+
+Reference: crates/core/src/moe/ (MoERouter router.rs:83, MoELayer
+expert_layer.rs:140, fused CUDA path moe/fused/). TPU-first design: the
+fused-MoE CUDA pipeline (align → grouped GEMM → topk softmax) maps to a
+sort-by-expert + megablox grouped matmul (`gmm`), the Pallas MoE kernel
+that ships with JAX; a dense per-expert fallback serves CPU tests and
+tiny models. Expert parallelism shards the stacked expert dimension on
+the mesh "tp"/"ep" axis (parallel/mesh.py rules).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import on_tpu
+from .linear import linear
+from .mlp import _ACTS, swiglu_mlp
+
+
+@dataclass(frozen=True)
+class MoESpec:
+    num_experts: int
+    top_k: int
+    norm_topk_prob: bool = False
+    scoring: str = "softmax"  # softmax | sigmoid
+    act: str = "silu"
+    has_shared_expert: bool = False
+    routed_scaling_factor: float | None = None
+
+
+def route(spec: MoESpec, router_logits: jax.Array):
+    """Top-k routing (reference router.rs TopKRouter): returns
+    (weights [T, k] f32, expert_ids [T, k] i32)."""
+    if spec.scoring == "sigmoid":
+        scores = jax.nn.sigmoid(router_logits.astype(jnp.float32))
+    else:
+        scores = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    topv, topi = jax.lax.top_k(scores, spec.top_k)
+    if spec.norm_topk_prob:
+        topv = topv / jnp.maximum(topv.sum(-1, keepdims=True), 1e-20)
+    if spec.routed_scaling_factor:
+        topv = topv * spec.routed_scaling_factor
+    return topv, topi.astype(jnp.int32)
+
+
+def _dense_experts(spec: MoESpec, params: dict, x, topv, topi):
+    """Per-expert loop (correctness path; fine for few experts/tests)."""
+    t, h = x.shape
+    combine = jnp.zeros((t, spec.num_experts), jnp.float32)
+    combine = combine.at[jnp.arange(t)[:, None], topi].set(topv)
+    act = _ACTS[spec.act]
+    out = jnp.zeros((t, h), jnp.float32)
+    wg = params["experts"]["gate_proj"]["weight"]  # [E, h, I]
+    wu = params["experts"]["up_proj"]["weight"]
+    wd = params["experts"]["down_proj"]["weight"]  # [E, I, h]
+    for e in range(spec.num_experts):
+        y = (act(x @ wg[e]) * (x @ wu[e])) @ wd[e]
+        out = out + combine[:, e : e + 1] * y.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _gmm_experts(spec: MoESpec, params: dict, x, topv, topi):
+    """Sort-by-expert + grouped matmul (the fused path)."""
+    import functools
+
+    from jax.experimental.pallas.ops.tpu.megablox import gmm as _gmm
+
+    from ..utils import interpret_kernels
+
+    t, h = x.shape
+    k = spec.top_k
+    e = spec.num_experts
+
+    def _tile(d: int) -> int:
+        for c in (128, 64, 32, 16, 8):
+            if d % c == 0:
+                return c
+        return d
+
+    inter = params["experts"]["gate_proj"]["weight"].shape[-1]
+    gmm_up = functools.partial(
+        _gmm,
+        preferred_element_type=jnp.float32,
+        interpret=interpret_kernels(),
+        tiling=(_tile(t * k), _tile(h), _tile(inter)),
+    )
+    gmm_down = functools.partial(
+        _gmm,
+        preferred_element_type=jnp.float32,
+        interpret=interpret_kernels(),
+        tiling=(_tile(t * k), _tile(inter), _tile(h)),
+    )
+    flat_expert = topi.reshape(-1)  # [T*k]
+    order = jnp.argsort(flat_expert)
+    x_rep = jnp.repeat(x, k, axis=0)[order]  # [T*k, h] grouped by expert
+    group_sizes = jnp.bincount(flat_expert, length=e).astype(jnp.int32)
+
+    act = _ACTS[spec.act]
+    wg = params["experts"]["gate_proj"]["weight"]
+    wu = params["experts"]["up_proj"]["weight"]
+    wd = params["experts"]["down_proj"]["weight"]
+    hg = gmm_up(x_rep, wg, group_sizes)
+    hu = gmm_up(x_rep, wu, group_sizes)
+    inner = (act(hg) * hu).astype(x.dtype)
+    y = gmm_down(inner, wd, group_sizes)
+
+    w_sorted = topv.reshape(-1)[order][:, None]
+    token_of = (order // k).astype(jnp.int32)
+    out = jnp.zeros((t, h), jnp.float32).at[token_of].add(y * w_sorted)
+    return out.astype(x.dtype)
+
+
+def moe_layer(
+    spec: MoESpec, params: dict, x: jax.Array, *, backend: str = "auto"
+) -> jax.Array:
+    """x [T, hidden] → MoE output. params: {"router": linear,
+    "experts": stacked [E, ...] weights, optional "shared_expert" (+gate)}."""
+    router_logits = linear(x, params["router"])
+    topv, topi = route(spec, router_logits)
+    if backend == "auto":
+        backend = "gmm" if on_tpu() else "dense"
+    if backend == "gmm":
+        out = _gmm_experts(spec, params, x, topv, topi)
+    else:
+        out = _dense_experts(spec, params, x, topv, topi)
+    if spec.has_shared_expert and "shared_expert" in params:
+        shared = swiglu_mlp(x, params["shared_expert"], spec.act)
+        if "shared_expert_gate" in params:
+            g = jax.nn.sigmoid(
+                linear(x, params["shared_expert_gate"]).astype(jnp.float32)
+            )
+            shared = (shared.astype(jnp.float32) * g).astype(x.dtype)
+        out = out + shared
+    return out

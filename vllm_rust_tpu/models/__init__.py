@@ -60,9 +60,11 @@ def _populate():
     except ImportError:
         pass
     try:
-        from .qwen3_moe import Qwen3MoeForCausalLM
+        from .qwen3_moe import MixtralForCausalLM, Qwen3MoeForCausalLM
 
         _REGISTRY["Qwen3MoeForCausalLM"] = Qwen3MoeForCausalLM
+        _REGISTRY["Qwen2MoeForCausalLM"] = Qwen3MoeForCausalLM
+        _REGISTRY["MixtralForCausalLM"] = MixtralForCausalLM
     except ImportError:
         pass
 
