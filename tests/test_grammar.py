@@ -1,0 +1,185 @@
+"""Structured output tests: regex engine, schema compilation, token
+masking, end-to-end constrained generation."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vllm_rust_tpu.grammar.json_schema import json_object_regex, schema_to_regex
+from vllm_rust_tpu.grammar.regex import DFA
+
+
+# ---------------------------------------------------------------------------
+# regex engine
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "pattern,yes,no",
+    [
+        ("abc", ["abc"], ["ab", "abcd", ""]),
+        ("a*b", ["b", "ab", "aaab"], ["a", "ba"]),
+        ("a+", ["a", "aa"], ["", "b"]),
+        ("a?b", ["b", "ab"], ["aab"]),
+        ("(ab|cd)+", ["ab", "cdab"], ["", "abc"]),
+        ("[a-c]x", ["ax", "cx"], ["dx", "x"]),
+        ("[^0-9]", ["a", "-"], ["5", ""]),
+        (r"\d{2,3}", ["12", "123"], ["1", "1234"]),
+        (r"-?(0|[1-9][0-9]*)", ["0", "-5", "42"], ["00", "-", "01"]),
+        (r"a.c", ["abc", "a0c"], ["ac", "a\nc"]),
+        (r"(x){2}", ["xx"], ["x", "xxx"]),
+        (r"ab{0,2}c", ["ac", "abc", "abbc"], ["abbbc"]),
+    ],
+)
+def test_regex_fullmatch(pattern, yes, no):
+    dfa = DFA(pattern)
+    for s in yes:
+        assert dfa.fullmatch(s), f"{pattern} should match {s!r}"
+    for s in no:
+        assert not dfa.fullmatch(s), f"{pattern} should NOT match {s!r}"
+
+
+def test_dfa_prefix_liveness():
+    dfa = DFA("hello world")
+    st = dfa.step_string(dfa.start, "hello")
+    assert st != dfa.DEAD and not dfa.is_accepting(st)
+    assert dfa.step_string(dfa.start, "hellx") == dfa.DEAD
+
+
+# ---------------------------------------------------------------------------
+# schema → regex
+# ---------------------------------------------------------------------------
+
+
+def test_schema_object():
+    schema = {
+        "type": "object",
+        "properties": {
+            "name": {"type": "string"},
+            "age": {"type": "integer"},
+            "ok": {"type": "boolean"},
+        },
+        "required": ["name", "age", "ok"],
+    }
+    dfa = DFA(schema_to_regex(schema))
+    assert dfa.fullmatch('{"name": "bo", "age": 3, "ok": true}')
+    assert dfa.fullmatch('{"name":"x","age":-7,"ok":false}')
+    assert not dfa.fullmatch('{"name": "bo"}')
+    assert not dfa.fullmatch('{"name": "bo", "age": "x", "ok": true}')
+
+
+def test_schema_enum_array_anyof():
+    schema = {
+        "type": "object",
+        "properties": {
+            "color": {"enum": ["red", "blue"]},
+            "nums": {"type": "array", "items": {"type": "integer"}, "maxItems": 3},
+        },
+        "required": ["color", "nums"],
+    }
+    dfa = DFA(schema_to_regex(schema))
+    assert dfa.fullmatch('{"color": "red", "nums": [1, 2]}')
+    assert dfa.fullmatch('{"color": "blue", "nums": []}')
+    assert not dfa.fullmatch('{"color": "green", "nums": [1]}')
+
+
+def test_json_object_mode():
+    dfa = DFA(json_object_regex())
+    assert dfa.fullmatch('{"a": 1, "b": "x"}')
+    assert dfa.fullmatch('{"nested": {"k": [1, 2]}}')
+    assert not dfa.fullmatch("[1, 2]")
+    assert not dfa.fullmatch('{"a": }')
+
+
+# ---------------------------------------------------------------------------
+# end-to-end constrained generation
+# ---------------------------------------------------------------------------
+
+
+def make_engine():
+    from vllm_rust_tpu.config import CacheConfig, EngineConfig, SchedulerConfig
+    from vllm_rust_tpu.engine import LLMEngine
+    from vllm_rust_tpu.models import from_config
+    from vllm_rust_tpu.testing import tiny_llama_config
+    from vllm_rust_tpu.tokenizer import MockTokenizer
+
+    mc = tiny_llama_config()
+    cfg = EngineConfig(
+        model=mc,
+        cache=CacheConfig(num_pages=32, page_size=16),
+        scheduler=SchedulerConfig(max_num_seqs=4, max_tokens_per_step=64),
+        max_model_len=128,
+        token_buckets=(16, 32, 64),
+    )
+    model = from_config(mc, dtype=jnp.float32)
+    params = model.init_params(jax.random.PRNGKey(0))
+    return LLMEngine(model, params, cfg, tokenizer=MockTokenizer())
+
+
+def test_constrained_choice():
+    from vllm_rust_tpu.request import SamplingParams
+
+    eng = make_engine()
+    out = eng.generate(
+        ["pick: "],
+        SamplingParams(
+            max_tokens=16, temperature=0.0, constraint={"choice": ["yes", "no"]}
+        ),
+    )[0]
+    assert out.output_text in ("yes", "no"), out.output_text
+
+
+def test_constrained_regex():
+    from vllm_rust_tpu.request import SamplingParams
+
+    eng = make_engine()
+    out = eng.generate(
+        ["n="],
+        SamplingParams(
+            max_tokens=8, temperature=0.8, seed=3,
+            constraint={"regex": r"[0-9]{3}"},
+        ),
+    )[0]
+    assert len(out.output_text) == 3 and out.output_text.isdigit(), out.output_text
+
+
+def test_constrained_json_schema():
+    from vllm_rust_tpu.request import SamplingParams
+
+    eng = make_engine()
+    schema = {
+        "type": "object",
+        "properties": {"a": {"type": "integer"}},
+        "required": ["a"],
+    }
+    out = eng.generate(
+        ["give json: "],
+        SamplingParams(
+            max_tokens=40, temperature=0.7, seed=1,
+            constraint={"json_schema": schema},
+        ),
+    )[0]
+    parsed = json.loads(out.output_text)
+    assert isinstance(parsed["a"], int)
+
+
+def test_constrained_and_unconstrained_mix():
+    from vllm_rust_tpu.request import SamplingParams
+
+    eng = make_engine()
+    eng.add_request(
+        "c", "q: ", SamplingParams(max_tokens=10, temperature=0.0,
+                                   constraint={"choice": ["left", "right"]})
+    )
+    eng.add_request("u", "r: ", SamplingParams(max_tokens=5, temperature=0.0,
+                                               ignore_eos=True))
+    done = {}
+    while eng.has_unfinished:
+        for o in eng.step():
+            if o.finished:
+                done[o.request_id] = o
+    assert done["c"].output_text in ("left", "right")
+    assert len(done["u"].token_ids) == 5

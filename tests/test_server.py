@@ -220,3 +220,30 @@ async def test_embeddings_endpoint(client):
     assert len(data["data"]) == 2
     assert len(data["data"][0]["embedding"]) == 64
     assert data["usage"]["prompt_tokens"] == 10
+
+
+@with_client
+async def test_response_format_json(client):
+    r = await client.post(
+        "/v1/chat/completions",
+        json={
+            "messages": [{"role": "user", "content": "emit json"}],
+            "max_tokens": 40,
+            "temperature": 0.7,
+            "seed": 5,
+            "response_format": {
+                "type": "json_schema",
+                "json_schema": {
+                    "schema": {
+                        "type": "object",
+                        "properties": {"n": {"type": "integer"}},
+                        "required": ["n"],
+                    }
+                },
+            },
+        },
+    )
+    assert r.status == 200
+    data = await r.json()
+    parsed = json.loads(data["choices"][0]["message"]["content"])
+    assert isinstance(parsed["n"], int)

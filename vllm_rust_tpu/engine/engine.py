@@ -62,6 +62,8 @@ class StepRecord:
     ring_slot: int
     # (seq, row in sampler axis, index into generated_token_ids)
     entries: list[tuple[Sequence, int, int]]
+    # grammar steps must resolve before the next dispatch (DFA advance)
+    sync: bool = False
 
 
 class LLMEngine:
@@ -111,6 +113,9 @@ class LLMEngine:
 
         self._step_count = 0
         self._embed_runners: dict = {}
+        self._constraints: dict = {}
+        self._mask_words = (config.model.vocab_size + 31) // 32
+        self._dummy_mask = jnp.zeros((1, 1), jnp.int32)
         self.stats = {
             "num_steps": 0,
             "num_preemptions": 0,
@@ -140,6 +145,9 @@ class LLMEngine:
             params=params,
             priority=priority,
         )
+        if params.constraint is not None:
+            seq.constraint = self._get_constraint(params.constraint)
+            seq.constraint_state = seq.constraint.initial_state()
         self.scheduler.add_request(seq)  # raises on unschedulable
         self.requests[request_id] = seq
         self.stats["prompt_tokens"] += len(token_ids)
@@ -183,9 +191,14 @@ class LLMEngine:
             for s in decision.scheduled:
                 if s.seq.slot < 0:
                     self._assign_slot(s.seq)
-            self._in_flight.append(self._dispatch(decision.scheduled))
+            rec = self._dispatch(decision.scheduled)
+            self._in_flight.append(rec)
             self._step_count += 1
             self.stats["num_steps"] += 1
+            if rec.sync:
+                # grammar-constrained step: resolve now so the next mask
+                # can be computed from the advanced DFA state
+                outputs.extend(self._flush())
         elif self._in_flight:
             # nothing schedulable until lagging results are processed
             outputs.extend(self._flush())
@@ -228,6 +241,13 @@ class LLMEngine:
 
         use_penalties = False
         use_top_filters = False
+        use_grammar = any(s.seq.constraint is not None for s in scheduled)
+        if use_grammar:
+            # unconstrained rows: all-ones (padded vocab tail stays 0-free
+            # via the bitmask width); constrained rows fill below
+            grammar_mask = np.full(
+                (s_pad, self._mask_words), -1, np.int32
+            )
         entries: list[tuple[Sequence, int, int]] = []
 
         offset = 0
@@ -277,6 +297,11 @@ class LLMEngine:
             use_top_filters |= (not p.greedy) and (
                 p.top_k > 0 or p.top_p < 1.0 or p.min_p > 0.0
             )
+            if seq.constraint is not None:
+                assert not seq.pending, (
+                    "constrained sequence scheduled with unresolved tokens"
+                )
+                grammar_mask[i] = seq.constraint.mask(seq.constraint_state)
             offset += n
 
             # advance state optimistically (async scheduling)
@@ -299,15 +324,36 @@ class LLMEngine:
             self.token_counts,
             self._ring_write,
             self._ring_prev,
+            jnp.asarray(grammar_mask) if use_grammar else self._dummy_mask,
             layout=hb.layout,
             use_penalties=use_penalties,
             use_top_filters=use_top_filters,
+            use_grammar=use_grammar,
         )
         rec = StepRecord(
             cycle_id=self._cycle_id, ring_slot=ring_slot, entries=entries
         )
+        rec.sync = use_grammar
         self._cycle_pos += 1
         return rec
+
+    def _get_constraint(self, spec: dict):
+        """Compile-once constraint cache (reference grammar/compiler.rs
+        single-flight compile cache)."""
+        import json as _json
+
+        from ..grammar import Constraint
+
+        key = _json.dumps(spec, sort_keys=True)
+        c = self._constraints.get(key)
+        if c is None:
+            if self.tokenizer is None:
+                raise ValueError("structured output requires a tokenizer")
+            c = Constraint.from_spec(
+                spec, self.tokenizer, self.config.model.vocab_size, self.eos_ids
+            )
+            self._constraints[key] = c
+        return c
 
     def _seq_seed(self, seq: Sequence) -> int:
         if seq.params.seed is not None:
@@ -356,6 +402,10 @@ class LLMEngine:
             seq.generated_token_ids[gen_idx] = token
             seq.pending.pop(gen_idx, None)
             self.stats["generated_tokens"] += 1
+            if seq.constraint is not None and token not in self.eos_ids:
+                seq.constraint_state = seq.constraint.advance(
+                    seq.constraint_state, token
+                )
 
             new_text = ""
             if self.tokenizer is not None:

@@ -28,7 +28,7 @@ class StepFunction:
         self.eos_ids = eos_ids
         self._jit = jax.jit(
             self._step,
-            static_argnames=("layout", "use_penalties", "use_top_filters"),
+            static_argnames=("layout", "use_penalties", "use_top_filters", "use_grammar"),
             donate_argnames=("kv_pages", "token_counts", "ring"),
         )
 
@@ -40,10 +40,12 @@ class StepFunction:
         token_counts: jax.Array,  # [num_slots, V] i32
         ring: jax.Array,  # [K, 2S] i32 — this cycle's output ring (donated)
         prev_ring: jax.Array,  # [K, 2S] i32 — previous cycle's ring (read)
+        grammar_mask: jax.Array,  # [S, ceil(V/32)] i32 (dummy [1,1] when off)
         *,
         layout: PackLayout,
         use_penalties: bool,
         use_top_filters: bool,
+        use_grammar: bool,
     ):
         (
             ring_slot,
@@ -77,6 +79,7 @@ class StepFunction:
             self.eos_ids,
             use_penalties=use_penalties,
             use_top_filters=use_top_filters,
+            grammar_mask=grammar_mask if use_grammar else None,
         )
         if use_penalties:
             token_counts = token_counts.at[slot_ids, tokens].add(
@@ -89,11 +92,17 @@ class StepFunction:
         return kv_pages, token_counts, ring
 
     def __call__(
-        self, *args, layout: PackLayout, use_penalties: bool, use_top_filters: bool
+        self,
+        *args,
+        layout: PackLayout,
+        use_penalties: bool,
+        use_top_filters: bool,
+        use_grammar: bool = False,
     ):
         return self._jit(
             *args,
             layout=layout,
             use_penalties=use_penalties,
             use_top_filters=use_top_filters,
+            use_grammar=use_grammar,
         )

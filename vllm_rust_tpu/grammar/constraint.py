@@ -1,0 +1,87 @@
+"""User-facing constraint objects + per-request state.
+
+Reference: sampling/constraint.rs (choice/regex/JSON-schema
+SamplingConstraint) + grammar/mod.rs StructuredOutputGrammar
+(accept_tokens / fill_bitmask). Compilation happens once per constraint
+spec (cached); per-request state is a single DFA state int, advanced as
+sampled tokens are accepted.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Any
+
+import numpy as np
+
+from .json_schema import json_object_regex, schema_to_regex
+from .regex import DFA
+from .tokenmask import MaskCache, TokenTrie
+
+_trie_cache: dict[int, TokenTrie] = {}
+_lock = threading.Lock()
+
+
+def _get_trie(tokenizer, vocab_size: int) -> TokenTrie:
+    key = id(tokenizer)
+    with _lock:
+        t = _trie_cache.get(key)
+        if t is None:
+            t = TokenTrie.from_tokenizer(tokenizer, vocab_size)
+            _trie_cache[key] = t
+        return t
+
+
+class Constraint:
+    """Compiled constraint shared across requests with the same spec."""
+
+    def __init__(self, pattern: str, tokenizer, vocab_size: int,
+                 eos_ids: tuple[int, ...]):
+        self.pattern = pattern
+        self.dfa = DFA(pattern)
+        trie = _get_trie(tokenizer, vocab_size)
+        self.masks = MaskCache(self.dfa, trie, vocab_size, eos_ids)
+        self.vocab_size = vocab_size
+        self._tok = tokenizer
+        self.eos_ids = set(eos_ids)
+
+    # -- factory --------------------------------------------------------------
+
+    @staticmethod
+    def from_spec(
+        spec: dict[str, Any], tokenizer, vocab_size: int, eos_ids: tuple[int, ...]
+    ) -> "Constraint":
+        """spec: {"choice": [...]} | {"regex": str} | {"json_schema": {...}}
+        | {"json_object": True} (reference constraint.rs kinds)."""
+        if "choice" in spec:
+            from .json_schema import _escape_literal
+
+            pattern = "(" + "|".join(_escape_literal(c) for c in spec["choice"]) + ")"
+        elif "regex" in spec:
+            pattern = spec["regex"]
+        elif "json_schema" in spec:
+            pattern = schema_to_regex(spec["json_schema"])
+        elif spec.get("json_object"):
+            pattern = json_object_regex()
+        else:
+            raise ValueError(f"unknown constraint spec {spec}")
+        return Constraint(pattern, tokenizer, vocab_size, eos_ids)
+
+    # -- per-request state -----------------------------------------------------
+
+    def initial_state(self) -> int:
+        return self.dfa.start
+
+    def mask(self, state: int) -> np.ndarray:
+        """Packed int32 bitmask [ceil(V/32)] of allowed next tokens."""
+        return self.masks.mask_for(state)
+
+    def advance(self, state: int, token_id: int) -> int:
+        """State after accepting a sampled token (EOS leaves state as-is)."""
+        if token_id in self.eos_ids:
+            return state
+        text = self._tok.decode([token_id])
+        return self.dfa.step_string(state, text)
+
+    def is_complete(self, state: int) -> bool:
+        return self.dfa.is_accepting(state)

@@ -46,7 +46,9 @@ class SamplingParams:
     ignore_eos: bool = False
     logprobs: int | None = None
     logit_bias: dict[int, float] = field(default_factory=dict)
-    # structured output (round 2): grammar/json_schema/regex/choice
+    # structured output: {"choice": [...]} | {"regex": str} |
+    # {"json_schema": {...}} | {"json_object": True} (grammar/constraint.py)
+    constraint: dict | None = None
     greedy: bool | None = None  # derived: temperature == 0
 
     def __post_init__(self):
@@ -94,6 +96,9 @@ class Sequence:
     # gen_idx -> (cycle_id, ring_slot, row): ring location of each
     # still-on-device sampled token (token-ring pipeline, engine/engine.py)
     pending: dict[int, tuple[int, int, int]] = field(default_factory=dict)
+    # structured output: compiled Constraint + current DFA state
+    constraint: object | None = None
+    constraint_state: int = 0
 
     @property
     def num_prompt_tokens(self) -> int:

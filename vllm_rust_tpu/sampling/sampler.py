@@ -76,6 +76,18 @@ def _top_filters(scaled: jax.Array, inputs: SamplerInputs) -> jax.Array:
     return out.at[jnp.arange(s)[:, None], sorted_idx].set(masked_sorted)
 
 
+def apply_grammar_mask(logits: jax.Array, mask_words: jax.Array) -> jax.Array:
+    """In-place grammar bitmask (reference ADR 0020 apply_grammar_bitmask
+    CUDA kernel): mask_words [S, ceil(V/32)] packed int32; bit set =
+    token allowed. Unconstrained rows are all-ones; the zero tail
+    implicitly forbids padded vocab entries."""
+    s, v = logits.shape
+    bits = (
+        (mask_words[:, :, None] >> jnp.arange(32, dtype=jnp.int32)) & 1
+    ).reshape(s, -1)[:, :v]
+    return jnp.where(bits > 0, logits, NEG_INF)
+
+
 def sample_tokens(
     logits: jax.Array,  # [S, V] f32
     inputs: SamplerInputs,
@@ -84,11 +96,14 @@ def sample_tokens(
     *,
     use_penalties: bool,
     use_top_filters: bool,
+    grammar_mask: jax.Array | None = None,  # [S, ceil(V/32)] i32
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (sampled token ids [S] i32, chosen logprobs [S] f32)."""
     s, v = logits.shape
     if use_penalties and token_counts is not None:
         logits = apply_penalties(logits, token_counts, inputs)
+    if grammar_mask is not None:
+        logits = apply_grammar_mask(logits, grammar_mask)
 
     if eos_ids:
         eos = jnp.array(eos_ids, jnp.int32)

@@ -119,11 +119,27 @@ class ChatCompletionRequest(BaseModel):
     chat_template_kwargs: dict = Field(default_factory=dict)
     user: str | None = None
 
+    def _constraint(self) -> dict | None:
+        rf = self.response_format
+        if not rf:
+            return None
+        kind = rf.get("type")
+        if kind == "json_object":
+            return {"json_object": True}
+        if kind == "json_schema":
+            js = rf.get("json_schema", {})
+            schema = js.get("schema", js)
+            return {"json_schema": schema}
+        if kind in (None, "text"):
+            return None
+        raise ValueError(f"unsupported response_format type {kind!r}")
+
     def sampling_params(self) -> SamplingParams:
         stops = self.stop if isinstance(self.stop, list) else (
             [self.stop] if self.stop else []
         )
         return SamplingParams(
+            constraint=self._constraint(),
             max_tokens=self.max_completion_tokens or self.max_tokens or 1024,
             min_tokens=self.min_tokens,
             temperature=self.temperature,

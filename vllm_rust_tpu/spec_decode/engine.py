@@ -46,6 +46,14 @@ class SpecLLMEngine(LLMEngine):
         self.stats["draft_tokens"] = 0
         self.stats["accepted_tokens"] = 0
 
+    def add_request(self, request_id, prompt, params=None, priority=0):
+        if params is not None and params.constraint is not None:
+            raise NotImplementedError(
+                "structured output with speculative decoding is not yet "
+                "supported — disable speculation for constrained requests"
+            )
+        return super().add_request(request_id, prompt, params, priority)
+
     # -- synchronous spec stepping --------------------------------------------
 
     def step(self) -> list[RequestOutput]:
