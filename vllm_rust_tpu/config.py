@@ -208,6 +208,11 @@ class CacheConfig:
     num_pages: int = 512
     page_size: int = 16
     kv_dtype: str = "auto"  # auto | fp8_e4m3 | fp8_e5m2 | int8
+    # static K/V quantization scales (reference kv_cache/quantization.rs
+    # calibrates on first write then pins; static scales keep cached bytes
+    # valid for the cache lifetime — contract #10). stored = value/scale.
+    k_scale: float = 1.0
+    v_scale: float = 1.0
 
     @property
     def num_usable_pages(self) -> int:

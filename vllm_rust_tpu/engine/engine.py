@@ -85,6 +85,10 @@ class LLMEngine:
             enable_prefix_caching=config.enable_prefix_caching,
         )
         self.kv_pages = self.kv.create_device_pools(model.dtype)
+        if config.cache.kv_dtype != "auto":
+            # quantized KV: model passes static scales into the attention
+            # write/read paths (pinned for the cache lifetime, contract #10)
+            model.kv_scales = (config.cache.k_scale, config.cache.v_scale)
         self.scheduler = Scheduler(config.scheduler, self.kv, config.max_model_len)
 
         eos_ids = set(config.model.eos_token_ids)

@@ -46,6 +46,9 @@ class LlamaForCausalLM:
         )
         self.rotary = RotarySpec.from_model_config(config)
         self.attention_backend = "auto"
+        # set by the engine when the KV pool is quantized (fp8/int8):
+        # (k_scale, v_scale) as static floats
+        self.kv_scales: tuple | None = None
 
     # -- static structure ---------------------------------------------------
 
@@ -207,6 +210,7 @@ class LlamaForCausalLM:
             h = rms_norm(
                 x, lp["input_layernorm"], cfg.rms_norm_eps, weight_offset=self.norm_offset
             )
+            ks, vs = self.kv_scales if self.kv_scales else (None, None)
             attn_out, kv = attention_block(
                 self.attn_specs[i],
                 lp["self_attn"],
@@ -215,6 +219,8 @@ class LlamaForCausalLM:
                 kv_pages[i],
                 rope_tables,
                 attention_backend=self.attention_backend,
+                k_scale=ks,
+                v_scale=vs,
             )
             new_kv.append(kv)
             x = residual + attn_out

@@ -157,6 +157,7 @@ class Qwen3MoeForCausalLM(LlamaForCausalLM):
             rope_tables = self.rope_tables_for_layer(params, i)
             residual = x
             h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+            ks, vs = self.kv_scales if self.kv_scales else (None, None)
             attn_out, kv = attention_block(
                 self.attn_specs[i],
                 lp["self_attn"],
@@ -165,6 +166,8 @@ class Qwen3MoeForCausalLM(LlamaForCausalLM):
                 kv_pages[i],
                 rope_tables,
                 attention_backend=self.attention_backend,
+                k_scale=ks,
+                v_scale=vs,
             )
             new_kv.append(kv)
             x = residual + attn_out

@@ -83,12 +83,24 @@ class Server:
         tokenizer,
         model_name: str = "model",
         api_key: str | None = None,
+        tool_parser: str | None = None,
+        reasoning_parser: str | None = None,
     ):
         self.engine = engine
         self.tokenizer = tokenizer
         self.model_name = model_name
         self.api_key = api_key
         self.start_time = time.time()
+        self.tool_parser = None
+        self.reasoning_parser = None
+        if tool_parser:
+            from ..tool_parser import get_tool_parser
+
+            self.tool_parser = get_tool_parser(tool_parser)
+        if reasoning_parser:
+            from ..reasoning import get_reasoning_parser
+
+            self.reasoning_parser = get_reasoning_parser(reasoning_parser)
 
     # -- basic ----------------------------------------------------------------
 
@@ -269,11 +281,25 @@ class Server:
 
         out = await self.engine.generate(prompt, params, rid)
         seq = self.engine.engine.requests.get(rid)
+        content = out.output_text
+        message: dict[str, Any] = {"role": "assistant", "content": content}
+        finish = FINISH_MAP.get(out.finish_reason, "stop")
+        if self.reasoning_parser is not None:
+            reasoning, content = self.reasoning_parser.parse(content)
+            message["content"] = content
+            if reasoning:
+                message["reasoning_content"] = reasoning
+        if self.tool_parser is not None and req.tools:
+            content2, calls = self.tool_parser(message["content"] or "")
+            if calls:
+                message["content"] = content2 or None
+                message["tool_calls"] = [c.to_openai() for c in calls]
+                finish = "tool_calls"
         choices = [
             {
                 "index": 0,
-                "message": {"role": "assistant", "content": out.output_text},
-                "finish_reason": FINISH_MAP.get(out.finish_reason, "stop"),
+                "message": message,
+                "finish_reason": finish,
                 "logprobs": None,
             }
         ]
@@ -506,8 +532,17 @@ def build_app(
     tokenizer,
     model_name: str = "model",
     api_key: str | None = None,
+    tool_parser: str | None = None,
+    reasoning_parser: str | None = None,
 ) -> web.Application:
-    s = Server(engine, tokenizer, model_name, api_key)
+    s = Server(
+        engine,
+        tokenizer,
+        model_name,
+        api_key,
+        tool_parser=tool_parser,
+        reasoning_parser=reasoning_parser,
+    )
     app = web.Application(middlewares=[request_middleware])
     app["api_key"] = api_key
     app["server"] = s
@@ -552,6 +587,9 @@ def run_server(args=None) -> None:
     parser.add_argument("--served-model-name", default=None)
     parser.add_argument("--dummy-weights", action="store_true")
     parser.add_argument("--fetch-interval", type=int, default=4)
+    parser.add_argument("--tool-call-parser", default=None)
+    parser.add_argument("--reasoning-parser", default=None)
+    parser.add_argument("--enable-prefix-caching", action="store_true")
     ns = parser.parse_args(args)
 
     from ..entrypoints import LLM
@@ -573,6 +611,8 @@ def run_server(args=None) -> None:
             llm.tokenizer,
             model_name=ns.served_model_name or ns.model,
             api_key=ns.api_key,
+            tool_parser=ns.tool_call_parser,
+            reasoning_parser=ns.reasoning_parser,
         )
         runner = web.AppRunner(app)
         await runner.setup()
