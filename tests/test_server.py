@@ -247,3 +247,64 @@ async def test_response_format_json(client):
     data = await r.json()
     parsed = json.loads(data["choices"][0]["message"]["content"])
     assert isinstance(parsed["n"], int)
+
+
+@with_client
+async def test_responses_api(client):
+    r = await client.post(
+        "/v1/responses",
+        json={"input": "hi there", "max_output_tokens": 5, "temperature": 0},
+    )
+    assert r.status == 200
+    data = await r.json()
+    assert data["status"] == "completed"
+    assert data["output"][0]["content"][0]["type"] == "output_text"
+    rid = data["id"]
+    r = await client.get(f"/v1/responses/{rid}")
+    assert (await r.json())["id"] == rid
+    r = await client.get("/v1/responses/resp_nope")
+    assert r.status == 404
+
+
+@with_client
+async def test_batches_api(client):
+    import io
+
+    jsonl = "\n".join(
+        json.dumps(
+            {
+                "custom_id": f"r{i}",
+                "method": "POST",
+                "url": "/v1/chat/completions",
+                "body": {
+                    "messages": [{"role": "user", "content": f"q{i}"}],
+                    "max_tokens": 3,
+                    "temperature": 0,
+                },
+            }
+        )
+        for i in range(2)
+    )
+    from aiohttp import FormData
+
+    fd = FormData()
+    fd.add_field("file", io.BytesIO(jsonl.encode()), filename="b.jsonl")
+    fd.add_field("purpose", "batch")
+    r = await client.post("/v1/files", data=fd)
+    fid = (await r.json())["id"]
+    r = await client.post(
+        "/v1/batches",
+        json={"input_file_id": fid, "endpoint": "/v1/chat/completions"},
+    )
+    bid = (await r.json())["id"]
+    for _ in range(100):
+        b = await (await client.get(f"/v1/batches/{bid}")).json()
+        if b["status"] == "completed":
+            break
+        await asyncio.sleep(0.1)
+    assert b["status"] == "completed"
+    assert b["request_counts"]["completed"] == 2
+    r = await client.get(f"/v1/files/{b['output_file_id']}/content")
+    lines = (await r.text()).splitlines()
+    assert len(lines) == 2
+    assert json.loads(lines[0])["custom_id"] == "r0"

@@ -1,0 +1,60 @@
+"""Tensor-parallel engine tests on the virtual 8-device CPU mesh.
+
+Reference: distributed/ TP lockstep worker machinery — here SPMD via
+NamedSharding; correctness bar: sharded outputs == unsharded outputs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vllm_rust_tpu.config import CacheConfig, EngineConfig, SchedulerConfig
+from vllm_rust_tpu.engine import LLMEngine
+from vllm_rust_tpu.models import from_config
+from vllm_rust_tpu.request import SamplingParams
+from vllm_rust_tpu.testing import tiny_llama_config
+
+
+def make_engine(tp=1, dp=1):
+    mc = tiny_llama_config(
+        hidden_size=64, num_attention_heads=4, num_key_value_heads=4,
+        intermediate_size=128,
+    )
+    cfg = EngineConfig(
+        model=mc,
+        cache=CacheConfig(num_pages=32, page_size=16),
+        scheduler=SchedulerConfig(max_num_seqs=4, max_tokens_per_step=64),
+        max_model_len=128,
+        token_buckets=(16, 32, 64),
+        tensor_parallel_size=tp,
+        data_parallel_size=dp,
+    )
+    model = from_config(mc, dtype=jnp.float32)
+    params = model.init_params(jax.random.PRNGKey(0))
+    return LLMEngine(model, params, cfg)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 devices")
+def test_tp_engine_matches_single_device():
+    sp = SamplingParams(max_tokens=10, temperature=0.0, ignore_eos=True)
+    prompts = [[1, 2, 3], [9, 8, 7, 6]]
+    base = [o.token_ids for o in make_engine(tp=1).generate(prompts, sp)]
+    tp = make_engine(tp=4)
+    assert tp.mesh is not None
+    assert tp.mesh.devices.shape == (1, 4)
+    sharded = [o.token_ids for o in tp.generate(prompts, sp)]
+    assert sharded == base, f"TP diverged: {sharded} vs {base}"
+    # params actually sharded across devices
+    qw = tp.params["layers"][0]["self_attn"]["q_proj"]["weight"]
+    assert len(qw.sharding.device_set) == 4
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_dp_tp_engine():
+    sp = SamplingParams(max_tokens=6, temperature=0.0, ignore_eos=True)
+    base = [o.token_ids for o in make_engine().generate([[5, 6]], sp)]
+    both = make_engine(tp=4, dp=2)
+    assert both.mesh.devices.shape == (2, 4)
+    out = [o.token_ids for o in both.generate([[5, 6]], sp)]
+    assert out == base

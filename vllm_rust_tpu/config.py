@@ -313,6 +313,10 @@ class EngineConfig:
     # stop-condition latency. Minimum 2.
     fetch_interval: int = 8
     speculative: "SpeculativeConfig | None" = None
+    # SPMD parallelism (reference distributed/process_group.rs ParallelConfig
+    # — here just mesh axis sizes; XLA owns the collectives)
+    tensor_parallel_size: int = 1
+    data_parallel_size: int = 1
 
     def __post_init__(self):
         # Clamp bucket lists to configured maxima so we never compile

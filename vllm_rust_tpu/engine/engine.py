@@ -79,12 +79,28 @@ class LLMEngine:
         self.config = config
         self.tokenizer = tokenizer
 
+        # SPMD: shard params/KV over a dp×tp mesh (reference distributed/
+        # parallel_layers.rs + engine/tensor_parallel.rs lockstep loop —
+        # all of which dissolves into NamedSharding + XLA collectives)
+        self.mesh = None
+        kv_sharding = None
+        if config.tensor_parallel_size * config.data_parallel_size > 1:
+            from ..parallel.mesh import kv_pages_sharding, make_mesh, shard_params
+
+            self.mesh = make_mesh(
+                tp=config.tensor_parallel_size, dp=config.data_parallel_size
+            )
+            self.params = params = shard_params(params, self.mesh)
+            kv_sharding = kv_pages_sharding(self.mesh)
+
         self.kv = KVCacheManager(
             config.cache,
             model.kv_head_info,
             enable_prefix_caching=config.enable_prefix_caching,
         )
-        self.kv_pages = self.kv.create_device_pools(model.dtype)
+        self.kv_pages = self.kv.create_device_pools(
+            model.dtype, sharding=kv_sharding
+        )
         if config.cache.kv_dtype != "auto":
             # quantized KV: model passes static scales into the attention
             # write/read paths (pinned for the cache lifetime, contract #10)
@@ -505,6 +521,28 @@ class LLMEngine:
 
     def reset_prefix_cache(self) -> int:
         return self.kv.reset_prefix_cache()
+
+    def warmup(self, gen_tokens: int = 2) -> float:
+        """Precompile the step for every token bucket (reference warmup.rs:
+        JIT at batch sizes {1..32} + graph capture; here one generation per
+        bucket warms the XLA compilation cache). Returns seconds spent."""
+        t0 = time.monotonic()
+        vocab = self.config.model.vocab_size
+        for t in self.config.token_buckets:
+            n = min(t, self.config.max_model_len - gen_tokens - 1)
+            if n < 1:
+                continue
+            prompt = [(i % (vocab - 2)) + 1 for i in range(n)]
+            self.generate(
+                [prompt],
+                SamplingParams(
+                    max_tokens=gen_tokens, temperature=0.0, ignore_eos=True
+                ),
+            )
+        dt = time.monotonic() - t0
+        logger.info("warmup compiled %d buckets in %.1fs",
+                    len(self.config.token_buckets), dt)
+        return dt
 
     # -- embeddings ------------------------------------------------------------
 

@@ -47,6 +47,8 @@ class LLM:
         seed: int = 0,
         fetch_interval: int = 8,
         speculative: "SpeculativeConfig | dict | None" = None,
+        tensor_parallel_size: int = 1,
+        data_parallel_size: int = 1,
     ):
         if model in _DUMMY_CONFIGS:
             model_cfg = _DUMMY_CONFIGS[model]()
@@ -93,6 +95,8 @@ class LLM:
             max_model_len=max_model_len,
             seed=seed,
             fetch_interval=fetch_interval,
+            tensor_parallel_size=tensor_parallel_size,
+            data_parallel_size=data_parallel_size,
         )
         if isinstance(speculative, dict):
             speculative = SpeculativeConfig(**speculative)

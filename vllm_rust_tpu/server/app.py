@@ -569,6 +569,9 @@ def build_app(
             web.post("/v1/messages", s.anthropic_messages),
         ]
     )
+    from .extra_apis import add_extra_routes
+
+    add_extra_routes(app, s)
     return app
 
 
