@@ -218,3 +218,28 @@ def test_abort():
     eng.abort_request("r")
     assert not eng.has_unfinished
     assert eng.kv.num_free_pages == eng.kv.pool.total_usable
+
+
+def test_victim_preemption_no_double_schedule():
+    """Regression: a running seq preempted as a VICTIM mid-schedule (to
+    make room for an earlier-arrived seq) must not also be scheduled from
+    the stale running-list snapshot in the same round — that double-
+    scheduled it and corrupted token accounting (IndexError in slots)."""
+    eng = make_engine(
+        cache=CacheConfig(num_pages=6, page_size=16),
+        scheduler=SchedulerConfig(max_num_seqs=4, max_tokens_per_step=64),
+        max_model_len=80,
+    )
+    sp = SamplingParams(max_tokens=16, temperature=0.0, ignore_eos=True)
+    for i, p in enumerate([[2, 7, 1, 8], [9, 9, 2], [4, 4, 4, 4]]):
+        eng.add_request(f"r{i}", p, sp)
+    done = {}
+    for _ in range(400):
+        for o in eng.step():
+            if o.finished:
+                done[o.request_id] = o
+        if not eng.has_unfinished:
+            break
+    assert len(done) == 3
+    assert all(len(o.token_ids) == 16 for o in done.values())
+    assert eng.kv.pool.num_free == eng.kv.pool.total_usable

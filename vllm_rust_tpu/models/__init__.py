@@ -60,6 +60,13 @@ def _populate():
     except ImportError:
         pass
     try:
+        from .deepseek import DeepseekV2ForCausalLM, DeepseekV3ForCausalLM
+
+        _REGISTRY["DeepseekV2ForCausalLM"] = DeepseekV2ForCausalLM
+        _REGISTRY["DeepseekV3ForCausalLM"] = DeepseekV3ForCausalLM
+    except ImportError:
+        pass
+    try:
         from .qwen3_moe import MixtralForCausalLM, Qwen3MoeForCausalLM
 
         _REGISTRY["Qwen3MoeForCausalLM"] = Qwen3MoeForCausalLM

@@ -125,6 +125,10 @@ class Scheduler:
         # (a) running requests, arrival order
         no_fit: list[Sequence] = []
         for seq in list(self.running):
+            if seq.status != RequestStatus.RUNNING:
+                # preempted as a victim earlier in THIS loop (the snapshot
+                # is stale); it is back in the waiting queue now
+                continue
             if budget <= 0:
                 break  # stays running, scheduled next step
             if (
