@@ -34,7 +34,7 @@ class PackLayout:
 
     @property
     def seq_base(self) -> int:
-        return 2 + 4 * self.t
+        return 2 + 5 * self.t
 
     @property
     def page_base(self) -> int:
@@ -62,6 +62,7 @@ class HostBatch:
         self.feedback_src = self.buf[tb + t : tb + 2 * t]
         self.positions = self.buf[tb + 2 * t : tb + 3 * t]
         self.slot_mapping = self.buf[tb + 3 * t : tb + 4 * t]
+        self.lora_idx = self.buf[tb + 4 * t : tb + 5 * t]
         self.kv_lens = self.buf[sb : sb + s]
         self.logits_indices = self.buf[sb + s : sb + 2 * s]
         self.slot_ids = self.buf[sb + 2 * s : sb + 3 * s]
@@ -83,6 +84,7 @@ class HostBatch:
     def reset(self):
         self.buf.fill(0)
         self.feedback_src.fill(-1)
+        self.lora_idx.fill(-1)
         self.temperature.fill(1.0)
         self.top_p.fill(1.0)
         self.repetition_penalty.fill(1.0)
@@ -124,6 +126,7 @@ def unpack_device(meta, layout: PackLayout):
     )
     input_ids = meta[tb : tb + t]
     feedback_src = meta[tb + t : tb + 2 * t]
+    lora_idx = meta[tb + 4 * t : tb + 5 * t]
     slot_ids = meta[sb + 2 * s : sb + 3 * s]
     sample_mask = meta[sb + 3 * s : sb + 4 * s] > 0
-    return ring_slot, input_ids, feedback_src, md, si, slot_ids, sample_mask
+    return ring_slot, input_ids, feedback_src, md, si, slot_ids, sample_mask, lora_idx

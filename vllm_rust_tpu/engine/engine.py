@@ -134,6 +134,7 @@ class LLMEngine:
         self._step_count = 0
         self._embed_runners: dict = {}
         self._constraints: dict = {}
+        self.lora = None  # LoraManager (enable_lora())
         self._mask_words = (config.model.vocab_size + 31) // 32
         self._dummy_mask = jnp.zeros((1, 1), jnp.int32)
         self.stats = {
@@ -168,6 +169,10 @@ class LLMEngine:
         if params.constraint is not None:
             seq.constraint = self._get_constraint(params.constraint)
             seq.constraint_state = seq.constraint.initial_state()
+        if params.lora_name is not None:
+            if self.lora is None:
+                raise ValueError("LoRA is not enabled on this engine")
+            seq.lora_slot = self.lora.slot_of(params.lora_name)
         self.scheduler.add_request(seq)  # raises on unschedulable
         self.requests[request_id] = seq
         self.stats["prompt_tokens"] += len(token_ids)
@@ -261,6 +266,7 @@ class LLMEngine:
 
         use_penalties = False
         use_top_filters = False
+        use_lora = False
         use_grammar = any(s.seq.constraint is not None for s in scheduled)
         if use_grammar:
             # unconstrained rows: all-ones (padded vocab tail stays 0-free
@@ -322,6 +328,9 @@ class LLMEngine:
                     "constrained sequence scheduled with unresolved tokens"
                 )
                 grammar_mask[i] = seq.constraint.mask(seq.constraint_state)
+            if seq.lora_slot >= 0:
+                hb.lora_idx[offset : offset + n] = seq.lora_slot
+                use_lora = True
             offset += n
 
             # advance state optimistically (async scheduling)
@@ -349,6 +358,7 @@ class LLMEngine:
             use_penalties=use_penalties,
             use_top_filters=use_top_filters,
             use_grammar=use_grammar,
+            use_lora=use_lora,
         )
         rec = StepRecord(
             cycle_id=self._cycle_id, ring_slot=ring_slot, entries=entries
@@ -521,6 +531,14 @@ class LLMEngine:
 
     def reset_prefix_cache(self) -> int:
         return self.kv.reset_prefix_cache()
+
+    def enable_lora(self, max_loras: int = 4, max_rank: int = 64):
+        """Attach LoRA slots to the param tree (reference LoraManager)."""
+        if self.lora is None:
+            from ..lora import LoraManager
+
+            self.lora = LoraManager(self, max_loras=max_loras, max_rank=max_rank)
+        return self.lora
 
     def warmup(self, gen_tokens: int = 2) -> float:
         """Precompile the step for every token bucket (reference warmup.rs:

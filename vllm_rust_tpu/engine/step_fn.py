@@ -28,7 +28,7 @@ class StepFunction:
         self.eos_ids = eos_ids
         self._jit = jax.jit(
             self._step,
-            static_argnames=("layout", "use_penalties", "use_top_filters", "use_grammar"),
+            static_argnames=("layout", "use_penalties", "use_top_filters", "use_grammar", "use_lora"),
             donate_argnames=("kv_pages", "token_counts", "ring"),
         )
 
@@ -46,6 +46,7 @@ class StepFunction:
         use_penalties: bool,
         use_top_filters: bool,
         use_grammar: bool,
+        use_lora: bool,
     ):
         (
             ring_slot,
@@ -55,6 +56,7 @@ class StepFunction:
             sampler_inputs,
             slot_ids,
             sample_mask,
+            lora_idx,
         ) = unpack_device(meta, layout)
         s = slot_ids.shape[0]
         k = ring.shape[0]
@@ -67,7 +69,13 @@ class StepFunction:
         fed = ring_tokens[jnp.clip(feedback_src, 0, 2 * k * s - 1)]
         input_ids = jnp.where(feedback_src >= 0, fed, input_ids)
 
-        hidden, kv_pages = self.model(params, input_ids, md, kv_pages)
+        from ..layers.linear import lora_context
+
+        if use_lora:
+            with lora_context(lora_idx):
+                hidden, kv_pages = self.model(params, input_ids, md, kv_pages)
+        else:
+            hidden, kv_pages = self.model(params, input_ids, md, kv_pages)
         sel = hidden[md.logits_indices]  # [S, H]
         logits = self.model.compute_logits(params, sel)  # [S, V] f32
 
@@ -98,6 +106,7 @@ class StepFunction:
         use_penalties: bool,
         use_top_filters: bool,
         use_grammar: bool = False,
+        use_lora: bool = False,
     ):
         return self._jit(
             *args,
@@ -105,4 +114,5 @@ class StepFunction:
             use_penalties=use_penalties,
             use_top_filters=use_top_filters,
             use_grammar=use_grammar,
+            use_lora=use_lora,
         )

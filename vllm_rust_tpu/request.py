@@ -49,6 +49,8 @@ class SamplingParams:
     # structured output: {"choice": [...]} | {"regex": str} |
     # {"json_schema": {...}} | {"json_object": True} (grammar/constraint.py)
     constraint: dict | None = None
+    # name of a loaded LoRA adapter (engine.lora manager slot lookup)
+    lora_name: str | None = None
     greedy: bool | None = None  # derived: temperature == 0
 
     def __post_init__(self):
@@ -99,6 +101,8 @@ class Sequence:
     # structured output: compiled Constraint + current DFA state
     constraint: object | None = None
     constraint_state: int = 0
+    # LoRA adapter slot (-1 = none)
+    lora_slot: int = -1
 
     @property
     def num_prompt_tokens(self) -> int:

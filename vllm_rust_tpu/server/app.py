@@ -67,7 +67,7 @@ async def request_middleware(request: web.Request, handler):
         return _error(400, str(e))
     except web.HTTPException:
         raise
-    except ValueError as e:
+    except (ValueError, FileNotFoundError, NotImplementedError) as e:
         return _error(400, str(e))
     except Exception:
         logger.exception("handler error [%s]", request["request_id"])
@@ -173,6 +173,34 @@ class Server:
 
     async def is_paused(self, request):
         return web.json_response({"paused": self.engine.is_paused})
+
+    # -- LoRA hot-load (reference api/mod.rs:934-936) --------------------------
+
+    async def load_lora(self, request):
+        body = await request.json()
+        name = body.get("lora_name")
+        path = body.get("lora_path")
+        if not name or not path:
+            return _error(400, "lora_name and lora_path are required")
+        eng = self.engine.engine
+        mgr = eng.enable_lora()
+        slot = mgr.load(name, path)
+        return web.json_response({"status": "ok", "name": name, "slot": slot})
+
+    async def unload_lora(self, request):
+        body = await request.json()
+        name = body.get("lora_name")
+        eng = self.engine.engine
+        if eng.lora is None:
+            return _error(400, "LoRA is not enabled")
+        eng.lora.unload(name)
+        return web.json_response({"status": "ok"})
+
+    async def list_lora(self, request):
+        eng = self.engine.engine
+        return web.json_response(
+            {"adapters": eng.lora.list() if eng.lora else []}
+        )
 
     # -- completions -----------------------------------------------------------
 
@@ -567,6 +595,9 @@ def build_app(
             web.post("/v1/embeddings", s.embeddings),
             web.post("/v1/chat/completions", s.chat_completions),
             web.post("/v1/messages", s.anthropic_messages),
+            web.post("/v1/load_lora_adapter", s.load_lora),
+            web.post("/v1/unload_lora_adapter", s.unload_lora),
+            web.get("/v1/lora_adapters", s.list_lora),
         ]
     )
     from .extra_apis import add_extra_routes

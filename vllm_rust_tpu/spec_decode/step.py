@@ -50,6 +50,7 @@ class SpecStepFunction:
             sampler_inputs,
             slot_ids,
             sample_mask,
+            _lora_idx,
         ) = unpack_device(meta, layout)
         s = slot_ids.shape[0]
 
