@@ -60,6 +60,24 @@ def _populate():
     except ImportError:
         pass
     try:
+        from .phi import GPT2LMHeadModel, Phi3ForCausalLM
+
+        _REGISTRY.update(
+            {
+                "Phi3ForCausalLM": Phi3ForCausalLM,
+                "Phi4ForCausalLM": Phi3ForCausalLM,
+                "GPT2LMHeadModel": GPT2LMHeadModel,
+            }
+        )
+    except ImportError:
+        pass
+    try:
+        from .misc_archs import register_misc
+
+        register_misc(_REGISTRY)
+    except ImportError:
+        pass
+    try:
         from .deepseek import DeepseekV2ForCausalLM, DeepseekV3ForCausalLM
 
         _REGISTRY["DeepseekV2ForCausalLM"] = DeepseekV2ForCausalLM

@@ -37,6 +37,9 @@ class LlamaForCausalLM:
     norm_offset: float = 0.0  # 1.0 => Gemma (1+w) norms
     embedding_multiplier: float | None = None
     extra_ffn_norms: bool = False  # Gemma2/3 pre/post feedforward norms
+    # GLM4-style norms applied to sublayer OUTPUTS before the residual add
+    post_sublayer_norms: bool = False
+    residual_multiplier: float = 1.0  # Granite
 
     def __init__(self, config: ModelConfig, dtype: Any = jnp.bfloat16):
         self.config = config
@@ -123,6 +126,9 @@ class LlamaForCausalLM:
             if self.extra_ffn_norms:
                 lp["pre_feedforward_layernorm"] = jnp.ones((h,), d) - self.norm_offset
                 lp["post_feedforward_layernorm"] = jnp.ones((h,), d) - self.norm_offset
+            if self.post_sublayer_norms:
+                lp["post_self_attn_layernorm"] = jnp.ones((h,), d)
+                lp["post_mlp_layernorm"] = jnp.ones((h,), d)
             layers.append(lp)
 
         params = {
@@ -223,7 +229,11 @@ class LlamaForCausalLM:
                 v_scale=vs,
             )
             new_kv.append(kv)
-            x = residual + attn_out
+            if self.post_sublayer_norms:
+                attn_out = rms_norm(
+                    attn_out, lp["post_self_attn_layernorm"], cfg.rms_norm_eps
+                )
+            x = residual + attn_out * self.residual_multiplier
 
             residual = x
             h = rms_norm(
@@ -247,7 +257,9 @@ class LlamaForCausalLM:
                     cfg.rms_norm_eps,
                     weight_offset=self.norm_offset,
                 )
-            x = residual + ffn
+            if self.post_sublayer_norms:
+                ffn = rms_norm(ffn, lp["post_mlp_layernorm"], cfg.rms_norm_eps)
+            x = residual + ffn * self.residual_multiplier
 
         x = rms_norm(x, params["norm"], cfg.rms_norm_eps, weight_offset=self.norm_offset)
         return x, new_kv
