@@ -243,3 +243,45 @@ def test_victim_preemption_no_double_schedule():
     assert len(done) == 3
     assert all(len(o.token_ids) == 16 for o in done.values())
     assert eng.kv.pool.num_free == eng.kv.pool.total_usable
+
+
+def test_swap_preemption():
+    """Swap-mode preemption restores KV from host memory instead of
+    recomputing (reference kv_cache/offload.rs + Swap preempt target)."""
+    eng = make_engine(
+        cache=CacheConfig(num_pages=6, page_size=16),
+        scheduler=SchedulerConfig(
+            max_num_seqs=4, max_tokens_per_step=64, preemption_mode="swap"
+        ),
+        max_model_len=80,
+    )
+    assert eng.kv.offload is not None
+    sp = SamplingParams(max_tokens=20, temperature=0.0, ignore_eos=True)
+    for i in range(3):
+        eng.add_request(f"r{i}", [10 + i, 20 + i, 30 + i], sp)
+    done = {}
+    for _ in range(400):
+        for o in eng.step():
+            if o.finished:
+                done[o.request_id] = o
+        if not eng.has_unfinished:
+            break
+    assert len(done) == 3
+    assert eng.kv.offload.stats["swap_outs"] >= 1, "no swaps happened"
+    assert eng.kv.offload.stats["swap_ins"] == eng.kv.offload.stats["swap_outs"]
+    assert eng.kv.offload.used_bytes == 0
+
+    # results identical to an unpressured recompute engine
+    eng2 = make_engine(
+        cache=CacheConfig(num_pages=32, page_size=16),
+        scheduler=SchedulerConfig(max_num_seqs=4, max_tokens_per_step=64),
+    )
+    for i in range(3):
+        eng2.add_request(f"r{i}", [10 + i, 20 + i, 30 + i], sp)
+    done2 = {}
+    while eng2.has_unfinished:
+        for o in eng2.step():
+            if o.finished:
+                done2[o.request_id] = o
+    for k in done:
+        assert done[k].token_ids == done2[k].token_ids, f"{k} diverged after swap"

@@ -106,6 +106,10 @@ class LLMEngine:
             # write/read paths (pinned for the cache lifetime, contract #10)
             model.kv_scales = (config.cache.k_scale, config.cache.v_scale)
         self.scheduler = Scheduler(config.scheduler, self.kv, config.max_model_len)
+        if config.scheduler.preemption_mode == "swap":
+            from ..kv_cache.offload import CpuOffloadManager
+
+            self.kv.offload = CpuOffloadManager(self)
 
         eos_ids = set(config.model.eos_token_ids)
         if tokenizer is not None and getattr(tokenizer, "eos_token_id", None) is not None:
@@ -279,6 +283,12 @@ class LLMEngine:
         offset = 0
         for i, s in enumerate(scheduled):
             seq, n = s.seq, s.num_tokens
+            if seq.swapped:
+                # restore host-resident KV into the freshly allocated pages
+                self.kv.offload.swap_in(
+                    seq.request_id, self.kv.get_table(seq).pages
+                )
+                seq.swapped = False
             start = seq.num_computed_tokens
             end = start + n
             chunk = seq.all_token_ids[start:end]

@@ -46,6 +46,8 @@ class KVCacheManager:
             self.pool.evict_source = self.prefix.evict
         # request_id -> number of pages already registered in the cache
         self._registered: dict[str, int] = {}
+        # CpuOffloadManager when swap-mode preemption is enabled
+        self.offload = None
 
     # -- device pools -------------------------------------------------------
 
@@ -103,8 +105,24 @@ class KVCacheManager:
     def free(self, seq: Sequence) -> None:
         t = self.tables.pop(seq.request_id, None)
         self._registered.pop(seq.request_id, None)
+        if self.offload is not None:
+            self.offload.drop(seq.request_id)
         if t is not None:
             self._release_pages(t)
+
+    def try_swap_out(self, seq: Sequence) -> bool:
+        """Swap-mode preemption: host-copy the pages, then release them.
+        Returns False when the host budget rejects (fallback: recompute)."""
+        if self.offload is None:
+            return False
+        t = self.tables.get(seq.request_id)
+        if t is None or not t.pages:
+            return False
+        if not self.offload.swap_out(seq.request_id, list(t.pages)):
+            return False
+        self._registered.pop(seq.request_id, None)
+        self._release_pages(t)
+        return True
 
     def free_for_recompute(self, seq: Sequence) -> None:
         """Preemption (recompute mode): return all pages, keep the request."""

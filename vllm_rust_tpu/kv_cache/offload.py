@@ -1,0 +1,69 @@
+"""CPU offload of KV pages: swap-mode preemption.
+
+Reference: kv_cache/offload.rs (CpuOffloadManager :59 — evicted device
+blocks copied into host tensors, restored on resume) + the scheduler's
+Swap preemption target. Swapped sequences keep num_computed_tokens, so
+resume is a single decode step instead of a full re-prefill — the right
+trade when prompts are long and HBM pressure is transient.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class CpuOffloadManager:
+    def __init__(self, engine, max_bytes: int = 2 << 30):
+        self.engine = engine
+        self.max_bytes = max_bytes
+        self.used_bytes = 0
+        # request_id -> list of per-layer host arrays [n_pages, ps, 2K, D]
+        self.store: dict[str, list[np.ndarray]] = {}
+        self.stats = {"swap_outs": 0, "swap_ins": 0, "rejected": 0}
+
+    def can_swap_out(self, n_pages: int) -> bool:
+        per_page = sum(
+            int(np.prod(p.shape[1:])) * p.dtype.itemsize
+            for p in self.engine.kv_pages
+        )
+        return self.used_bytes + n_pages * per_page <= self.max_bytes
+
+    def swap_out(self, request_id: str, pages: list[int]) -> bool:
+        """Copy a sequence's pages to host memory. Returns False when the
+        host budget is exhausted (caller falls back to recompute)."""
+        if not pages or not self.can_swap_out(len(pages)):
+            self.stats["rejected"] += 1
+            return False
+        idx = jnp.asarray(pages, jnp.int32)
+        layers = []
+        for pool in self.engine.kv_pages:
+            # gather [n_pages, ps, 2K, D]; np.asarray syncs in-flight steps
+            layers.append(np.asarray(pool[idx]))
+        self.store[request_id] = layers
+        self.used_bytes += sum(a.nbytes for a in layers)
+        self.stats["swap_outs"] += 1
+        return True
+
+    def has(self, request_id: str) -> bool:
+        return request_id in self.store
+
+    def swap_in(self, request_id: str, pages: list[int]) -> None:
+        """Scatter stored pages back into freshly allocated device pages."""
+        layers = self.store.pop(request_id)
+        self.used_bytes -= sum(a.nbytes for a in layers)
+        idx = jnp.asarray(pages, jnp.int32)
+        new_pools = []
+        for pool, host in zip(self.engine.kv_pages, layers):
+            new_pools.append(pool.at[idx].set(jnp.asarray(host, pool.dtype)))
+        self.engine.kv_pages = new_pools
+        self.stats["swap_ins"] += 1
+
+    def drop(self, request_id: str) -> None:
+        layers = self.store.pop(request_id, None)
+        if layers is not None:
+            self.used_bytes -= sum(a.nbytes for a in layers)

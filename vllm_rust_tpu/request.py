@@ -103,6 +103,8 @@ class Sequence:
     constraint_state: int = 0
     # LoRA adapter slot (-1 = none)
     lora_slot: int = -1
+    # swap-mode preemption: KV pages live in host memory awaiting resume
+    swapped: bool = False
 
     @property
     def num_prompt_tokens(self) -> int:

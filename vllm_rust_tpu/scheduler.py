@@ -242,10 +242,15 @@ class Scheduler:
         return max(candidates, key=lambda s: s.arrival_time)
 
     def _preempt(self, seq: Sequence, d: ScheduleDecision) -> None:
-        """Recompute-mode preemption (contract #3): free pages, reset
-        num_computed_tokens, keep generated tokens; requeue at waiting head."""
-        self.kv.free_for_recompute(seq)
-        seq.reset_for_recompute()
+        """Preemption: swap (host-copy KV, keep num_computed_tokens) when
+        configured and within budget, else recompute (contract #3: free
+        pages, reset computed, keep generated tokens). Requeue at head."""
+        if self.config.preemption_mode == "swap" and self.kv.try_swap_out(seq):
+            seq.swapped = True
+            seq.status = RequestStatus.PREEMPTED
+        else:
+            self.kv.free_for_recompute(seq)
+            seq.reset_for_recompute()
         if seq in self.running:
             self.running.remove(seq)
         self.waiting.insert(0, seq)
