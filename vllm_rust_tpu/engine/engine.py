@@ -572,6 +572,12 @@ class LLMEngine:
                     len(self.config.token_buckets), dt)
         return dt
 
+    def beam_search(self, prompt, **kw):
+        """Beam search (reference sampling/beam.rs; see engine/beam_search)."""
+        from .beam_search import beam_search
+
+        return beam_search(self, prompt, **kw)
+
     # -- embeddings ------------------------------------------------------------
 
     def embed(
