@@ -90,8 +90,12 @@ class HostBatch:
         self.repetition_penalty.fill(1.0)
 
 
-def unpack_device(meta, layout: PackLayout):
-    """Inside-jit unpack of the packed vector into metadata structs."""
+def unpack_device(meta, layout: PackLayout, p_eff: int | None = None):
+    """Inside-jit unpack of the packed vector into metadata structs.
+
+    ``p_eff``: bucketed page-table width — attention kernels only scan
+    page slots that can actually be live given the batch's max kv length
+    (static slice; a major win for short-context decode)."""
     t, s, p = layout.t, layout.s, layout.p
     tb, sb, pb, fb = (
         layout.token_base,
@@ -103,10 +107,13 @@ def unpack_device(meta, layout: PackLayout):
 
     floats = jax.lax.bitcast_convert_type(meta[fb:], jnp.float32)
     ring_slot = meta[0]
+    page_indices = meta[pb : pb + s * p].reshape(s, p)
+    if p_eff is not None and p_eff < p:
+        page_indices = page_indices[:, :p_eff]
     md = AttentionMetadata(
         slot_mapping=meta[tb + 3 * t : tb + 4 * t],
         kv_lens=meta[sb : sb + s],
-        page_indices=meta[pb : pb + s * p].reshape(s, p),
+        page_indices=page_indices,
         cu_q_lens=meta[sb + 8 * s : sb + 9 * s + 1],
         num_seqs=meta[1:2],
         positions=meta[tb + 2 * t : tb + 3 * t],

@@ -365,10 +365,12 @@ class LLMEngine:
             self._ring_prev,
             jnp.asarray(grammar_mask) if use_grammar else self._dummy_mask,
             layout=hb.layout,
+            p_bucket=self._page_bucket(scheduled),
             use_penalties=use_penalties,
             use_top_filters=use_top_filters,
             use_grammar=use_grammar,
             use_lora=use_lora,
+            decode_only=all(s.num_tokens == 1 for s in scheduled),
         )
         rec = StepRecord(
             cycle_id=self._cycle_id, ring_slot=ring_slot, entries=entries
@@ -394,6 +396,20 @@ class LLMEngine:
             )
             self._constraints[key] = c
         return c
+
+    def _page_bucket(self, scheduled) -> int:
+        """Bucketed page-table width for this batch (static per variant):
+        kernels scan only page slots that can be live."""
+        ps = self.config.cache.page_size
+        full = self.config.pages_per_seq
+        max_pages = max(
+            (s.seq.num_computed_tokens + s.num_tokens + ps - 1) // ps
+            for s in scheduled
+        )
+        for b in (8, 16, 32, 64, 128, 256):
+            if b >= max_pages and b <= full:
+                return b
+        return full
 
     def _seq_seed(self, seq: Sequence) -> int:
         if seq.params.seed is not None:

@@ -28,7 +28,7 @@ class StepFunction:
         self.eos_ids = eos_ids
         self._jit = jax.jit(
             self._step,
-            static_argnames=("layout", "use_penalties", "use_top_filters", "use_grammar", "use_lora"),
+            static_argnames=("layout", "p_bucket", "use_penalties", "use_top_filters", "use_grammar", "use_lora", "decode_only"),
             donate_argnames=("kv_pages", "token_counts", "ring"),
         )
 
@@ -43,10 +43,12 @@ class StepFunction:
         grammar_mask: jax.Array,  # [S, ceil(V/32)] i32 (dummy [1,1] when off)
         *,
         layout: PackLayout,
+        p_bucket: int,
         use_penalties: bool,
         use_top_filters: bool,
         use_grammar: bool,
         use_lora: bool,
+        decode_only: bool,
     ):
         (
             ring_slot,
@@ -57,7 +59,7 @@ class StepFunction:
             slot_ids,
             sample_mask,
             lora_idx,
-        ) = unpack_device(meta, layout)
+        ) = unpack_device(meta, layout, p_bucket)
         s = slot_ids.shape[0]
         k = ring.shape[0]
         # Device-side token feedback: token slots whose id was produced by a
@@ -69,12 +71,17 @@ class StepFunction:
         fed = ring_tokens[jnp.clip(feedback_src, 0, 2 * k * s - 1)]
         input_ids = jnp.where(feedback_src >= 0, fed, input_ids)
 
-        from ..layers.linear import lora_context
+        import contextlib
 
-        if use_lora:
-            with lora_context(lora_idx):
-                hidden, kv_pages = self.model(params, input_ids, md, kv_pages)
-        else:
+        from ..layers.linear import lora_context
+        from ..ops.paged_attention import decode_mode
+
+        ctx = contextlib.ExitStack()
+        with ctx:
+            if use_lora:
+                ctx.enter_context(lora_context(lora_idx))
+            if decode_only:
+                ctx.enter_context(decode_mode())
             hidden, kv_pages = self.model(params, input_ids, md, kv_pages)
         sel = hidden[md.logits_indices]  # [S, H]
         logits = self.model.compute_logits(params, sel)  # [S, V] f32
@@ -103,16 +110,20 @@ class StepFunction:
         self,
         *args,
         layout: PackLayout,
+        p_bucket: int,
         use_penalties: bool,
         use_top_filters: bool,
         use_grammar: bool = False,
         use_lora: bool = False,
+        decode_only: bool = False,
     ):
         return self._jit(
             *args,
             layout=layout,
+            p_bucket=p_bucket,
             use_penalties=use_penalties,
             use_top_filters=use_top_filters,
             use_grammar=use_grammar,
             use_lora=use_lora,
+            decode_only=decode_only,
         )

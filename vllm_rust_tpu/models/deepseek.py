@@ -214,7 +214,8 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
 
         n_keys = cfg.num_hidden_layers * 16 + 8
         if rng is not None:
-            ki = iter(jax.random.split(rng, n_keys))
+            _k = jax.random.split(rng, n_keys)
+            ki = iter([_k[i] for i in range(n_keys)])
         else:
             ki = iter([None] * n_keys)
 

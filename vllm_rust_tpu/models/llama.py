@@ -88,11 +88,12 @@ class LlamaForCausalLM:
                 return jnp.zeros(shape, d)
             return (scale * jax.random.normal(key, shape, jnp.float32)).astype(d)
 
-        keys = iter(
-            jax.random.split(rng, cfg.num_hidden_layers * 8 + 4)
-            if rng is not None
-            else [None] * (cfg.num_hidden_layers * 8 + 4)
-        )
+        n_keys = cfg.num_hidden_layers * 8 + 4
+        if rng is not None:
+            _k = jax.random.split(rng, n_keys)
+            keys = iter([_k[i] for i in range(n_keys)])
+        else:
+            keys = iter([None] * n_keys)
         h, hd = cfg.hidden_size, cfg.head_dim
         nh, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
         inter = cfg.intermediate_size

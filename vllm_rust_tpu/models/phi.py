@@ -104,11 +104,12 @@ class GPT2LMHeadModel(LlamaForCausalLM):
                 return jnp.zeros(shape, d)
             return (scale * jax.random.normal(key, shape, jnp.float32)).astype(d)
 
-        keys = iter(
-            jax.random.split(rng, cfg.num_hidden_layers * 6 + 4)
-            if rng is not None
-            else [None] * (cfg.num_hidden_layers * 6 + 4)
-        )
+        n_keys = cfg.num_hidden_layers * 6 + 4
+        if rng is not None:
+            _k = jax.random.split(rng, n_keys)
+            keys = iter([_k[i] for i in range(n_keys)])
+        else:
+            keys = iter([None] * n_keys)
         layers = []
         for i in range(cfg.num_hidden_layers):
             layers.append(

@@ -18,6 +18,8 @@ Backends:
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 
 import jax
@@ -25,6 +27,21 @@ import jax.numpy as jnp
 
 from ..utils import on_tpu
 from .attn_metadata import AttentionMetadata
+
+# Trace-time hint set by the engine step when the batch is PURE DECODE
+# (one token per sequence): routes "auto" to the in-house decode kernel.
+_DECODE_ONLY: contextvars.ContextVar = contextvars.ContextVar(
+    "decode_only", default=False
+)
+
+
+@contextlib.contextmanager
+def decode_mode():
+    tok = _DECODE_ONLY.set(True)
+    try:
+        yield
+    finally:
+        _DECODE_ONLY.reset(tok)
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
@@ -111,7 +128,10 @@ def ragged_paged_attention_op(
     backend: str = "auto",
 ) -> jax.Array:
     if backend == "auto":
-        backend = "jax" if on_tpu() else "ref"
+        if on_tpu():
+            backend = "decode" if _DECODE_ONLY.get() else "jax"
+        else:
+            backend = "ref"
     if backend == "ref":
         return _ref_ragged_paged_attention(
             q,
@@ -145,6 +165,20 @@ def ragged_paged_attention_op(
             num_kv_pages_per_block=8,
             num_queries_per_block=32,
             vmem_limit_bytes=100 * 1024 * 1024,
+        )
+    if backend == "decode":
+        from .pallas.decode_attention import decode_paged_attention
+
+        return decode_paged_attention(
+            q,
+            kv_pages,
+            md.kv_lens,
+            md.page_indices,
+            sm_scale=sm_scale,
+            sliding_window=sliding_window,
+            soft_cap=soft_cap,
+            k_scale=k_scale,
+            v_scale=v_scale,
         )
     if backend == "pallas":
         from .pallas.ragged_attention import ragged_paged_attention_pallas

@@ -51,7 +51,7 @@ class SpecStepFunction:
             slot_ids,
             sample_mask,
             _lora_idx,
-        ) = unpack_device(meta, layout)
+        ) = unpack_device(meta, layout)  # full page width (sync path)
         s = slot_ids.shape[0]
 
         hidden, kv_pages = self.model(params, input_ids, md, kv_pages)
