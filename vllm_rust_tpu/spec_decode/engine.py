@@ -2,12 +2,17 @@
 
 Reference: crates/core/src/engine/speculative.rs (SpeculativeExecution
 :439, execute_decodes :763) + the KV-trim-to-accepted contract. The
-engine steps synchronously (no token ring): each step proposes drafts on
-host, scores the [last, d_1..d_K] window on device, fetches the packed
-(samples, accepted, logprobs) result, emits up to K+1 tokens per
-sequence and rolls `num_computed_tokens` back to the accepted length —
-rejected-draft KV entries are simply overwritten by the next step (same
-pages, recomputed slot mapping).
+engine steps synchronously (no token ring): each step proposes drafts
+(host n-gram scan, batched draft-model pass, or stored in-step head
+output), scores the [last, d_1..d_K] window on device, fetches the
+packed (samples, accepted, logprobs, next-drafts) result, emits up to
+K+1 tokens per sequence and rolls `num_computed_tokens` back to the
+accepted length — rejected-draft KV entries are simply overwritten by
+the next step (same pages, recomputed slot mapping).
+
+Verification modes (see spec_decode/step.py): "sample" (greedy-exact for
+greedy rows, rejection sampling for stochastic rows — both lossless) and
+"typical" (threshold acceptance for stochastic rows).
 """
 
 from __future__ import annotations
@@ -25,17 +30,34 @@ from .step import SpecStepFunction
 
 
 class SpecLLMEngine(LLMEngine):
-    def __init__(self, model, params, config: EngineConfig, tokenizer=None,
-                 proposer=None):
+    def __init__(
+        self,
+        model,
+        params,
+        config: EngineConfig,
+        tokenizer=None,
+        proposer=None,
+        acceptance_method: str = "sample",
+    ):
         super().__init__(model, params, config, tokenizer)
         assert proposer is not None
         self.proposer = proposer
+        if hasattr(proposer, "bind"):
+            proposer.bind(self)
         self.k = proposer.max_draft_tokens
-        self.spec_step_fn = SpecStepFunction(model, self.eos_ids)
-        # decode steps claim a K+1 token window (greedy requests only;
-        # clamped near max_model_len)
+        head_fn = getattr(proposer, "device_head_fn", None)
+        self.head_params = getattr(proposer, "device_params", None)
+        if head_fn is not None and self.head_params is None:
+            raise ValueError("proposer has device heads but no params loaded")
+        self.spec_step_fn = SpecStepFunction(
+            model, self.eos_ids, head_fn=head_fn, acceptance=acceptance_method
+        )
+        self._has_heads = head_fn is not None
+        # decode steps claim a K+1 token window (penalty-free requests;
+        # clamped near max_model_len). Penalized requests fall back to
+        # width 1: penalty counts would change within the window.
         def _width(seq):
-            if not seq.params.greedy:
+            if seq.params.uses_penalties or seq.constraint is not None:
                 return 1
             return max(
                 1,
@@ -61,12 +83,32 @@ class SpecLLMEngine(LLMEngine):
         self.stats["num_preemptions"] += len(decision.preempted)
         for seq in decision.preempted:
             self._release_slot(seq)
+            if hasattr(self.proposer, "on_preempt"):
+                self.proposer.on_preempt(seq)
         if not decision.scheduled:
             return []
         for s in decision.scheduled:
             if s.seq.slot < 0:
                 self._assign_slot(s.seq)
         return self._spec_dispatch_and_process(decision.scheduled)
+
+    def _propose_all(
+        self, scheduled: list[ScheduledSeq]
+    ) -> dict[int, list[int]]:
+        """Collect decode windows and propose for all of them at once
+        (one device pass for model-based proposers)."""
+        windows: list[tuple[int, Sequence, int]] = []
+        for i, sch in enumerate(scheduled):
+            seq, n = sch.seq, sch.num_tokens
+            if seq.num_computed_tokens == seq.total_len - 1 and n > 1:
+                windows.append((i, seq, n))
+        if not windows:
+            return {}
+        if hasattr(self.proposer, "propose_batch"):
+            drafts = self.proposer.propose_batch([(s, n) for _, s, n in windows])
+        else:
+            drafts = [self.proposer.propose(s)[: n - 1] for _, s, n in windows]
+        return {i: d[: n - 1] for (i, _, n), d in zip(windows, drafts)}
 
     def _spec_dispatch_and_process(
         self, scheduled: list[ScheduledSeq]
@@ -75,6 +117,8 @@ class SpecLLMEngine(LLMEngine):
         s_pad = self.num_slots
         k1 = self.k + 1
 
+        proposed = self._propose_all(scheduled)
+
         total_tokens = sum(s.num_tokens for s in scheduled)
         t_pad = pick_bucket(total_tokens, cfg.token_buckets)
         hb = self._host_batch(t_pad)
@@ -82,18 +126,24 @@ class SpecLLMEngine(LLMEngine):
 
         gather_idx = np.zeros((s_pad, k1), np.int32)
         drafts = np.full((s_pad, self.k), -1, np.int32)
+        ban_rem = np.zeros(s_pad, np.int32)
         use_penalties = False
         use_top_filters = False
-        entries = []  # (seq, row, start, n, n_drafts, is_final_chunk)
+        entries = []  # (seq, row, start, n, n_drafts, is_final_chunk, is_decode)
 
         offset = 0
         for i, sch in enumerate(scheduled):
             seq, n = sch.seq, sch.num_tokens
+            if seq.swapped:
+                self.kv.offload.swap_in(
+                    seq.request_id, self.kv.get_table(seq).pages
+                )
+                seq.swapped = False
             start = seq.num_computed_tokens
             is_decode = start == seq.total_len - 1
             if is_decode and n > 1:
                 # fill the window with drafts (pad -1 → never accepted)
-                d = self.proposer.propose(seq)[: n - 1]
+                d = proposed.get(i, [])
                 drafts[i, : len(d)] = d
                 n_drafts = n - 1
                 chunk = [seq.all_token_ids[start]] + [
@@ -134,6 +184,7 @@ class SpecLLMEngine(LLMEngine):
             hb.seeds[i] = self._seq_seed(seq)
             hb.rng_pos[i] = seq.total_len
             hb.ban_eos[i] = seq.num_generated < p.min_tokens
+            ban_rem[i] = max(0, p.min_tokens - seq.num_generated)
             use_penalties |= p.uses_penalties
             use_top_filters |= (not p.greedy) and (
                 p.top_k > 0 or p.top_p < 1.0 or p.min_p > 0.0
@@ -148,7 +199,9 @@ class SpecLLMEngine(LLMEngine):
             jnp.asarray(hb.buf.copy()),
             jnp.asarray(gather_idx),
             jnp.asarray(drafts),
+            jnp.asarray(ban_rem),
             self.token_counts,
+            self.head_params,
             layout=hb.layout,
             k1=k1,
             use_penalties=use_penalties,
@@ -157,13 +210,19 @@ class SpecLLMEngine(LLMEngine):
         packed_h = np.asarray(packed)
         sampled = packed_h[: s_pad * k1].reshape(s_pad, k1)
         acc = packed_h[s_pad * k1 : s_pad * k1 + s_pad]
-        logprobs = packed_h[s_pad * k1 + s_pad :].view(np.float32).reshape(s_pad, k1)
+        lp_end = s_pad * k1 + s_pad + s_pad * k1
+        logprobs = (
+            packed_h[s_pad * k1 + s_pad : lp_end].view(np.float32).reshape(s_pad, k1)
+        )
+        next_drafts = (
+            packed_h[lp_end:].reshape(s_pad, -1) if self._has_heads else None
+        )
 
         self._step_count += 1
         self.stats["num_steps"] += 1
-        return self._process_spec(entries, sampled, acc, logprobs)
+        return self._process_spec(entries, sampled, acc, logprobs, next_drafts)
 
-    def _process_spec(self, entries, sampled, acc, logprobs):
+    def _process_spec(self, entries, sampled, acc, logprobs, next_drafts):
         outputs: list[RequestOutput] = []
         for seq, row, start, n, n_drafts, is_final_chunk, is_decode in entries:
             if not is_final_chunk:
@@ -179,6 +238,10 @@ class SpecLLMEngine(LLMEngine):
                 # prefill final chunk: whole chunk valid, 1 token emitted
                 seq.num_computed_tokens = start + n
             self.kv.register_computed(seq)
+            if next_drafts is not None:
+                # in-step heads proposed for the NEXT window, conditioned on
+                # the hidden state of the last emitted position
+                self.proposer.store(seq, [int(t) for t in next_drafts[row]])
             out = self._emit_tokens(
                 seq, emit, [float(logprobs[row, j]) for j in range(a + 1)]
             )

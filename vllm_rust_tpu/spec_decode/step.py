@@ -1,15 +1,32 @@
 """Jitted speculative verification step.
 
 The target model scores the whole [last_token, d_1..d_K] window in one
-forward (reference speculative.rs:763 execute_decodes); verification is
-on-device greedy prefix-acceptance (AcceptanceMethod::Greedy,
-types.rs:133): draft j is accepted iff it equals the model's sample at
-position j-1 and all earlier drafts were accepted. The step returns, in
-ONE packed fetch: sampled tokens at every position [S, K+1], accepted
-counts [S], and chosen logprobs.
+forward (reference speculative.rs:763 execute_decodes); verification and
+the correction/bonus sample happen on device, and the step returns ONE
+packed fetch: sampled tokens at every position [S, K+1], accepted counts
+[S], chosen logprobs, and (optionally) next-step drafts from in-step
+draft heads (Medusa/EAGLE-style).
+
+Acceptance (reference AcceptanceMethod, engine/types.rs:133):
+
+- ``sample`` (default): every window position j draws a full sample from
+  the request's sampling distribution, seeded statelessly at the token's
+  absolute position; draft j is accepted iff it equals that sample. For
+  greedy rows this is exact-prefix greedy verification; for stochastic
+  rows it is rejection sampling specialised to deterministic (delta)
+  proposals — accept with prob p(d_j), and on rejection the emitted
+  sample is already distributed as the residual p conditioned on != d_j.
+  Because the sampler RNG is a pure function of (seed, position), the
+  emitted stream is BYTE-IDENTICAL to the non-speculative engine.
+- ``typical``: typical acceptance (reference gpu_verify_typical,
+  speculative.rs:230-358) — accept d_j iff p(d_j) >= min(threshold,
+  alpha * exp(-entropy(p_j))); recovery token is the argmax. Applies to
+  stochastic rows only (greedy rows keep exact matching).
 """
 
 from __future__ import annotations
+
+from dataclasses import replace
 
 import jax
 import jax.numpy as jnp
@@ -17,11 +34,23 @@ import jax.numpy as jnp
 from ..engine.batch_pack import PackLayout, unpack_device
 from ..sampling.sampler import sample_tokens
 
+TYPICAL_THRESHOLD = 0.09  # posterior_threshold (vLLM defaults)
+TYPICAL_ALPHA = 0.3  # posterior_alpha
+
 
 class SpecStepFunction:
-    def __init__(self, model, eos_ids: tuple[int, ...] = ()):
+    def __init__(
+        self,
+        model,
+        eos_ids: tuple[int, ...] = (),
+        head_fn=None,
+        acceptance: str = "sample",
+    ):
         self.model = model
         self.eos_ids = eos_ids
+        self.head_fn = head_fn  # (head_params, hidden [S,H]) -> drafts [S,Kn]
+        assert acceptance in ("sample", "typical")
+        self.acceptance = acceptance
         self._jit = jax.jit(
             self._step,
             static_argnames=("layout", "k1", "use_penalties", "use_top_filters"),
@@ -35,7 +64,9 @@ class SpecStepFunction:
         meta: jax.Array,
         gather_idx: jax.Array,  # [S, K1] token-axis indices for logits
         drafts: jax.Array,  # [S, K] draft token ids (-1 = none)
+        ban_rem: jax.Array,  # [S] i32 remaining min_tokens (EOS ban horizon)
         token_counts: jax.Array,
+        head_params,
         *,
         layout: PackLayout,
         k1: int,
@@ -58,21 +89,68 @@ class SpecStepFunction:
         sel = hidden[gather_idx.reshape(-1)]  # [S*K1, H]
         logits = self.model.compute_logits(params, sel).reshape(s, k1, -1)
 
-        # greedy samples at every position
-        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [S, K1]
-        # position 0 honours the request's full sampling params
+        # position 0 honours the request's full sampling params + penalty
+        # counts (identical to the non-spec sampler call for this token)
         counts = token_counts[slot_ids] if use_penalties else None
-        first, _ = sample_tokens(
-            logits[:, 0, :],
-            sampler_inputs,
-            counts,
-            self.eos_ids,
-            use_penalties=use_penalties,
-            use_top_filters=use_top_filters,
-        )
-        sampled = jnp.concatenate([first[:, None], greedy[:, 1:]], axis=1)
+        cols = [
+            sample_tokens(
+                logits[:, 0, :],
+                sampler_inputs,
+                counts,
+                self.eos_ids,
+                use_penalties=use_penalties,
+                use_top_filters=use_top_filters,
+            )[0]
+        ]
+        # positions 1..K: same params, RNG position advanced by j so the
+        # stream matches what the non-spec engine would draw token-by-token
+        for j in range(1, k1):
+            si_j = replace(
+                sampler_inputs,
+                position=sampler_inputs.position + j,
+                ban_eos=ban_rem > j,
+            )
+            cols.append(
+                sample_tokens(
+                    logits[:, j, :],
+                    si_j,
+                    None,
+                    self.eos_ids,
+                    use_penalties=False,
+                    use_top_filters=use_top_filters,
+                )[0]
+            )
+        sampled = jnp.stack(cols, axis=1)  # [S, K1]
 
-        # greedy prefix acceptance
+        if self.acceptance == "typical" and k1 > 1:
+            # typical acceptance for stochastic rows: threshold test on the
+            # draft's posterior prob; recovery token = argmax
+            temp = jnp.maximum(sampler_inputs.temperature, 1e-6)[:, None, None]
+            probs = jax.nn.softmax(logits / temp, axis=-1)  # [S, K1, V]
+            entropy = -jnp.sum(
+                probs * jnp.log(jnp.clip(probs, 1e-20, None)), axis=-1
+            )  # [S, K1]
+            d_safe = jnp.maximum(drafts, 0)
+            p_d = jnp.take_along_axis(
+                probs[:, :-1, :], d_safe[:, :, None], axis=-1
+            )[..., 0]  # [S, K]
+            thr = jnp.minimum(
+                TYPICAL_THRESHOLD, TYPICAL_ALPHA * jnp.exp(-entropy[:, :-1])
+            )
+            ok = (p_d >= thr) & (drafts >= 0)
+            argmax_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            stoch = sampler_inputs.temperature[:, None] > 0.0
+            # rejected REAL drafts recover with the argmax; positions with
+            # no draft (padding -1: correction/bonus slots) and the final
+            # bonus position keep the full seeded sample
+            recovery = jnp.where(drafts >= 0, argmax_tok[:, :-1], sampled[:, :-1])
+            typ_sampled = jnp.concatenate(
+                [jnp.where(ok, drafts, recovery), sampled[:, -1:]], axis=1
+            )
+            sampled = jnp.where(stoch, typ_sampled, sampled)
+
+        # prefix acceptance: draft j is accepted iff it equals the sample
+        # at position j-1 and all earlier drafts were accepted
         match = drafts == sampled[:, : k1 - 1]  # [S, K]
         acc_len = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
 
@@ -85,13 +163,19 @@ class SpecStepFunction:
             token_counts = token_counts.at[slot_ids, sampled[:, 0]].add(
                 sample_mask.astype(jnp.int32), mode="drop"
             )
-        packed = jnp.concatenate(
-            [
-                sampled.reshape(-1),
-                acc_len.astype(jnp.int32),
-                jax.lax.bitcast_convert_type(logprobs, jnp.int32).reshape(-1),
-            ]
-        )
+        parts = [
+            sampled.reshape(-1),
+            acc_len.astype(jnp.int32),
+            jax.lax.bitcast_convert_type(logprobs, jnp.int32).reshape(-1),
+        ]
+        if self.head_fn is not None:
+            # in-step draft heads (Medusa): drafts for the NEXT window come
+            # from the hidden state at the last emitted position — no extra
+            # forward, no host round-trip
+            hid = hidden[gather_idx[jnp.arange(s), jnp.minimum(acc_len, k1 - 1)]]
+            next_drafts = self.head_fn(head_params, hid)  # [S, Kn]
+            parts.append(next_drafts.astype(jnp.int32).reshape(-1))
+        packed = jnp.concatenate(parts)
         return kv_pages, token_counts, packed
 
     def __call__(self, *args, layout, k1, use_penalties, use_top_filters):
