@@ -298,3 +298,125 @@ def test_medusa_checkpoint_loading():
     assert params["heads"][1]["blocks"][0]["weight"].shape == (h, h)
     assert params["heads"][1]["lm_head"]["weight"].shape == (h, v)
     assert not np.allclose(np.asarray(params["heads"][0]["lm_head"]["weight"]), 0)
+
+
+# -- EAGLE / MTP / suffix proposers ------------------------------------------
+
+
+def test_suffix_proposer():
+    from vllm_rust_tpu.spec_decode import SuffixProposer
+
+    p = SuffixProposer(num_draft_tokens=3)
+    # trailing [1,2,3] occurred at positions 0..2; propose what followed: 9,1,2
+    seq = Sequence("t", [1, 2, 3, 9, 1, 2, 3], SamplingParams())
+    assert p.propose(seq) == [9, 1, 2]
+    # suffix automaton finds LONG matches an ngram cap would miss
+    long = [7, 8, 9, 10, 11, 12, 13, 42] + [7, 8, 9, 10, 11, 12, 13]
+    seq2 = Sequence("t2", long, SamplingParams())
+    assert p.propose(seq2) == [42, 7, 8]
+    seq3 = Sequence("t3", [5, 6, 7], SamplingParams())
+    assert p.propose(seq3) == []
+    # incremental extension across calls
+    seq.generated_token_ids.extend([9, 1])
+    out = p.propose(seq)
+    assert out == [2, 3, 9]
+
+
+def _eagle_engine(model, params, mc, cls, draft_rng=None, k=3):
+    cfg = EngineConfig(
+        model=mc,
+        cache=CacheConfig(num_pages=32, page_size=16),
+        scheduler=SchedulerConfig(max_num_seqs=4, max_tokens_per_step=64),
+        max_model_len=128,
+        token_buckets=(16, 32, 64),
+    )
+    dmc = tiny_llama_config(num_hidden_layers=1)
+    proposer = cls(dmc, num_draft_tokens=k, dtype=jnp.float32)
+    proposer.init_params(rng=draft_rng)
+    return SpecLLMEngine(model, params, cfg, proposer=proposer), proposer
+
+
+def test_eagle_lossless():
+    """Random EAGLE module drafts junk; output must stay byte-identical,
+    and drafts must be stored every step."""
+    from vllm_rust_tpu.spec_decode import EagleProposer
+
+    mc = tiny_llama_config()
+    model = from_config(mc, dtype=jnp.float32)
+    params = model.init_params(jax.random.PRNGKey(0))
+    eng, proposer = _eagle_engine(
+        model, params, mc, EagleProposer, draft_rng=jax.random.PRNGKey(5)
+    )
+    prompt = [1, 2, 3, 4]
+    base = run_greedy(build(False), prompt, n=16)
+    out = run_greedy(eng, prompt, n=16)
+    assert out == base
+    assert eng.stats["draft_tokens"] > 0
+
+
+def test_eagle_acceptance_on_constant_model():
+    """Zero target + zero EAGLE: both predict argmax=0, drafts accepted."""
+    from vllm_rust_tpu.spec_decode import EagleProposer
+
+    mc = tiny_llama_config()
+    model = from_config(mc, dtype=jnp.float32)
+    params = model.init_params(rng=None)
+    eng, _ = _eagle_engine(model, params, mc, EagleProposer)
+    out = eng.generate(
+        [[1, 2, 3]],
+        SamplingParams(max_tokens=18, temperature=0.0, ignore_eos=True),
+    )[0]
+    assert out.token_ids == [0] * 18
+    assert eng.stats["accepted_tokens"] > 0
+    assert eng.stats["num_steps"] < 18
+
+
+def test_mtp_lossless():
+    from vllm_rust_tpu.spec_decode import MtpProposer
+
+    mc = tiny_llama_config()
+    model = from_config(mc, dtype=jnp.float32)
+    params = model.init_params(jax.random.PRNGKey(0))
+    eng, _ = _eagle_engine(
+        model, params, mc, MtpProposer, draft_rng=jax.random.PRNGKey(6)
+    )
+    prompt = [9, 8, 7]
+    base = run_greedy(build(False), prompt, n=14)
+    out = run_greedy(eng, prompt, n=14)
+    assert out == base
+
+
+def test_eagle_checkpoint_loading():
+    """EAGLE-1 names (fc + decoder layer) and MTP names (enorm/hnorm/
+    eh_proj/shared_head) both map into the param tree."""
+    from vllm_rust_tpu.spec_decode import EagleProposer, MtpProposer
+
+    dmc = tiny_llama_config(num_hidden_layers=1)
+    h, hd = dmc.hidden_size, dmc.head_dim
+    rng = np.random.default_rng(0)
+    f32 = np.float32
+    stream = [
+        ("fc.weight", rng.normal(size=(h, 2 * h)).astype(f32)),
+        ("layers.0.self_attn.q_proj.weight",
+         rng.normal(size=(dmc.num_attention_heads * hd, h)).astype(f32)),
+        ("layers.0.input_layernorm.weight", np.ones(h, f32) * 2),
+    ]
+    p = EagleProposer(dmc, dtype=jnp.float32)
+    params = p.load_weights(stream)
+    assert params["fc"]["weight"].shape == (2 * h, h)
+    assert not np.allclose(np.asarray(params["layers"][0]["self_attn"]["q_proj"]["weight"]), 0)
+    assert float(params["layers"][0]["input_layernorm"][0]) == 2.0
+
+    mtp_stream = [
+        ("model.layers.2.enorm.weight", np.ones(h, f32) * 3),
+        ("model.layers.2.eh_proj.weight", rng.normal(size=(h, 2 * h)).astype(f32)),
+        ("model.layers.2.shared_head.norm.weight", np.ones(h, f32) * 4),
+        ("model.layers.2.shared_head.head.weight",
+         rng.normal(size=(dmc.vocab_size, h)).astype(f32)),
+    ]
+    m = MtpProposer(dmc, dtype=jnp.float32)
+    mp = m.load_weights(mtp_stream)
+    assert float(mp["enorm"][0]) == 3.0
+    assert mp["eh_proj"]["weight"].shape == (2 * h, h)
+    assert float(mp["norm"][0]) == 4.0
+    assert mp["lm_head"]["weight"].shape == (h, dmc.vocab_size)

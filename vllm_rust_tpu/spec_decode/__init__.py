@@ -20,13 +20,18 @@ Verification: "sample" (lossless; greedy-exact + rejection sampling) and
 """
 
 from .draft_model import DraftModelProposer
+from .eagle import EagleProposer, MtpProposer
 from .medusa import MedusaProposer
 from .ngram import NgramProposer
 from .proposer import DraftProposer
+from .suffix import SuffixProposer
 
 __all__ = [
     "DraftModelProposer",
     "DraftProposer",
+    "EagleProposer",
     "MedusaProposer",
+    "MtpProposer",
     "NgramProposer",
+    "SuffixProposer",
 ]

@@ -46,13 +46,16 @@ class SpecLLMEngine(LLMEngine):
             proposer.bind(self)
         self.k = proposer.max_draft_tokens
         head_fn = getattr(proposer, "device_head_fn", None)
+        aux = getattr(proposer, "device_aux", None)
         self.head_params = getattr(proposer, "device_params", None)
-        if head_fn is not None and self.head_params is None:
+        if (head_fn is not None or aux is not None) and self.head_params is None:
             raise ValueError("proposer has device heads but no params loaded")
         self.spec_step_fn = SpecStepFunction(
-            model, self.eos_ids, head_fn=head_fn, acceptance=acceptance_method
+            model, self.eos_ids, head_fn=head_fn, aux=aux,
+            acceptance=acceptance_method,
         )
-        self._has_heads = head_fn is not None
+        self._has_heads = head_fn is not None or aux is not None
+        self._has_aux = aux is not None
         # decode steps claim a K+1 token window (penalty-free requests;
         # clamped near max_model_len). Penalized requests fall back to
         # width 1: penalty counts would change within the window.
@@ -127,6 +130,7 @@ class SpecLLMEngine(LLMEngine):
         gather_idx = np.zeros((s_pad, k1), np.int32)
         drafts = np.full((s_pad, self.k), -1, np.int32)
         ban_rem = np.zeros(s_pad, np.int32)
+        next_hint = np.full(s_pad, -1, np.int32)
         use_penalties = False
         use_top_filters = False
         entries = []  # (seq, row, start, n, n_drafts, is_final_chunk, is_decode)
@@ -185,6 +189,10 @@ class SpecLLMEngine(LLMEngine):
             hb.rng_pos[i] = seq.total_len
             hb.ban_eos[i] = seq.num_generated < p.min_tokens
             ban_rem[i] = max(0, p.min_tokens - seq.num_generated)
+            if not is_final_chunk and not is_decode:
+                # non-final prefill chunk: the draft module's next-token
+                # stream ends with a KNOWN token, not this step's sample
+                next_hint[i] = seq.all_token_ids[end]
             use_penalties |= p.uses_penalties
             use_top_filters |= (not p.greedy) and (
                 p.top_k > 0 or p.top_p < 1.0 or p.min_p > 0.0
@@ -193,20 +201,25 @@ class SpecLLMEngine(LLMEngine):
             offset += n
         hb.cu_q_lens[len(scheduled) + 1 :] = hb.cu_q_lens[len(scheduled)]
 
-        self.kv_pages, self.token_counts, packed = self.spec_step_fn(
+        aux_kv = self.proposer.kv_pages if self._has_aux else ()
+        self.kv_pages, self.token_counts, aux_kv, packed = self.spec_step_fn(
             self.params,
             self.kv_pages,
             jnp.asarray(hb.buf.copy()),
             jnp.asarray(gather_idx),
             jnp.asarray(drafts),
             jnp.asarray(ban_rem),
+            jnp.asarray(next_hint),
             self.token_counts,
             self.head_params,
+            aux_kv,
             layout=hb.layout,
             k1=k1,
             use_penalties=use_penalties,
             use_top_filters=use_top_filters,
         )
+        if self._has_aux:
+            self.proposer.kv_pages = aux_kv
         packed_h = np.asarray(packed)
         sampled = packed_h[: s_pad * k1].reshape(s_pad, k1)
         acc = packed_h[s_pad * k1 : s_pad * k1 + s_pad]

@@ -44,17 +44,20 @@ class SpecStepFunction:
         model,
         eos_ids: tuple[int, ...] = (),
         head_fn=None,
+        aux=None,
         acceptance: str = "sample",
     ):
         self.model = model
         self.eos_ids = eos_ids
         self.head_fn = head_fn  # (head_params, hidden [S,H]) -> drafts [S,Kn]
+        self.aux = aux  # in-step draft module (EAGLE/MTP): device_run(...)
+        assert head_fn is None or aux is None
         assert acceptance in ("sample", "typical")
         self.acceptance = acceptance
         self._jit = jax.jit(
             self._step,
             static_argnames=("layout", "k1", "use_penalties", "use_top_filters"),
-            donate_argnames=("kv_pages", "token_counts"),
+            donate_argnames=("kv_pages", "token_counts", "aux_kv"),
         )
 
     def _step(
@@ -65,8 +68,10 @@ class SpecStepFunction:
         gather_idx: jax.Array,  # [S, K1] token-axis indices for logits
         drafts: jax.Array,  # [S, K] draft token ids (-1 = none)
         ban_rem: jax.Array,  # [S] i32 remaining min_tokens (EOS ban horizon)
+        next_hint: jax.Array,  # [S] next known token (-1 = use the sample)
         token_counts: jax.Array,
         head_params,
+        aux_kv,
         *,
         layout: PackLayout,
         k1: int,
@@ -168,15 +173,34 @@ class SpecStepFunction:
             acc_len.astype(jnp.int32),
             jax.lax.bitcast_convert_type(logprobs, jnp.int32).reshape(-1),
         ]
+        acc_idx = jnp.minimum(acc_len, k1 - 1)
         if self.head_fn is not None:
             # in-step draft heads (Medusa): drafts for the NEXT window come
             # from the hidden state at the last emitted position — no extra
             # forward, no host round-trip
-            hid = hidden[gather_idx[jnp.arange(s), jnp.minimum(acc_len, k1 - 1)]]
+            hid = hidden[gather_idx[jnp.arange(s), acc_idx]]
             next_drafts = self.head_fn(head_params, hid)  # [S, Kn]
             parts.append(next_drafts.astype(jnp.int32).reshape(-1))
+        elif self.aux is not None:
+            # in-step autoregressive draft module (EAGLE/MTP): window pass
+            # over the target hiddens + K-round propose chain
+            last_emitted = jnp.where(
+                next_hint >= 0, next_hint, sampled[jnp.arange(s), acc_idx]
+            )
+            aux_kv, next_drafts = self.aux.device_run(
+                head_params,
+                params,
+                aux_kv,
+                hidden,
+                input_ids,
+                md,
+                last_emitted,
+                acc_idx,
+                gather_idx,
+            )
+            parts.append(next_drafts.astype(jnp.int32).reshape(-1))
         packed = jnp.concatenate(parts)
-        return kv_pages, token_counts, packed
+        return kv_pages, token_counts, aux_kv, packed
 
     def __call__(self, *args, layout, k1, use_penalties, use_top_filters):
         return self._jit(
