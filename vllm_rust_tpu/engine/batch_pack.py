@@ -118,6 +118,7 @@ def unpack_device(meta, layout: PackLayout, p_eff: int | None = None):
         num_seqs=meta[1:2],
         positions=meta[tb + 2 * t : tb + 3 * t],
         logits_indices=meta[sb + s : sb + 2 * s],
+        slot_ids=meta[sb + 2 * s : sb + 3 * s],
     )
     si = SamplerInputs(
         temperature=floats[0:s],

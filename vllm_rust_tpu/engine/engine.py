@@ -93,13 +93,24 @@ class LLMEngine:
             self.params = params = shard_params(params, self.mesh)
             kv_sharding = kv_pages_sharding(self.mesh)
 
+        has_ssm = any(isinstance(e, dict) for e in model.kv_head_info)
+        if has_ssm and config.enable_prefix_caching:
+            # cached pages would skip prefill, leaving recurrent state
+            # unbuilt (reference: SSM models have no prefix reuse either)
+            raise ValueError("prefix caching is unsupported for SSM models")
+        if has_ssm and config.scheduler.preemption_mode == "swap":
+            # swap-in restores KV pages but not recurrent state; only
+            # recompute preemption rebuilds SSM state correctly
+            raise ValueError("SSM models require preemption_mode='recompute'")
         self.kv = KVCacheManager(
             config.cache,
             model.kv_head_info,
             enable_prefix_caching=config.enable_prefix_caching,
         )
         self.kv_pages = self.kv.create_device_pools(
-            model.dtype, sharding=kv_sharding
+            model.dtype,
+            sharding=kv_sharding,
+            num_slots=config.scheduler.max_num_seqs,
         )
         if config.cache.kv_dtype != "auto":
             # quantized KV: model passes static scales into the attention

@@ -56,12 +56,35 @@ class KVCacheManager:
         return model_dtype if dt is None else dt
 
     def create_device_pools(
-        self, model_dtype: Any = jnp.bfloat16, sharding=None
-    ) -> list[jax.Array]:
+        self,
+        model_dtype: Any = jnp.bfloat16,
+        sharding=None,
+        num_slots: int = 0,
+    ) -> list[Any]:
+        """Per-layer device state. Attention layers: paged KV arrays
+        [num_pages, page_size, 2*kv_heads, head_dim]. SSM layers (dict
+        entries in kv_head_info, reference ssm/SSMStateManager): per-slot
+        recurrent state {"conv": [num_slots+1, C, K-1], "ssm":
+        [num_slots+1, ...] f32} — slot num_slots is the null slot for
+        padding rows."""
         dt = self.kv_cache_dtype(model_dtype)
         cfg = self.config
-        pools = []
-        for nkv, hd in self.kv_head_info:
+        pools: list[Any] = []
+        for entry in self.kv_head_info:
+            if isinstance(entry, dict):
+                assert num_slots > 0, "SSM layers need num_slots"
+                pools.append(
+                    {
+                        "conv": jnp.zeros(
+                            (num_slots + 1, *entry["conv"]), model_dtype
+                        ),
+                        "ssm": jnp.zeros(
+                            (num_slots + 1, *entry["ssm"]), jnp.float32
+                        ),
+                    }
+                )
+                continue
+            nkv, hd = entry
             shape = (cfg.num_pages, cfg.page_size, 2 * nkv, hd)
             arr = jnp.zeros(shape, dt)
             if sharding is not None:

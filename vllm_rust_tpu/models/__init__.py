@@ -85,6 +85,24 @@ def _populate():
     except ImportError:
         pass
     try:
+        from .mamba import (
+            FalconMambaForCausalLM,
+            JambaForCausalLM,
+            Mamba2ForCausalLM,
+            MambaForCausalLM,
+        )
+
+        _REGISTRY.update(
+            {
+                "MambaForCausalLM": MambaForCausalLM,
+                "Mamba2ForCausalLM": Mamba2ForCausalLM,
+                "FalconMambaForCausalLM": FalconMambaForCausalLM,
+                "JambaForCausalLM": JambaForCausalLM,
+            }
+        )
+    except ImportError:
+        pass
+    try:
         from .qwen3_moe import MixtralForCausalLM, Qwen3MoeForCausalLM
 
         _REGISTRY["Qwen3MoeForCausalLM"] = Qwen3MoeForCausalLM

@@ -48,6 +48,9 @@ class AttentionMetadata:
     # (used to gather hidden states for logits/sampling). Padding rows
     # point at token 0.
     logits_indices: jax.Array
+    # [S] engine sequence-slot ids (recurrent-state index for SSM layers;
+    # reference ssm/SSMStateManager). None for paths without SSM support.
+    slot_ids: jax.Array | None = None
 
     @property
     def num_tokens(self) -> int:
@@ -90,4 +93,5 @@ def make_dummy_metadata(
         num_seqs=jnp.array([num_real_seqs], jnp.int32),
         positions=jnp.arange(t, dtype=jnp.int32),
         logits_indices=jnp.zeros((num_seqs_pad,), jnp.int32).at[0].set(t - 1),
+        slot_ids=jnp.arange(num_seqs_pad, dtype=jnp.int32),
     )
