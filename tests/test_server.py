@@ -308,3 +308,105 @@ async def test_batches_api(client):
     lines = (await r.text()).splitlines()
     assert len(lines) == 2
     assert json.loads(lines[0])["custom_id"] == "r0"
+
+
+# -- encoder serving: score / rerank / classify / pooling ---------------------
+
+
+def with_encoder_client(test_fn):
+    def wrapper():
+        async def main():
+            from vllm_rust_tpu.config import ModelConfig
+            from vllm_rust_tpu.engine.encoder import EncoderRunner
+
+            mc = ModelConfig.from_dict(
+                dict(
+                    architectures=["BertForSequenceClassification"],
+                    model_type="bert",
+                    vocab_size=128,
+                    hidden_size=32,
+                    intermediate_size=64,
+                    num_hidden_layers=2,
+                    num_attention_heads=4,
+                    max_position_embeddings=64,
+                    num_labels=2,
+                    id2label={"0": "neg", "1": "pos"},
+                )
+            )
+            from vllm_rust_tpu.models import from_config as fc
+
+            model = fc(mc, dtype=jnp.float32)
+            params = model.init_params(jax.random.PRNGKey(0))
+            tok = MockTokenizer()
+            runner = EncoderRunner(model, params, tok, token_buckets=(16, 32, 64))
+            app = build_app(None, tok, model_name="tiny-bert", encoder=runner)
+            server = TestServer(app)
+            client = TestClient(server)
+            await client.start_server()
+            try:
+                await test_fn(client)
+            finally:
+                await client.close()
+
+        asyncio.run(main())
+
+    wrapper.__name__ = test_fn.__name__
+    return wrapper
+
+
+@with_encoder_client
+async def test_encoder_score_and_rerank(client):
+    r = await client.post(
+        "/v1/score", json={"text_1": "a b c", "text_2": ["d e", "f g h"]}
+    )
+    assert r.status == 200, await r.text()
+    data = await r.json()
+    assert len(data["data"]) == 2
+    assert all("score" in d for d in data["data"])
+
+    r = await client.post(
+        "/v1/rerank",
+        json={"query": "a b", "documents": ["c d", "e f", "g h"], "top_n": 2},
+    )
+    data = await r.json()
+    assert len(data["results"]) == 2
+    assert (
+        data["results"][0]["relevance_score"]
+        >= data["results"][1]["relevance_score"]
+    )
+    assert "text" in data["results"][0]["document"]
+
+
+@with_encoder_client
+async def test_encoder_classify_embeddings_pooling(client):
+    r = await client.post("/classify", json={"input": ["x y", "z w"]})
+    data = await r.json()
+    assert len(data["data"]) == 2
+    assert data["data"][0]["label"] in ("neg", "pos")
+    assert abs(sum(data["data"][0]["probs"]) - 1.0) < 1e-4
+
+    r = await client.post("/v1/embeddings", json={"input": ["a b c"]})
+    data = await r.json()
+    assert len(data["data"][0]["embedding"]) == 32
+
+    r = await client.post("/pooling", json={"input": ["a b"], "pooling": "cls"})
+    data = await r.json()
+    assert len(data["data"][0]["data"]) == 32
+
+    # generate endpoints must 400 cleanly on an encoder server
+    r = await client.post(
+        "/v1/completions", json={"model": "m", "prompt": "hi"}
+    )
+    assert r.status == 400
+
+
+@with_client
+async def test_decoder_score_fallback(client):
+    """Decoder engines score via embedding cosine similarity."""
+    r = await client.post(
+        "/score", json={"text_1": "a b c d", "text_2": "a b c d"}
+    )
+    assert r.status == 200, await r.text()
+    data = await r.json()
+    # identical texts -> cosine similarity 1
+    assert abs(data["data"][0]["score"] - 1.0) < 1e-4

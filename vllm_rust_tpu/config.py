@@ -273,12 +273,15 @@ class SchedulerConfig:
 class SpeculativeConfig:
     """Reference: engine/types.rs SpeculativeConfig + AcceptanceMethod."""
 
-    method: str = "ngram"  # ngram | draft_model | eagle | medusa | mtp
+    method: str = "ngram"  # ngram | suffix | draft_model | eagle | medusa | mtp
     num_draft_tokens: int = 4
-    # ngram
+    # "sample" = lossless (greedy-exact / rejection); "typical" = typical
+    # acceptance (reference AcceptanceMethod, engine/types.rs:133)
+    acceptance_method: str = "sample"
+    # ngram / suffix
     min_ngram: int = 1
     max_ngram: int = 4
-    # draft_model
+    # draft_model | eagle | medusa | mtp: checkpoint path
     draft_model: str | None = None
 
 

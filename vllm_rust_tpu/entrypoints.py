@@ -102,20 +102,12 @@ class LLM:
             speculative = SpeculativeConfig(**speculative)
         cfg.speculative = speculative
         if speculative is not None:
-            from .spec_decode import NgramProposer
             from .spec_decode.engine import SpecLLMEngine
 
-            if speculative.method != "ngram":
-                raise NotImplementedError(
-                    f"speculative method {speculative.method} not yet available"
-                )
-            proposer = NgramProposer(
-                num_draft_tokens=speculative.num_draft_tokens,
-                min_ngram=speculative.min_ngram,
-                max_ngram=speculative.max_ngram,
-            )
+            proposer = _build_proposer(speculative, model_cfg, dtype, seed)
             self.engine = SpecLLMEngine(
-                m, params, cfg, tokenizer=tokenizer, proposer=proposer
+                m, params, cfg, tokenizer=tokenizer, proposer=proposer,
+                acceptance_method=speculative.acceptance_method,
             )
         else:
             self.engine = LLMEngine(m, params, cfg, tokenizer=tokenizer)
@@ -129,3 +121,107 @@ class LLM:
         if isinstance(prompts, str):
             prompts = [prompts]
         return self.engine.generate(prompts, sampling_params)
+
+
+def _build_proposer(spec: SpeculativeConfig, model_cfg, dtype, seed):
+    """Construct the configured draft proposer (reference: engine/mod.rs
+    start_engine_with_draft / _with_proposer dispatch)."""
+    from . import spec_decode as sd
+
+    k = spec.num_draft_tokens
+    if spec.method == "ngram":
+        return sd.NgramProposer(
+            num_draft_tokens=k, min_ngram=spec.min_ngram, max_ngram=spec.max_ngram
+        )
+    if spec.method == "suffix":
+        return sd.SuffixProposer(num_draft_tokens=k, min_match=spec.min_ngram)
+    if spec.method == "draft_model":
+        if not spec.draft_model:
+            raise ValueError("speculative.draft_model path required")
+        dm, dparams, _ = load_model(spec.draft_model, dtype=dtype, seed=seed)
+        return sd.DraftModelProposer(dm, dparams, num_draft_tokens=k)
+    if spec.method in ("medusa", "eagle", "mtp"):
+        if not spec.draft_model:
+            raise ValueError(f"speculative.draft_model path required for {spec.method}")
+        path = resolve_model_path(spec.draft_model)
+        draft_cfg = ModelConfig.from_pretrained(path)
+        if spec.method == "medusa":
+            ex = draft_cfg.extra
+            p = sd.MedusaProposer(
+                draft_cfg,
+                num_heads=min(k, int(ex.get("medusa_num_heads", k))),
+                num_layers_per_head=int(ex.get("medusa_num_layers", 1)),
+                dtype=dtype or jnp.bfloat16,
+            )
+        else:
+            cls = sd.EagleProposer if spec.method == "eagle" else sd.MtpProposer
+            p = cls(draft_cfg, num_draft_tokens=k, dtype=dtype or jnp.bfloat16)
+        from .loader import iter_safetensors
+
+        p.load_weights(iter_safetensors(path))
+        return p
+    raise ValueError(f"unknown speculative method {spec.method}")
+
+
+class Encoder:
+    """Offline API for encoder (BERT-family) models: embeddings, score,
+    rerank, classify (reference: the embeddings/score endpoints backed by
+    encoder archs)."""
+
+    def __init__(
+        self,
+        model: str,
+        *,
+        dtype=None,
+        dummy_weights: bool = False,
+        seed: int = 0,
+        max_batch_tokens: int = 8192,
+    ):
+        from .engine.encoder import EncoderRunner
+
+        m, params, model_cfg = load_model(
+            model, dtype=dtype or jnp.float32, dummy=dummy_weights, seed=seed
+        )
+        if not hasattr(m, "encode"):
+            raise ValueError(
+                f"{model_cfg.architecture} is a decoder model — use LLM"
+            )
+        try:
+            tokenizer = load_tokenizer(resolve_model_path(model))
+        except Exception:
+            tokenizer = MockTokenizer(model_cfg.vocab_size)
+        buckets = tuple(
+            b for b in (32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+            if b <= max_batch_tokens
+        )
+        self.runner = EncoderRunner(
+            m, params, tokenizer, token_buckets=buckets,
+            max_batch_tokens=max_batch_tokens,
+        )
+        self.tokenizer = tokenizer
+        self.config = model_cfg
+
+    def embed(self, inputs, **kw):
+        return self.runner.embed(inputs, **kw)
+
+    def score(self, pairs):
+        return self.runner.score(pairs)
+
+    def rerank(self, query, documents):
+        return self.runner.rerank(query, documents)
+
+    def classify(self, inputs):
+        return self.runner.classify(inputs)
+
+
+def is_encoder_model(model: str) -> bool:
+    """Best-effort arch sniff for --task auto (server CLI)."""
+    try:
+        cfg = ModelConfig.from_pretrained(resolve_model_path(model))
+    except Exception:
+        return False
+    return any(
+        a.endswith(("Model", "ForMaskedLM", "ForSequenceClassification"))
+        and ("Bert" in a or "Roberta" in a)
+        for a in cfg.architectures
+    )

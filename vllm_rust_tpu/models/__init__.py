@@ -85,6 +85,28 @@ def _populate():
     except ImportError:
         pass
     try:
+        from .bert import (
+            BertForSequenceClassification,
+            BertModel,
+            RobertaForSequenceClassification,
+            RobertaModel,
+        )
+
+        _REGISTRY.update(
+            {
+                "BertModel": BertModel,
+                "BertForMaskedLM": BertModel,
+                "BertForSequenceClassification": BertForSequenceClassification,
+                "RobertaModel": RobertaModel,
+                "RobertaForMaskedLM": RobertaModel,
+                "RobertaForSequenceClassification": RobertaForSequenceClassification,
+                "XLMRobertaModel": RobertaModel,
+                "XLMRobertaForSequenceClassification": RobertaForSequenceClassification,
+            }
+        )
+    except ImportError:
+        pass
+    try:
         from .mamba import (
             FalconMambaForCausalLM,
             JambaForCausalLM,

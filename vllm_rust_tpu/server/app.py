@@ -85,8 +85,10 @@ class Server:
         api_key: str | None = None,
         tool_parser: str | None = None,
         reasoning_parser: str | None = None,
+        encoder=None,
     ):
         self.engine = engine
+        self.encoder = encoder  # EncoderRunner for BERT-family serving
         self.tokenizer = tokenizer
         self.model_name = model_name
         self.api_key = api_key
@@ -134,13 +136,13 @@ class Server:
                 "version": __version__,
                 "model": self.model_name,
                 "uptime_s": time.time() - self.start_time,
-                "stats": self.engine.get_stats(),
+                "stats": self.engine.get_stats() if self.engine else {},
             }
         )
 
     async def metrics(self, request):
         """Prometheus text exposition (reference api/mod.rs:829-897)."""
-        s = self.engine.get_stats()
+        s = self.engine.get_stats() if self.engine else {}
         lines = []
         for k, v in s.items():
             name = f"vllm_tpu_{k}"
@@ -205,6 +207,8 @@ class Server:
     # -- completions -----------------------------------------------------------
 
     async def completions(self, request):
+        if self.engine is None:
+            return _error(400, "this server is running an encoder model (embeddings/score/rerank only)")
         req = CompletionRequest(**await request.json())
         prompts = req.prompt
         if isinstance(prompts, str):
@@ -299,6 +303,8 @@ class Server:
         )
 
     async def chat_completions(self, request):
+        if self.engine is None:
+            return _error(400, "this server is running an encoder model (embeddings/score/rerank only)")
         req = ChatCompletionRequest(**await request.json())
         prompt = self._apply_chat_template(req)
         params = req.sampling_params()
@@ -412,7 +418,10 @@ class Server:
             inputs = [inputs]
         elif inputs and isinstance(inputs[0], int):
             inputs = [inputs]
-        embs = await self.engine.embed(inputs)
+        if self.encoder is not None:
+            embs = await self._run_encoder(self.encoder.embed, inputs)
+        else:
+            embs = await self.engine.embed(inputs)
         prompt_tokens = sum(
             len(self.tokenizer.encode(x)) if isinstance(x, str) else len(x)
             for x in inputs
@@ -440,9 +449,165 @@ class Server:
             }
         )
 
+    # -- score / rerank / classify / pooling ------------------------------------
+    # Reference: crates/server/src/api/embeddings.rs score/rerank/pooling/
+    # classify routes (api/mod.rs:894-952). Cross-encoder models use the
+    # classification head; decoder/embedding models fall back to cosine
+    # similarity of pooled embeddings.
+
+    async def _run_encoder(self, fn, *args, **kw):
+        loop = asyncio.get_event_loop()
+        import functools
+
+        return await loop.run_in_executor(
+            None, functools.partial(fn, *args, **kw)
+        )
+
+    async def _embed_any(self, inputs):
+        if self.encoder is not None:
+            return await self._run_encoder(self.encoder.embed, inputs)
+        return await self.engine.embed(inputs)
+
+    async def score(self, request):
+        import numpy as np
+
+        body = await request.json()
+        t1 = body.get("text_1", body.get("query"))
+        t2 = body.get("text_2", body.get("texts", body.get("documents")))
+        if t1 is None or t2 is None:
+            return _error(400, "text_1 and text_2 are required")
+        l1 = t1 if isinstance(t1, list) else [t1]
+        l2 = t2 if isinstance(t2, list) else [t2]
+        if len(l1) == 1 and len(l2) > 1:
+            l1 = l1 * len(l2)
+        if len(l1) != len(l2):
+            return _error(400, "text_1/text_2 length mismatch")
+        pairs = list(zip(l1, l2))
+        if self.encoder is not None:
+            scores = await self._run_encoder(self.encoder.score, pairs)
+        else:
+            ea = await self._embed_any(l1)
+            eb = await self._embed_any(l2)
+            scores = (np.asarray(ea) * np.asarray(eb)).sum(-1)
+        data = [
+            {"index": i, "object": "score", "score": float(s)}
+            for i, s in enumerate(scores)
+        ]
+        return web.json_response(
+            {
+                "id": f"score-{uuid.uuid4().hex[:16]}",
+                "object": "list",
+                "model": body.get("model") or self.model_name,
+                "data": data,
+                "usage": usage_dict(0, 0),
+            }
+        )
+
+    async def rerank(self, request):
+        import numpy as np
+
+        body = await request.json()
+        query = body.get("query")
+        documents = body.get("documents", [])
+        if query is None or not documents:
+            return _error(400, "query and documents are required")
+        top_n = body.get("top_n", len(documents))
+        if self.encoder is not None:
+            ranked = await self._run_encoder(
+                self.encoder.rerank, query, documents
+            )
+        else:
+            qe = await self._embed_any([query])
+            de = await self._embed_any(documents)
+            scores = (np.asarray(de) @ np.asarray(qe)[0])
+            order = np.argsort(-scores)
+            ranked = [
+                {"index": int(k), "relevance_score": float(scores[k]),
+                 "document": documents[k]}
+                for k in order
+            ]
+        results = [
+            {
+                "index": r["index"],
+                "relevance_score": r["relevance_score"],
+                "document": {"text": r["document"]}
+                if isinstance(r["document"], str)
+                else r["document"],
+            }
+            for r in ranked[:top_n]
+        ]
+        return web.json_response(
+            {
+                "id": f"rerank-{uuid.uuid4().hex[:16]}",
+                "model": body.get("model") or self.model_name,
+                "results": results,
+                "usage": usage_dict(0, 0),
+            }
+        )
+
+    async def classify(self, request):
+        body = await request.json()
+        if self.encoder is None:
+            return _error(400, "classify requires a classification model")
+        inputs = body.get("input", [])
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        probs = await self._run_encoder(self.encoder.classify, inputs)
+        id2label = self.encoder.model.config.extra.get("id2label") or {}
+        data = []
+        for i, row in enumerate(probs):
+            best = int(row.argmax())
+            data.append(
+                {
+                    "index": i,
+                    "label": id2label.get(str(best), str(best)),
+                    "probs": [float(x) for x in row],
+                    "num_classes": len(row),
+                }
+            )
+        return web.json_response(
+            {
+                "id": f"classify-{uuid.uuid4().hex[:16]}",
+                "object": "list",
+                "model": body.get("model") or self.model_name,
+                "data": data,
+                "usage": usage_dict(0, 0),
+            }
+        )
+
+    async def pooling(self, request):
+        body = await request.json()
+        inputs = body.get("input", [])
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        pooling = body.get("pooling", "mean")
+        if self.encoder is not None:
+            embs = await self._run_encoder(
+                self.encoder.embed, inputs, pooling=pooling, normalize=False
+            )
+        else:
+            embs = await self.engine.embed(
+                inputs, pooling=pooling, normalize=False
+            )
+        data = [
+            {"object": "pooling", "index": i, "data": e.tolist()}
+            for i, e in enumerate(embs)
+        ]
+        return web.json_response(
+            {
+                "id": f"pool-{uuid.uuid4().hex[:16]}",
+                "object": "list",
+                "model": body.get("model") or self.model_name,
+                "data": data,
+                "usage": usage_dict(0, 0),
+            }
+        )
+
     # -- anthropic -------------------------------------------------------------
 
     async def anthropic_messages(self, request):
+        if self.engine is None:
+            return _error(400, "this server is running an encoder model (embeddings/score/rerank only)")
         req = AnthropicMessagesRequest(**await request.json())
         prompt = self.tokenizer.apply_chat_template(
             req.to_chat_messages(), add_generation_prompt=True
@@ -562,6 +727,7 @@ def build_app(
     api_key: str | None = None,
     tool_parser: str | None = None,
     reasoning_parser: str | None = None,
+    encoder=None,
 ) -> web.Application:
     s = Server(
         engine,
@@ -570,6 +736,7 @@ def build_app(
         api_key,
         tool_parser=tool_parser,
         reasoning_parser=reasoning_parser,
+        encoder=encoder,
     )
     app = web.Application(middlewares=[request_middleware])
     app["api_key"] = api_key
@@ -593,6 +760,15 @@ def build_app(
             web.get("/is_sleeping", s.is_paused),
             web.post("/v1/completions", s.completions),
             web.post("/v1/embeddings", s.embeddings),
+            web.post("/score", s.score),
+            web.post("/v1/score", s.score),
+            web.post("/rerank", s.rerank),
+            web.post("/v1/rerank", s.rerank),
+            web.post("/v2/rerank", s.rerank),
+            web.post("/classify", s.classify),
+            web.post("/v1/classify", s.classify),
+            web.post("/pooling", s.pooling),
+            web.post("/v1/pooling", s.pooling),
             web.post("/v1/chat/completions", s.chat_completions),
             web.post("/v1/messages", s.anthropic_messages),
             web.post("/v1/load_lora_adapter", s.load_lora),
@@ -624,29 +800,58 @@ def run_server(args=None) -> None:
     parser.add_argument("--tool-call-parser", default=None)
     parser.add_argument("--reasoning-parser", default=None)
     parser.add_argument("--enable-prefix-caching", action="store_true")
+    parser.add_argument(
+        "--task", default="auto", choices=["auto", "generate", "embed"],
+        help="auto sniffs encoder archs (BERT/RoBERTa) and serves the "
+             "embeddings/score/rerank/classify surface",
+    )
+    parser.add_argument("--speculative-method", default=None)
+    parser.add_argument("--draft-model", default=None)
+    parser.add_argument("--num-draft-tokens", type=int, default=4)
     ns = parser.parse_args(args)
 
-    from ..entrypoints import LLM
+    from ..entrypoints import LLM, Encoder, is_encoder_model
 
-    llm = LLM(
-        ns.model,
-        max_model_len=ns.max_model_len,
-        max_num_seqs=ns.max_num_seqs,
-        kv_cache_dtype=ns.kv_cache_dtype,
-        dummy_weights=ns.dummy_weights,
-        fetch_interval=ns.fetch_interval,
-    )
+    task = ns.task
+    if task == "auto":
+        task = "embed" if is_encoder_model(ns.model) else "generate"
+
+    encoder = None
+    tokenizer = None
+    engine = None
+    if task == "embed":
+        enc = Encoder(ns.model, dummy_weights=ns.dummy_weights)
+        encoder, tokenizer = enc.runner, enc.tokenizer
+    else:
+        speculative = None
+        if ns.speculative_method:
+            speculative = dict(
+                method=ns.speculative_method,
+                num_draft_tokens=ns.num_draft_tokens,
+                draft_model=ns.draft_model,
+            )
+        llm = LLM(
+            ns.model,
+            max_model_len=ns.max_model_len,
+            max_num_seqs=ns.max_num_seqs,
+            kv_cache_dtype=ns.kv_cache_dtype,
+            dummy_weights=ns.dummy_weights,
+            fetch_interval=ns.fetch_interval,
+            speculative=speculative,
+        )
+        engine, tokenizer = llm.engine, llm.tokenizer
 
     async def main():
         loop = asyncio.get_event_loop()
-        aeng = AsyncLLMEngine(llm.engine, loop)
+        aeng = AsyncLLMEngine(engine, loop) if engine is not None else None
         app = build_app(
             aeng,
-            llm.tokenizer,
+            tokenizer,
             model_name=ns.served_model_name or ns.model,
             api_key=ns.api_key,
             tool_parser=ns.tool_call_parser,
             reasoning_parser=ns.reasoning_parser,
+            encoder=encoder,
         )
         runner = web.AppRunner(app)
         await runner.setup()
