@@ -105,6 +105,55 @@ class AsyncLLMEngine:
         assert last is not None
         return last
 
+    async def transcribe_stream(
+        self,
+        features,
+        prompt_ids: list[int],
+        params: SamplingParams | None = None,
+        request_id: str | None = None,
+    ) -> AsyncIterator[RequestOutput]:
+        """Audio request: encode once, then stream decoder tokens
+        (requires an EncoderDecoderEngine)."""
+        request_id = request_id or f"audio-{uuid.uuid4().hex[:16]}"
+        q: asyncio.Queue = asyncio.Queue()
+        self._streams[request_id] = q
+        ev = threading.Event()
+        cmd = _Command(
+            kind="add_audio",
+            request_id=request_id,
+            prompt=(features, prompt_ids),
+            params=params,
+            done=ev,
+        )
+        self._cmds.put(cmd)
+        await asyncio.get_event_loop().run_in_executor(None, ev.wait)
+        if cmd.error is not None:
+            self._streams.pop(request_id, None)
+            raise cmd.error
+        try:
+            while True:
+                out = await q.get()
+                if isinstance(out, Exception):
+                    raise out
+                yield out
+                if out.finished:
+                    return
+        finally:
+            self._streams.pop(request_id, None)
+            if not self._stopping:
+                self._cmds.put(_Command(kind="abort", request_id=request_id))
+
+    async def transcribe(
+        self, features, prompt_ids, params=None, request_id=None
+    ) -> RequestOutput:
+        last = None
+        async for out in self.transcribe_stream(
+            features, prompt_ids, params, request_id
+        ):
+            last = out
+        assert last is not None
+        return last
+
     async def embed(
         self,
         inputs: list,
@@ -188,6 +237,17 @@ class AsyncLLMEngine:
                     cmd.request_id, cmd.prompt, cmd.params, cmd.priority
                 )
             except Exception as e:  # admission errors surface to the caller
+                cmd.error = e
+            finally:
+                if cmd.done:
+                    cmd.done.set()
+        elif cmd.kind == "add_audio":
+            try:
+                features, prompt_ids = cmd.prompt
+                self.engine.add_encoded_request(
+                    cmd.request_id, features, prompt_ids, cmd.params
+                )
+            except Exception as e:
                 cmd.error = e
             finally:
                 if cmd.done:

@@ -72,17 +72,34 @@ class KVCacheManager:
         pools: list[Any] = []
         for entry in self.kv_head_info:
             if isinstance(entry, dict):
-                assert num_slots > 0, "SSM layers need num_slots"
-                pools.append(
-                    {
-                        "conv": jnp.zeros(
-                            (num_slots + 1, *entry["conv"]), model_dtype
-                        ),
-                        "ssm": jnp.zeros(
-                            (num_slots + 1, *entry["ssm"]), jnp.float32
-                        ),
-                    }
-                )
+                assert num_slots > 0, "stateful layers need num_slots"
+                if "cross" in entry:
+                    # encoder-decoder layer: paged self KV + per-slot
+                    # cross-attention KV (encoder outputs projected once
+                    # per request — reference engine/encoder_decoder.rs)
+                    nkv, hd = entry["kv"]
+                    pools.append(
+                        {
+                            "kv": jnp.zeros(
+                                (cfg.num_pages, cfg.page_size, 2 * nkv, hd),
+                                dt,
+                            ),
+                            "cross": jnp.zeros(
+                                (num_slots + 1, *entry["cross"]), model_dtype
+                            ),
+                        }
+                    )
+                else:
+                    pools.append(
+                        {
+                            "conv": jnp.zeros(
+                                (num_slots + 1, *entry["conv"]), model_dtype
+                            ),
+                            "ssm": jnp.zeros(
+                                (num_slots + 1, *entry["ssm"]), jnp.float32
+                            ),
+                        }
+                    )
                 continue
             nkv, hd = entry
             shape = (cfg.num_pages, cfg.page_size, 2 * nkv, hd)

@@ -85,6 +85,14 @@ def _populate():
     except ImportError:
         pass
     try:
+        from .whisper import WhisperForConditionalGeneration
+
+        _REGISTRY["WhisperForConditionalGeneration"] = (
+            WhisperForConditionalGeneration
+        )
+    except ImportError:
+        pass
+    try:
         from .bert import (
             BertForSequenceClassification,
             BertModel,

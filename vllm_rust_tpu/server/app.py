@@ -776,9 +776,11 @@ def build_app(
             web.get("/v1/lora_adapters", s.list_lora),
         ]
     )
+    from .audio_api import add_audio_routes
     from .extra_apis import add_extra_routes
 
     add_extra_routes(app, s)
+    add_audio_routes(app)
     return app
 
 
