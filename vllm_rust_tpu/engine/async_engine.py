@@ -61,6 +61,7 @@ class AsyncLLMEngine:
         params: SamplingParams | None = None,
         request_id: str | None = None,
         priority: int = 0,
+        images: list | None = None,
     ) -> AsyncIterator[RequestOutput]:
         """Yields RequestOutput deltas; the final one has finished=True."""
         request_id = request_id or f"req-{uuid.uuid4().hex[:16]}"
@@ -68,9 +69,9 @@ class AsyncLLMEngine:
         self._streams[request_id] = q
         ev = threading.Event()
         cmd = _Command(
-            kind="add",
+            kind="add_mm" if images else "add",
             request_id=request_id,
-            prompt=prompt,
+            prompt=(prompt, images) if images else prompt,
             params=params,
             priority=priority,
             done=ev,
@@ -98,9 +99,12 @@ class AsyncLLMEngine:
         prompt: str | list[int],
         params: SamplingParams | None = None,
         request_id: str | None = None,
+        images: list | None = None,
     ) -> RequestOutput:
         last = None
-        async for out in self.generate_stream(prompt, params, request_id):
+        async for out in self.generate_stream(
+            prompt, params, request_id, images=images
+        ):
             last = out
         assert last is not None
         return last
@@ -237,6 +241,20 @@ class AsyncLLMEngine:
                     cmd.request_id, cmd.prompt, cmd.params, cmd.priority
                 )
             except Exception as e:  # admission errors surface to the caller
+                cmd.error = e
+            finally:
+                if cmd.done:
+                    cmd.done.set()
+        elif cmd.kind == "add_mm":
+            try:
+                prompt, images = cmd.prompt
+                if isinstance(prompt, str):
+                    prompt = self.engine.tokenizer.encode(prompt)
+                pixel = [self.engine.preprocess(im) for im in images]
+                self.engine.add_image_request(
+                    cmd.request_id, prompt, pixel, cmd.params
+                )
+            except Exception as e:
                 cmd.error = e
             finally:
                 if cmd.done:

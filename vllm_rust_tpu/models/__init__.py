@@ -85,6 +85,12 @@ def _populate():
     except ImportError:
         pass
     try:
+        from .llava import LlavaForConditionalGeneration
+
+        _REGISTRY["LlavaForConditionalGeneration"] = LlavaForConditionalGeneration
+    except ImportError:
+        pass
+    try:
         from .whisper import WhisperForConditionalGeneration
 
         _REGISTRY["WhisperForConditionalGeneration"] = (

@@ -204,9 +204,16 @@ class LlamaForCausalLM:
         input_ids: jax.Array,  # [T]
         md: AttentionMetadata,
         kv_pages: list[jax.Array],  # per layer
+        embeds: tuple[jax.Array, jax.Array] | None = None,
     ) -> tuple[jax.Array, list[jax.Array]]:
         cfg = self.config
         x = params["embed_tokens"]["weight"][input_ids]
+        if embeds is not None:
+            # multimodal injection: (mask [T] bool, override [T, H]) —
+            # image-span positions take projected vision embeddings
+            # (reference multimodal/processor.rs merge_embeddings)
+            mask, override = embeds
+            x = jnp.where(mask[:, None], override.astype(x.dtype), x)
         if self.embedding_multiplier is not None:
             x = (x.astype(jnp.float32) * self.embedding_multiplier).astype(self.dtype)
 

@@ -292,6 +292,35 @@ class Server:
 
     # -- chat ------------------------------------------------------------------
 
+    def _extract_images(self, req) -> list[str]:
+        """Pull image parts out of chat messages (base64 data URLs only —
+        zero-egress environment), replacing each with the image
+        placeholder so the template/tokenizer sees one image token.
+        Reference: multimodal/processor.rs process_content."""
+        images: list[str] = []
+        for m in req.messages:
+            c = m.content
+            if not isinstance(c, list):
+                continue
+            texts = []
+            for part in c:
+                t = part.get("type")
+                if t in ("image_url", "input_image", "image"):
+                    url = part.get("image_url") or part.get("image") or part.get("data")
+                    if isinstance(url, dict):
+                        url = url.get("url")
+                    if not isinstance(url, str) or not url.startswith("data:"):
+                        raise ValueError(
+                            "only base64 data-URL images are supported "
+                            "(this deployment has no network egress)"
+                        )
+                    images.append(url)
+                    texts.append("<image>")
+                elif t == "text":
+                    texts.append(part.get("text", ""))
+            m.content = "".join(texts)
+        return images
+
     def _apply_chat_template(self, req: ChatCompletionRequest) -> str:
         messages = [m.model_dump(exclude_none=True) for m in req.messages]
         return self.tokenizer.apply_chat_template(
@@ -306,14 +335,17 @@ class Server:
         if self.engine is None:
             return _error(400, "this server is running an encoder model (embeddings/score/rerank only)")
         req = ChatCompletionRequest(**await request.json())
+        images = self._extract_images(req)
         prompt = self._apply_chat_template(req)
         params = req.sampling_params()
         rid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
 
         if req.stream:
-            return await self._stream_chat(request, rid, prompt, req, params)
+            return await self._stream_chat(
+                request, rid, prompt, req, params, images=images
+            )
 
-        out = await self.engine.generate(prompt, params, rid)
+        out = await self.engine.generate(prompt, params, rid, images=images)
         seq = self.engine.engine.requests.get(rid)
         content = out.output_text
         message: dict[str, Any] = {"role": "assistant", "content": content}
@@ -348,7 +380,8 @@ class Server:
             )
         )
 
-    async def _stream_chat(self, request, rid, prompt, req, params):
+    async def _stream_chat(self, request, rid, prompt, req, params,
+                           images=None):
         resp = await self._sse_response(request)
         created = int(time.time())
         model = req.model or self.model_name
@@ -367,7 +400,9 @@ class Server:
         }
         await self._sse_send(resp, first)
         n_tokens = 0
-        async for out in self.engine.generate_stream(prompt, params, rid):
+        async for out in self.engine.generate_stream(
+            prompt, params, rid, images=images
+        ):
             n_tokens += 1
             delta: dict[str, Any] = {}
             if out.new_text:

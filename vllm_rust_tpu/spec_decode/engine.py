@@ -95,6 +95,11 @@ class SpecLLMEngine(LLMEngine):
                 self._assign_slot(s.seq)
         return self._spec_dispatch_and_process(decision.scheduled)
 
+    def _build_mm(self, scheduled: list[ScheduledSeq], t_pad: int):
+        """Multimodal hook: (mm_buf, mm_idx [t_pad]) or None. Overridden
+        by the VLM engine (engine/vlm.py)."""
+        return None
+
     def _propose_all(
         self, scheduled: list[ScheduledSeq]
     ) -> dict[int, list[int]]:
@@ -202,6 +207,7 @@ class SpecLLMEngine(LLMEngine):
         hb.cu_q_lens[len(scheduled) + 1 :] = hb.cu_q_lens[len(scheduled)]
 
         aux_kv = self.proposer.kv_pages if self._has_aux else ()
+        mm = self._build_mm(scheduled, t_pad)
         self.kv_pages, self.token_counts, aux_kv, packed = self.spec_step_fn(
             self.params,
             self.kv_pages,
@@ -213,10 +219,13 @@ class SpecLLMEngine(LLMEngine):
             self.token_counts,
             self.head_params,
             aux_kv,
+            mm[0] if mm else self._dummy_mask,
+            mm[1] if mm else self._dummy_mask[0],
             layout=hb.layout,
             k1=k1,
             use_penalties=use_penalties,
             use_top_filters=use_top_filters,
+            use_mm=mm is not None,
         )
         if self._has_aux:
             self.proposer.kv_pages = aux_kv

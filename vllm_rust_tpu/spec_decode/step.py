@@ -56,7 +56,9 @@ class SpecStepFunction:
         self.acceptance = acceptance
         self._jit = jax.jit(
             self._step,
-            static_argnames=("layout", "k1", "use_penalties", "use_top_filters"),
+            static_argnames=(
+                "layout", "k1", "use_penalties", "use_top_filters", "use_mm",
+            ),
             donate_argnames=("kv_pages", "token_counts", "aux_kv"),
         )
 
@@ -72,11 +74,14 @@ class SpecStepFunction:
         token_counts: jax.Array,
         head_params,
         aux_kv,
+        mm_buf: jax.Array,  # [num_slots+1, max_mm, H] multimodal embeds
+        mm_idx: jax.Array,  # [T] index into the row's mm embeds (-1 none)
         *,
         layout: PackLayout,
         k1: int,
         use_penalties: bool,
         use_top_filters: bool,
+        use_mm: bool = False,
     ):
         (
             _ring_slot,
@@ -90,7 +95,25 @@ class SpecStepFunction:
         ) = unpack_device(meta, layout)  # full page width (sync path)
         s = slot_ids.shape[0]
 
-        hidden, kv_pages = self.model(params, input_ids, md, kv_pages)
+        model_kwargs = {}
+        if use_mm:
+            # multimodal embedding injection: image-span tokens take their
+            # slot's projected vision embeddings (engine/vlm.py fills the
+            # buffer once per request at slot assignment)
+            t = input_ids.shape[0]
+            tok_idx = jnp.arange(t, dtype=jnp.int32)
+            seq_of = jnp.clip(
+                jnp.searchsorted(md.cu_q_lens, tok_idx, side="right") - 1,
+                0,
+                s - 1,
+            )
+            null_row = mm_buf.shape[0] - 1
+            slot_of = jnp.where(mm_idx >= 0, slot_ids[seq_of], null_row)
+            override = mm_buf[slot_of, jnp.maximum(mm_idx, 0)]
+            model_kwargs["embeds"] = (mm_idx >= 0, override)
+        hidden, kv_pages = self.model(
+            params, input_ids, md, kv_pages, **model_kwargs
+        )
         sel = hidden[gather_idx.reshape(-1)]  # [S*K1, H]
         logits = self.model.compute_logits(params, sel).reshape(s, k1, -1)
 
@@ -202,11 +225,14 @@ class SpecStepFunction:
         packed = jnp.concatenate(parts)
         return kv_pages, token_counts, aux_kv, packed
 
-    def __call__(self, *args, layout, k1, use_penalties, use_top_filters):
+    def __call__(
+        self, *args, layout, k1, use_penalties, use_top_filters, use_mm=False
+    ):
         return self._jit(
             *args,
             layout=layout,
             k1=k1,
             use_penalties=use_penalties,
             use_top_filters=use_top_filters,
+            use_mm=use_mm,
         )
