@@ -70,6 +70,7 @@ class EncoderDecoderEngine(SpecLLMEngine):
                 st["cross"] = st["cross"].at[seq.slot, : e.shape[0]].set(
                     e.astype(st["cross"].dtype)
                 )
+                st["enc_len"] = st["enc_len"].at[seq.slot].set(e.shape[0])
 
     def _finish(self, seq, reason, stop_reason=None) -> None:
         super()._finish(seq, reason, stop_reason)

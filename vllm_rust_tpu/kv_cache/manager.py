@@ -77,6 +77,7 @@ class KVCacheManager:
                     # encoder-decoder layer: paged self KV + per-slot
                     # cross-attention KV (encoder outputs projected once
                     # per request — reference engine/encoder_decoder.rs)
+                    # + per-slot valid encoder length for masking
                     nkv, hd = entry["kv"]
                     pools.append(
                         {
@@ -87,6 +88,7 @@ class KVCacheManager:
                             "cross": jnp.zeros(
                                 (num_slots + 1, *entry["cross"]), model_dtype
                             ),
+                            "enc_len": jnp.zeros((num_slots + 1,), jnp.int32),
                         }
                     )
                 else:

@@ -99,6 +99,13 @@ def _populate():
     except ImportError:
         pass
     try:
+        from .t5 import T5ForConditionalGeneration
+
+        _REGISTRY["T5ForConditionalGeneration"] = T5ForConditionalGeneration
+        _REGISTRY["MT5ForConditionalGeneration"] = T5ForConditionalGeneration
+    except ImportError:
+        pass
+    try:
         from .bert import (
             BertForSequenceClassification,
             BertModel,

@@ -39,11 +39,16 @@ def cross_attention(
     md: AttentionMetadata,
     cross_buf: jax.Array,  # [num_slots+1, enc_len, 2*nh, hd]
     num_heads: int,
+    enc_lens: jax.Array | None = None,  # [num_slots+1] valid encoder length
+    *,
+    scale: float | None = None,
+    out_key: str = "out_proj",
 ) -> jax.Array:
     """Slot-indexed encoder-decoder attention. Encoder K/V were projected
     at encode time; every decoder token gathers its slot's buffer."""
     t, hdim = x.shape
-    hd = hdim // num_heads
+    nh = num_heads
+    hd = cross_buf.shape[-1]
     num_slots = cross_buf.shape[0] - 1
     s = md.kv_lens.shape[0]
     tok_idx = jnp.arange(t, dtype=jnp.int32)
@@ -53,15 +58,21 @@ def cross_attention(
     real = tok_idx < md.cu_q_lens[s]
     slot = jnp.where(real, md.slot_ids[seq_of], num_slots)
 
-    q = linear(x, params["q_proj"]).reshape(t, num_heads, hd) * (hd**-0.5)
+    if scale is None:
+        scale = hd**-0.5
+    q = linear(x, params["q_proj"]).reshape(t, nh, hd) * scale
     kv = cross_buf[slot]  # [T, enc, 2*nh, hd]
-    k = kv[:, :, :num_heads, :]
-    v = kv[:, :, num_heads:, :]
+    k = kv[:, :, :nh, :]
+    v = kv[:, :, nh:, :]
     scores = jnp.einsum("thd,tehd->the", q.astype(jnp.float32),
                         k.astype(jnp.float32))
+    if enc_lens is not None:
+        e_idx = jnp.arange(kv.shape[1], dtype=jnp.int32)
+        mask = e_idx[None, None, :] < enc_lens[slot][:, None, None]
+        scores = jnp.where(mask, scores, -1e10)
     probs = jax.nn.softmax(scores, axis=-1)
     ctx = jnp.einsum("the,tehd->thd", probs, v.astype(jnp.float32))
-    return linear(ctx.reshape(t, hdim).astype(x.dtype), params["out_proj"])
+    return linear(ctx.reshape(t, nh * hd).astype(x.dtype), params[out_key])
 
 
 class WhisperForConditionalGeneration:
@@ -298,12 +309,15 @@ class WhisperForConditionalGeneration:
             res = x
             h = _layer_norm(x, lp["encoder_attn_layer_norm"])
             x = res + cross_attention(
-                lp["encoder_attn"], h, md, st["cross"], self.dec_heads
+                lp["encoder_attn"], h, md, st["cross"], self.dec_heads,
+                st["enc_len"],
             )
             res = x
             h = _layer_norm(x, lp["final_layer_norm"])
             x = res + linear(jax.nn.gelu(linear(h, lp["fc1"])), lp["fc2"])
-            new_states.append({"kv": kv, "cross": st["cross"]})
+            new_states.append(
+                {"kv": kv, "cross": st["cross"], "enc_len": st["enc_len"]}
+            )
         x = _layer_norm(x, dec["layer_norm"])
         return x, new_states
 
