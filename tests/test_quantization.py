@@ -167,3 +167,198 @@ def test_quantized_model_forward():
         [[1, 2, 3]], SamplingParams(max_tokens=5, temperature=0.0, ignore_eos=True)
     )
     assert len(outs[0].token_ids) == 5
+
+
+# -- FP8 weights ----------------------------------------------------------------
+
+
+def _fp8_quant(w, scale):
+    import ml_dtypes
+
+    return (w / scale).astype(ml_dtypes.float8_e4m3fn)
+
+
+@pytest.mark.parametrize("granularity", ["tensor", "channel", "block"])
+def test_fp8_apply_matches_float(granularity):
+    from vllm_rust_tpu.quantization.fp8 import load_fp8_linear
+    from vllm_rust_tpu.quantization.registry import apply_quantized_linear
+
+    rng = np.random.default_rng(0)
+    k, n = 64, 32
+    w = rng.normal(size=(n, k)).astype(np.float32) * 0.1  # torch [N, K]
+    if granularity == "tensor":
+        scale = np.float32(np.abs(w).max() / 448.0 + 1e-6)
+        ql = load_fp8_linear(_fp8_quant(w, scale), weight_scale=scale)
+        w_ref = _fp8_quant(w, scale).astype(np.float32) * scale
+    elif granularity == "channel":
+        scale = (np.abs(w).max(axis=1) / 448.0 + 1e-6).astype(np.float32)  # [N]
+        ql = load_fp8_linear(_fp8_quant(w, scale[:, None]), weight_scale=scale)
+        w_ref = _fp8_quant(w, scale[:, None]).astype(np.float32) * scale[:, None]
+    else:
+        bs = 16
+        sc = (
+            np.abs(w.reshape(n // bs, bs, k // bs, bs)).max(axis=(1, 3)) / 448.0
+            + 1e-6
+        ).astype(np.float32)  # [N/bs, K/bs]
+        expand = np.repeat(np.repeat(sc, bs, 0), bs, 1)
+        ql = load_fp8_linear(_fp8_quant(w, expand), weight_scale_inv=sc)
+        w_ref = _fp8_quant(w, expand).astype(np.float32) * expand
+
+    x = rng.normal(size=(4, k)).astype(np.float32)
+    got = np.asarray(apply_quantized_linear(jnp.asarray(x), ql))
+    ref = x @ w_ref.T
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_fp8_checkpoint_end_to_end():
+    """Quantize a tiny llama to fp8, load through the quant loader, and
+    compare generation against the explicitly dequantized model."""
+    import ml_dtypes
+
+    from vllm_rust_tpu.config import CacheConfig, EngineConfig, SchedulerConfig
+    from vllm_rust_tpu.engine import LLMEngine
+    from vllm_rust_tpu.models import from_config
+    from vllm_rust_tpu.quantization.loader import load_quantized_weights
+    from vllm_rust_tpu.request import SamplingParams
+    from vllm_rust_tpu.testing import tiny_llama_config
+
+    mc = tiny_llama_config()
+    model = from_config(mc, dtype=jnp.float32)
+    ref_params = model.init_params(jax.random.PRNGKey(3))
+
+    # build an fp8 checkpoint stream from the float params
+    stream = []
+    deq = jax.tree_util.tree_map(lambda x: x, ref_params)  # shallow copy tree
+    for i, lp in enumerate(ref_params["layers"]):
+        for mod, names in (("self_attn", ["q_proj", "k_proj", "v_proj", "o_proj"]),
+                           ("mlp", ["gate_proj", "up_proj", "down_proj"])):
+            for nme in names:
+                w = np.asarray(lp[mod][nme]["weight"]).T  # [N, K] torch
+                scale = np.float32(np.abs(w).max() / 448.0 + 1e-6)
+                q = (w / scale).astype(ml_dtypes.float8_e4m3fn)
+                base = f"model.layers.{i}.{mod}.{nme}"
+                stream.append((f"{base}.weight", q))
+                stream.append((f"{base}.weight_scale", np.asarray(scale)))
+                # reference: dequantized weights
+                deq["layers"][i][mod][nme] = {
+                    "weight": jnp.asarray((q.astype(np.float32) * scale).T)
+                }
+    stream.append(("model.embed_tokens.weight",
+                   np.asarray(ref_params["embed_tokens"]["weight"])))
+    stream.append(("model.norm.weight", np.asarray(ref_params["norm"])))
+    stream.append(("lm_head.weight",
+                   np.asarray(ref_params["lm_head"]["weight"]).T))
+    for i, lp in enumerate(ref_params["layers"]):
+        for nrm in ("input_layernorm", "post_attention_layernorm"):
+            stream.append((f"model.layers.{i}.{nrm}.weight", np.asarray(lp[nrm])))
+
+    qparams = load_quantized_weights(model, "fp8", {}, stream)
+
+    cfg = EngineConfig(
+        model=mc,
+        cache=CacheConfig(num_pages=32, page_size=16),
+        scheduler=SchedulerConfig(max_num_seqs=4, max_tokens_per_step=64),
+        max_model_len=128,
+        token_buckets=(16, 32, 64),
+    )
+    p = SamplingParams(max_tokens=10, temperature=0.0, ignore_eos=True)
+    got = LLMEngine(model, qparams, cfg).generate([[1, 2, 3, 4]], p)[0].token_ids
+    ref = LLMEngine(model, deq, cfg).generate([[1, 2, 3, 4]], p)[0].token_ids
+    assert got == ref
+
+
+# -- GPTQ desc_act ----------------------------------------------------------------
+
+
+def test_gptq_desc_act_matches_dense():
+    from vllm_rust_tpu.quantization.gptq import load_gptq_linear
+    from vllm_rust_tpu.quantization.registry import apply_quantized_linear
+
+    rng = np.random.default_rng(1)
+    k, n, g = 64, 32, 16
+    n_groups = k // g
+    q = rng.integers(0, 16, size=(k, n), dtype=np.uint8)
+    scales = rng.uniform(0.01, 0.1, size=(n_groups, n)).astype(np.float16)
+    zeros = rng.integers(0, 16, size=(n_groups, n), dtype=np.uint8)
+
+    # activation-order permutation: g_idx[k] = group of ORIGINAL row k
+    perm_rows = rng.permutation(k)
+    g_idx = np.empty(k, np.int32)
+    g_idx[perm_rows] = np.repeat(np.arange(n_groups), g)
+
+    # dense reference: w[k] = (q[k] - z[g_idx[k]]) * s[g_idx[k]]
+    w_ref = (
+        q.astype(np.float32) - (zeros.astype(np.float32) + 1)[g_idx]
+    ) * scales.astype(np.float32)[g_idx]
+
+    # pack as an AutoGPTQ checkpoint
+    def pack_rows(qm):
+        k_, n_ = qm.shape
+        out = np.zeros((k_ // 8, n_), np.uint32)
+        for j in range(8):
+            out |= qm[j::8].astype(np.uint32) << (4 * j)
+        return out.view(np.int32)
+
+    def pack_cols(zm):
+        r, n_ = zm.shape
+        out = np.zeros((r, n_ // 8), np.uint32)
+        for j in range(8):
+            out |= zm[:, j::8].astype(np.uint32) << (4 * j)
+        return out.view(np.int32)
+
+    ql = load_gptq_linear(
+        pack_rows(q), pack_cols(zeros), scales, g_idx=g_idx
+    )
+    assert "perm" in ql.aux
+    x = rng.normal(size=(4, k)).astype(np.float32)
+    got = np.asarray(apply_quantized_linear(jnp.asarray(x), ql))
+    ref = x @ w_ref
+    # scales are stored bf16 in the kernel layout
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=8e-2)
+
+
+# -- GGUF IQ4 -------------------------------------------------------------------
+
+
+def test_iq4_nl_dequant_spec():
+    """Hand-built IQ4_NL block per the ggml spec."""
+    from vllm_rust_tpu.quantization.gguf_file import IQ4_KVALUES, dequantize
+
+    d = np.float16(0.5)
+    idx = np.arange(32) % 16
+    qs = (idx[:16] | (idx[16:] << 4)).astype(np.uint8)
+    raw = np.frombuffer(d.tobytes() + qs.tobytes(), np.uint8)
+    out = dequantize(raw.copy(), 20, 32)  # type 20 = IQ4_NL
+    expect = 0.5 * IQ4_KVALUES[idx]
+    np.testing.assert_allclose(out, expect, rtol=1e-3)
+
+
+def test_iq4_xs_dequant_spec():
+    from vllm_rust_tpu.quantization.gguf_file import IQ4_KVALUES, dequantize
+
+    rng = np.random.default_rng(0)
+    d = np.float16(0.25)
+    ls = rng.integers(0, 64, size=8)  # 6-bit sub-scales
+    scales_l = np.zeros(4, np.uint8)
+    scales_h = np.uint16(0)
+    for ib in range(8):
+        scales_l[ib // 2] |= (ls[ib] & 0xF) << (4 * (ib % 2))
+        scales_h |= np.uint16((ls[ib] >> 4) & 3) << np.uint16(2 * ib)
+    idx = rng.integers(0, 16, size=256)
+    qs = np.zeros(128, np.uint8)
+    for ib in range(8):
+        lo = idx[32 * ib : 32 * ib + 16]
+        hi = idx[32 * ib + 16 : 32 * ib + 32]
+        qs[16 * ib : 16 * (ib + 1)] = lo | (hi << 4)
+    raw = np.frombuffer(
+        d.tobytes() + scales_h.tobytes() + scales_l.tobytes() + qs.tobytes(),
+        np.uint8,
+    )
+    out = dequantize(raw.copy(), 23, 256)  # type 23 = IQ4_XS
+    expect = np.concatenate(
+        [
+            0.25 * (int(ls[ib]) - 32) * IQ4_KVALUES[idx[32 * ib : 32 * (ib + 1)]]
+            for ib in range(8)
+        ]
+    )
+    np.testing.assert_allclose(out, expect, rtol=1e-3)

@@ -414,10 +414,49 @@ def _dq_q3_k(blocks):
     return out
 
 
+# IQ4 non-linear codebook (public ggml constant, kvalues_iq4nl)
+IQ4_KVALUES = np.array(
+    [-127, -104, -83, -65, -49, -35, -22, -10, 1, 13, 25, 38, 53, 69, 89, 113],
+    np.int32,
+)
+
+
+def _dq_iq4_nl(blocks):
+    """IQ4_NL: 32-elem block {f16 d; u8 qs[16]}; w = d * kvalues[nibble]
+    (reference quantization/gguf/iq/mod.rs + iq_dequant.cu, ADR 0025)."""
+    d = _f16(blocks[:, 0:2].reshape(-1))[:, None]
+    lo, hi = _nibbles(blocks[:, 2:18])
+    q = np.concatenate([lo, hi], axis=1)  # elems 0..15 then 16..31
+    return d * IQ4_KVALUES[q]
+
+
+def _dq_iq4_xs(blocks):
+    """IQ4_XS: 256-elem super-block {f16 d; u16 scales_h; u8 scales_l[4];
+    u8 qs[128]}; sub-block ib of 32: ls = (l4 | (h2<<4)) - 32;
+    w = d * ls * kvalues[nibble]."""
+    b = blocks.shape[0]
+    d = _f16(blocks[:, 0:2].reshape(-1))[:, None]
+    scales_h = blocks[:, 2:4].view(np.uint16).reshape(-1).astype(np.uint32)
+    scales_l = blocks[:, 4:8].astype(np.uint32)
+    qs = blocks[:, 8:136]
+    out = np.empty((b, 256), np.float32)
+    for ib in range(8):
+        l4 = (scales_l[:, ib // 2] >> (4 * (ib % 2))) & 0xF
+        h2 = (scales_h >> (2 * ib)) & 3
+        ls = (l4 | (h2 << 4)).astype(np.int32) - 32
+        dl = (d[:, 0] * ls)[:, None]
+        chunk = qs[:, 16 * ib : 16 * (ib + 1)]
+        out[:, 32 * ib : 32 * ib + 16] = dl * IQ4_KVALUES[chunk & 0xF]
+        out[:, 32 * ib + 16 : 32 * ib + 32] = dl * IQ4_KVALUES[chunk >> 4]
+    return out
+
+
 _DEQUANT = {
     "F32": _dq_f32,
     "F16": _dq_f16,
     "BF16": _dq_bf16,
+    "IQ4_NL": _dq_iq4_nl,
+    "IQ4_XS": _dq_iq4_xs,
     "Q4_0": _dq_q4_0,
     "Q4_1": _dq_q4_1,
     "Q5_0": _dq_q5_0,

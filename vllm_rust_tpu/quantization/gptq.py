@@ -55,21 +55,32 @@ def load_gptq_linear(
     q = unpack_gptq_rows(qweight)  # [K, N]
     k = q.shape[0]
     n_groups = scales.shape[0]
+    perm = None
     if g_idx is not None:
+        g_idx = np.asarray(g_idx)
         expected = np.repeat(np.arange(n_groups), k // n_groups)
-        if not np.array_equal(np.asarray(g_idx), expected):
-            raise NotImplementedError(
-                "GPTQ desc_act (activation-order) checkpoints not supported yet"
-            )
+        if not np.array_equal(g_idx, expected):
+            # desc_act (activation-order): permute K rows into group-sorted
+            # order; the apply path gathers x columns the same way. After
+            # the stable sort every group is contiguous with k/g rows.
+            perm = np.argsort(g_idx, kind="stable").astype(np.int32)
+            q = q[perm]
     z = unpack_gptq_cols(qzeros).astype(np.float32) + 1.0  # AutoGPTQ quirk
     s = scales.astype(np.float32)
     from .awq import make_w4a16_linear
 
-    return make_w4a16_linear(q, s, z * s, bias, "gptq")
+    ql = make_w4a16_linear(q, s, z * s, bias, "gptq")
+    if perm is not None:
+        import jax.numpy as jnp
+
+        ql.aux = dict(ql.aux, perm=jnp.asarray(perm))
+    return ql
 
 
 @register_quant_method("gptq")
 def apply_gptq(x, p: QuantLinear):
     from .awq import apply_awq
 
+    if "perm" in p.aux:  # desc_act: activation columns follow the K sort
+        x = x[..., p.aux["perm"]]
     return apply_awq(x, p)  # identical packed layout and math

@@ -14,6 +14,7 @@ import numpy as np
 
 _AWQ_PARTS = {"qweight", "qzeros", "scales", "bias"}
 _GPTQ_PARTS = {"qweight", "qzeros", "scales", "g_idx", "bias"}
+_FP8_PARTS = {"weight", "weight_scale", "weight_scale_inv", "input_scale", "bias"}
 
 
 def load_quantized_weights(
@@ -27,15 +28,27 @@ def load_quantized_weights(
     Non-quantized tensors (norms, embeddings, lm_head) route through the
     model's normal name mapping; linear groups become QuantLinear nodes.
     """
-    if method not in ("awq", "gptq"):
+    if method not in ("awq", "gptq", "fp8"):
         raise NotImplementedError(f"quant method {method} not yet supported")
 
     params = model.init_params(rng=None)
     groups: dict[str, dict[str, np.ndarray]] = {}
 
+    def is_quant_leaf(base: str, leaf: str, name: str) -> bool:
+        if method in ("awq", "gptq"):
+            return leaf in _AWQ_PARTS | _GPTQ_PARTS
+        # fp8: linear weights (the transposed mappings) are candidates;
+        # groups that turn out to have no scale are placed normally below
+        if leaf in ("weight_scale", "weight_scale_inv", "input_scale"):
+            return True
+        if leaf != "weight":
+            return False
+        path = model._param_path(name)
+        return path is not None and path[1]  # transpose flag == linear
+
     for name, arr in weights:
         base, _, leaf = name.rpartition(".")
-        if leaf in _AWQ_PARTS | _GPTQ_PARTS and base:
+        if base and is_quant_leaf(base, leaf, name):
             groups.setdefault(base, {})[leaf] = np.asarray(arr)
         else:
             path = model._param_path(name)
@@ -53,14 +66,32 @@ def load_quantized_weights(
             node[tree_path[-1]] = jnp.asarray(a, model.dtype)
 
     for base, parts in groups.items():
-        if "qweight" not in parts:
+        if "qweight" not in parts and "weight" not in parts:
             continue
         path = model._param_path(f"{base}.weight")
         if path is None:
             continue
         tree_path, _ = path
         assert tree_path[-1] == "weight"
-        if method == "awq":
+        if method == "fp8":
+            if not ({"weight_scale", "weight_scale_inv"} & parts.keys()):
+                # unquantized linear in an fp8 checkpoint: place normally
+                import jax.numpy as jnp
+
+                node = params
+                for p in tree_path[:-1]:
+                    node = node[p]
+                node["weight"] = jnp.asarray(parts["weight"].T, model.dtype)
+                continue
+            from .fp8 import load_fp8_linear
+
+            ql = load_fp8_linear(
+                parts["weight"],
+                parts.get("weight_scale"),
+                parts.get("weight_scale_inv"),
+                parts.get("bias"),
+            )
+        elif method == "awq":
             from .awq import load_awq_linear
 
             ql = load_awq_linear(
