@@ -410,3 +410,35 @@ async def test_decoder_score_fallback(client):
     data = await r.json()
     # identical texts -> cosine similarity 1
     assert abs(data["data"][0]["score"] - 1.0) < 1e-4
+
+
+@with_client
+async def test_admin_estimate_and_device(client):
+    r = await client.get("/admin/device")
+    assert r.status == 200
+    data = await r.json()
+    assert "chip_profile" in data or "error" in data
+
+    r = await client.post(
+        "/admin/estimate",
+        json={
+            "hf_config": {
+                "architectures": ["LlamaForCausalLM"],
+                "hidden_size": 4096,
+                "intermediate_size": 11008,
+                "num_hidden_layers": 32,
+                "num_attention_heads": 32,
+                "num_key_value_heads": 32,
+                "vocab_size": 32000,
+            },
+            "weight_dtype": "awq",
+            "batch_size": 8,
+        },
+    )
+    assert r.status == 200, await r.text()
+    est = await r.json()
+    assert est["model"]["num_params"] > 6e9
+    assert est["decode_tok_s_per_seq"] > 0
+    assert est["aggregate_tok_s"] >= est["decode_tok_s_per_seq"]
+    assert isinstance(est["fits"], bool)
+    assert est["ttft_s"] > 0

@@ -811,11 +811,13 @@ def build_app(
             web.get("/v1/lora_adapters", s.list_lora),
         ]
     )
+    from .admin_api import add_admin_routes
     from .audio_api import add_audio_routes
     from .extra_apis import add_extra_routes
 
     add_extra_routes(app, s)
     add_audio_routes(app)
+    add_admin_routes(app)
     return app
 
 
