@@ -146,3 +146,74 @@ def test_mixtral_registry_and_names():
     params = model.load_weights(iter(stream))
     assert params["layers"][0]["mlp"]["experts"]["gate_proj"]["weight"].shape == (4, 64, 32)
     assert params["layers"][0]["mlp"]["router"]["weight"].shape == (64, 4)
+
+
+def test_ep_dispatch_matches_dense():
+    """EP capacity dispatch (single device) must equal the dense path
+    when capacity is not exceeded."""
+    from vllm_rust_tpu.layers.moe import MoESpec, _dense_experts, _ep_experts, route
+    from vllm_rust_tpu.layers.linear import linear
+
+    rng = jax.random.PRNGKey(0)
+    t, h, inter, e, k = 12, 16, 32, 8, 2
+    spec = MoESpec(num_experts=e, top_k=k, norm_topk_prob=True)
+    keys = jax.random.split(rng, 5)
+    params = {
+        "router": {"weight": jax.random.normal(keys[0], (h, e), jnp.float32) * 0.1},
+        "experts": {
+            "gate_proj": {"weight": jax.random.normal(keys[1], (e, h, inter), jnp.float32) * 0.1},
+            "up_proj": {"weight": jax.random.normal(keys[2], (e, h, inter), jnp.float32) * 0.1},
+            "down_proj": {"weight": jax.random.normal(keys[3], (e, inter, h), jnp.float32) * 0.1},
+        },
+    }
+    x = jax.random.normal(keys[4], (t, h), jnp.float32)
+    topv, topi = route(spec, linear(x, params["router"]))
+    dense = _dense_experts(spec, params, x, topv, topi)
+    ep = _ep_experts(spec, params, x, topv, topi, capacity_factor=8.0)
+    np.testing.assert_allclose(np.asarray(ep), np.asarray(dense),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_ep_dispatch_on_mesh():
+    """EP dispatch under an 8-device mesh with expert-sharded weights
+    must equal the replicated dense computation (XLA inserts the
+    all_to_all; reference distributed/expert_parallel.rs)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vllm_rust_tpu.layers.moe import MoESpec, _dense_experts, _ep_experts, route
+    from vllm_rust_tpu.layers.linear import linear
+    from vllm_rust_tpu.parallel.mesh import make_mesh, set_global_mesh
+
+    rng = jax.random.PRNGKey(1)
+    t, h, inter, e, k = 16, 16, 32, 8, 2
+    spec = MoESpec(num_experts=e, top_k=k)
+    keys = jax.random.split(rng, 5)
+    params = {
+        "router": {"weight": jax.random.normal(keys[0], (h, e), jnp.float32) * 0.1},
+        "experts": {
+            "gate_proj": {"weight": jax.random.normal(keys[1], (e, h, inter), jnp.float32) * 0.1},
+            "up_proj": {"weight": jax.random.normal(keys[2], (e, h, inter), jnp.float32) * 0.1},
+            "down_proj": {"weight": jax.random.normal(keys[3], (e, inter, h), jnp.float32) * 0.1},
+        },
+    }
+    x = jax.random.normal(keys[4], (t, h), jnp.float32)
+    topv, topi = route(spec, linear(x, params["router"]))
+    dense = _dense_experts(spec, params, x, topv, topi)
+
+    mesh = make_mesh(tp=8, dp=1)
+    set_global_mesh(mesh)
+    try:
+        exp_sh = NamedSharding(mesh, P("tp", None, None))
+        sharded = {
+            "router": params["router"],
+            "experts": {
+                kk: {"weight": jax.device_put(v["weight"], exp_sh)}
+                for kk, v in params["experts"].items()
+            },
+        }
+        fn = jax.jit(lambda p, x, tv, ti: _ep_experts(spec, p, x, tv, ti, 8.0))
+        ep = fn(sharded, x, topv, topi)
+        np.testing.assert_allclose(np.asarray(ep), np.asarray(dense),
+                                   rtol=2e-4, atol=2e-4)
+    finally:
+        set_global_mesh(None)

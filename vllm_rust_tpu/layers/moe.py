@@ -114,17 +114,76 @@ def _gmm_experts(spec: MoESpec, params: dict, x, topv, topi):
     return out.astype(x.dtype)
 
 
+def _ep_experts(
+    spec: MoESpec,
+    params: dict,
+    x: jax.Array,
+    topv: jax.Array,
+    topi: jax.Array,
+    capacity_factor: float = 2.0,
+):
+    """Expert-parallel dispatch (reference moe/ep_layer.rs EPMoELayer +
+    token_dispatch.rs all_to_all): GShard-style capacity-bounded token
+    dispatch to an [E, C, D] tensor sharded on the expert axis. With
+    experts sharded over the mesh, XLA lowers the scatter/gather to
+    all_to_all collectives over ICI — no hand-written NCCL dispatch."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import get_global_mesh
+
+    t, h = x.shape
+    e, k = spec.num_experts, spec.top_k
+    cap = max(8, int(-(-capacity_factor * t * k // e)))
+
+    flat_e = topi.reshape(-1)  # [T*k]
+    onehot = jax.nn.one_hot(flat_e, e, dtype=jnp.int32)  # [T*k, E]
+    pos = (jnp.cumsum(onehot, axis=0) - 1)[jnp.arange(t * k), flat_e]
+    keep = pos < cap
+    x_rep = jnp.repeat(x, k, axis=0)  # [T*k, D]
+    disp = jnp.zeros((e, cap, h), x.dtype)
+    disp = disp.at[flat_e, jnp.minimum(pos, cap - 1)].add(
+        jnp.where(keep[:, None], x_rep, 0), mode="drop"
+    )
+    mesh = get_global_mesh()
+    if mesh is not None:
+        disp = jax.lax.with_sharding_constraint(
+            disp, NamedSharding(mesh, P("tp", None, None))
+        )
+
+    act = _ACTS[spec.act]
+    wg = params["experts"]["gate_proj"]["weight"]  # [E, D, I]
+    wu = params["experts"]["up_proj"]["weight"]
+    wd = params["experts"]["down_proj"]["weight"]  # [E, I, D]
+    hg = jnp.einsum("ecd,edi->eci", disp.astype(jnp.float32), wg.astype(jnp.float32))
+    hu = jnp.einsum("ecd,edi->eci", disp.astype(jnp.float32), wu.astype(jnp.float32))
+    y = jnp.einsum("eci,eid->ecd", act(hg) * hu, wd.astype(jnp.float32))
+    if mesh is not None:
+        y = jax.lax.with_sharding_constraint(
+            y, NamedSharding(mesh, P("tp", None, None))
+        )
+
+    gathered = y[flat_e, jnp.minimum(pos, cap - 1)]  # [T*k, D]
+    gathered = jnp.where(keep[:, None], gathered, 0.0)
+    w = topv.reshape(-1)[:, None]
+    out = (gathered * w).reshape(t, k, h).sum(axis=1)
+    return out.astype(x.dtype)
+
+
 def moe_layer(
     spec: MoESpec, params: dict, x: jax.Array, *, backend: str = "auto"
 ) -> jax.Array:
     """x [T, hidden] → MoE output. params: {"router": linear,
-    "experts": stacked [E, ...] weights, optional "shared_expert" (+gate)}."""
+    "experts": stacked [E, ...] weights, optional "shared_expert" (+gate)}.
+    Backends: dense (per-expert loop), gmm (megablox grouped matmul),
+    ep (expert-parallel all_to_all dispatch)."""
     router_logits = linear(x, params["router"])
     topv, topi = route(spec, router_logits)
     if backend == "auto":
         backend = "gmm" if on_tpu() else "dense"
     if backend == "gmm":
         out = _gmm_experts(spec, params, x, topv, topi)
+    elif backend == "ep":
+        out = _ep_experts(spec, params, x, topv, topi)
     else:
         out = _dense_experts(spec, params, x, topv, topi)
     if spec.has_shared_expert and "shared_expert" in params:

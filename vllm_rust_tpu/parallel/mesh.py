@@ -83,6 +83,20 @@ def kv_pages_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(None, None, "tp", None))
 
 
+# engine-registered mesh, consulted by layers that place explicit
+# sharding constraints (EP MoE dispatch)
+_GLOBAL_MESH: Mesh | None = None
+
+
+def set_global_mesh(mesh: Mesh | None) -> None:
+    global _GLOBAL_MESH
+    _GLOBAL_MESH = mesh
+
+
+def get_global_mesh() -> Mesh | None:
+    return _GLOBAL_MESH
+
+
 def params_shardings(params, mesh: Mesh):
     """Sharding pytree (for jit in_shardings)."""
 
