@@ -362,3 +362,64 @@ def test_iq4_xs_dequant_spec():
         ]
     )
     np.testing.assert_allclose(out, expect, rtol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "t,k,n,g,has_z",
+    [
+        (1, 256, 256, 16, False),
+        (8, 512, 256, 16, True),
+        (4, 1024, 512, 32, True),
+        (16, 512, 384, 16, False),
+    ],
+)
+def test_w8a16_kernel_matches_ref(t, k, n, g, has_z):
+    from vllm_rust_tpu.ops.pallas.int8_matmul import (
+        prepare_tiled_scales_w8,
+        quant_matmul_w8a16,
+        quant_matmul_w8a16_ref,
+    )
+
+    r = np.random.default_rng(7)
+    x = jnp.asarray(r.normal(size=(t, k)).astype(np.float32), jnp.bfloat16)
+    qw = jnp.asarray(r.integers(-127, 128, size=(k, n)), jnp.int8)
+    s = r.normal(size=(k // g, n)).astype(np.float32) * 0.05
+    z = (
+        r.normal(size=(k // g, n)).astype(np.float32) * 0.05
+        if has_z
+        else None
+    )
+    tiled = prepare_tiled_scales_w8(s, z, k)
+    assert tiled is not None
+    got = quant_matmul_w8a16(
+        x,
+        qw,
+        jnp.asarray(s),
+        jnp.asarray(z) if z is not None else None,
+        s_tiled=jnp.asarray(tiled[0]),
+        zs_tiled=jnp.asarray(tiled[1]),
+        has_z=has_z,
+    )
+    want = quant_matmul_w8a16_ref(
+        x, qw, jnp.asarray(s), jnp.asarray(z) if z is not None else None
+    )
+    # got/want differ only by bf16 accumulation order; scale tolerance
+    # to the output magnitude.
+    scale = np.maximum(np.abs(np.asarray(want, np.float32)), 1.0)
+    err = np.abs(np.asarray(got, np.float32) - np.asarray(want, np.float32))
+    assert np.max(err / scale) < 2e-2, float(np.max(err / scale))
+
+
+def test_w8a16_dense_fallback_for_untileable():
+    from vllm_rust_tpu.ops.pallas.int8_matmul import quant_matmul_w8a16
+
+    r = np.random.default_rng(3)
+    x = jnp.asarray(r.normal(size=(2, 48)), jnp.bfloat16)  # K=48 untileable
+    qw = jnp.asarray(r.integers(-8, 8, size=(48, 32)), jnp.int8)
+    s = jnp.asarray(r.normal(size=(3, 32)).astype(np.float32) * 0.1)
+    out = quant_matmul_w8a16(x, qw, s, None)
+    w = np.asarray(qw, np.float32) * np.repeat(np.asarray(s), 16, axis=0)
+    want = np.asarray(x, np.float32) @ w
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), want, rtol=5e-2, atol=5e-2
+    )

@@ -6,8 +6,12 @@ Reference: loader.rs:255 load_gguf_model + quantization/gguf/mod.rs
     sub-block structure w = (d·sc_j)·q - (dmin·m_j) per 32 elements IS
     grouped scale+zero quantization with g=32, so decode runs at int4
     HBM bandwidth through ops/pallas/quant_matmul.py.
-  - Other quant types dequantize to bf16 at load (correct; memory cost;
-    per-format fused kernels land later).
+  - Every other K-quant / I-quant (Q2_K..Q6_K, Q4_0..Q8_0, IQ2/IQ3/IQ4
+    families) repacks EXACTLY into int8 + per-16 group scales/zeros and
+    runs through the fused w8a16 kernel (ops/pallas/int8_matmul.py) at
+    int8 HBM bandwidth — one kernel replaces the reference's per-format
+    MMVQ CUDA kernels (ADR 0025).
+  - Float tensors and unsupported shapes dequantize to bf16 at load.
 """
 
 from __future__ import annotations
@@ -153,6 +157,56 @@ def apply_gguf_q4k(x, p: QuantLinear):
     return apply_awq(x, p)  # identical packed layout and math
 
 
+def _int8_to_quant_linear(reader: GGUFReader, name: str) -> QuantLinear:
+    """Repack any K-quant/I-quant tensor into the exact w8a16 layout
+    (int8 weights + per-16 group scales/zeros) — int8 HBM bandwidth
+    without materializing bf16. Reference counterpart: the per-format
+    MMVQ kernels (gguf/iq/mod.rs:457-463, ADR 0025)."""
+    from ..ops.pallas.int8_matmul import prepare_tiled_scales_w8
+    from .gguf_file import dequant_int8_grouped
+
+    ti = reader.tensors[name]
+    raw = reader.tensor_bytes(name)
+    n_out, n_in = tuple(reversed(ti.shape))
+    q, s, z = dequant_int8_grouped(raw, ti.ggml_type, ti.num_elements)
+    # rows are output channels; transpose to K-major [K, N] / [K/16, N]
+    qt = np.ascontiguousarray(q.reshape(n_out, n_in).T)
+    st = np.ascontiguousarray(s.reshape(n_out, n_in // 16).T)
+    zt = (
+        np.ascontiguousarray(z.reshape(n_out, n_in // 16).T)
+        if z is not None
+        else None
+    )
+    has_z = zt is not None
+    aux = {}
+    tiled = prepare_tiled_scales_w8(st, zt, n_in)
+    if tiled is not None:
+        aux["s_tiled"] = jnp.asarray(tiled[0])
+        aux["zs_tiled"] = jnp.asarray(tiled[1])
+    return QuantLinear(
+        qweight=jnp.asarray(qt),
+        scales=jnp.asarray(st),
+        zs=jnp.asarray(zt) if has_z else None,
+        aux=aux,
+        method="gguf_i8",
+    )
+
+
+@register_quant_method("gguf_i8")
+def apply_gguf_i8(x, p: QuantLinear):
+    from ..ops.pallas.int8_matmul import quant_matmul_w8a16
+
+    return quant_matmul_w8a16(
+        x,
+        p.qweight,
+        p.scales,
+        p.zs,
+        s_tiled=p.aux.get("s_tiled"),
+        zs_tiled=p.aux.get("zs_tiled"),
+        has_z=p.zs is not None,  # pytree structure => static under jit
+    )
+
+
 def load_gguf_model(path: str, dtype=jnp.bfloat16):
     """Returns (model, params, ModelConfig)."""
     from ..models import from_config
@@ -193,11 +247,24 @@ def load_gguf_model(path: str, dtype=jnp.bfloat16):
             is_linear_weight = rest.endswith(".weight") and dest[-1].endswith(
                 "_proj"
             )
+            from .gguf_file import _INT8_GROUPED
+
             if is_linear_weight and ti.type_name == "Q4_K":
                 node = layer
                 for p in dest[:-1]:
                     node = node[p]
                 node[dest[-1]] = _q4k_to_quant_linear(reader, name)
+            elif (
+                is_linear_weight
+                and ti.type_name in _INT8_GROUPED
+                and ti.shape[0] % 16 == 0
+            ):
+                # every other K-quant / I-quant: exact int8 + per-16
+                # scales through the fused w8a16 kernel
+                node = layer
+                for p in dest[:-1]:
+                    node = node[p]
+                node[dest[-1]] = _int8_to_quant_linear(reader, name)
             elif is_linear_weight:
                 node = layer
                 for p in dest[:-1]:

@@ -451,12 +451,116 @@ def _dq_iq4_xs(blocks):
     return out
 
 
+# ---------------------------------------------------------------------------
+# I-quants (IQ2_XS / IQ2_S / IQ3_XXS / IQ3_S): codebook-grid quants.
+# Layouts per the public ggml spec; grids in iq_grids.py (format constants).
+# Reference behavior: quantization/gguf/iq/mod.rs dequant_* (ADR 0025).
+# ---------------------------------------------------------------------------
+
+
+def _dq_iq2_xs(blocks):
+    """IQ2_XS 74B block: {f16 d; u16 qs[32]; u8 scales[8]}. Each u16 =
+    9-bit grid index + 7-bit ksigns index; scale nibble per 16 elems."""
+    from .iq_grids import IQ2XS_GRID, SIGNS8
+
+    b = blocks.shape[0]
+    d = _f16(blocks[:, 0:2].reshape(-1))  # [B]
+    qs = blocks[:, 2:66].copy().view(np.uint16).reshape(b, 8, 4)
+    scales = blocks[:, 66:74]  # [B, 8]
+    db = np.stack(
+        [
+            d[:, None] * (0.5 + (scales & 0xF)) * 0.25,
+            d[:, None] * (0.5 + (scales >> 4)) * 0.25,
+        ],
+        axis=-1,
+    )  # [B, 8, 2]
+    dbl = db[:, :, [0, 0, 1, 1]]  # per-l sub-scale, [B, 8, 4]
+    grid = IQ2XS_GRID[qs & 511].astype(np.float32)  # [B, 8, 4, 8]
+    sgn = SIGNS8[qs >> 9]  # [B, 8, 4, 8]
+    return (dbl[..., None] * grid * sgn).reshape(b, 256)
+
+
+def _dq_iq2_s(blocks):
+    """IQ2_S 82B block: {f16 d; u8 qs[32]; u8 signs[32]; u8 qh[8];
+    u8 scales[8]}. 10-bit grid index = qs | qh bits; raw sign bytes."""
+    from .iq_grids import IQ2S_GRID, SIGN_LUT
+
+    b = blocks.shape[0]
+    d = _f16(blocks[:, 0:2].reshape(-1))
+    qs = blocks[:, 2:34].reshape(b, 8, 4).astype(np.int32)
+    signs = blocks[:, 34:66].reshape(b, 8, 4)
+    qh = blocks[:, 66:74].astype(np.int32)  # [B, 8]
+    scales = blocks[:, 74:82]
+    shifts = np.array([8, 6, 4, 2])  # (qh << (8-2l)) & 0x300
+    idx = qs | ((qh[:, :, None] << shifts[None, None, :]) & 0x300)
+    db = np.stack(
+        [
+            d[:, None] * (0.5 + (scales & 0xF)) * 0.25,
+            d[:, None] * (0.5 + (scales >> 4)) * 0.25,
+        ],
+        axis=-1,
+    )
+    dbl = db[:, :, [0, 0, 1, 1]]
+    grid = IQ2S_GRID[idx].astype(np.float32)  # [B, 8, 4, 8]
+    sgn = SIGN_LUT[signs]  # [B, 8, 4, 8]
+    return (dbl[..., None] * grid * sgn).reshape(b, 256)
+
+
+def _dq_iq3_xxs(blocks):
+    """IQ3_XXS 98B block: {f16 d; u8 qs[64]; u32 sas[8]}. Per 32-elem
+    group: 8 grid bytes + one aux u32 = 4x7-bit ksigns + 4-bit scale."""
+    from .iq_grids import IQ3XXS_GRID, SIGNS8
+
+    b = blocks.shape[0]
+    d = _f16(blocks[:, 0:2].reshape(-1))
+    qs = blocks[:, 2:66].reshape(b, 8, 4, 2)  # [B, ib32, l, pair]
+    aux = blocks[:, 66:98].copy().view(np.uint32)  # [B, 8]
+    db = d[:, None] * (0.5 + (aux >> 28)) * 0.5  # [B, 8]
+    ls = np.arange(4)
+    ks = (aux[:, :, None] >> (7 * ls)[None, None, :]) & 127  # [B, 8, 4]
+    sgn = SIGNS8[ks]  # [B, 8, 4, 8]
+    grid = IQ3XXS_GRID[qs].astype(np.float32).reshape(b, 8, 4, 8)
+    return (db[:, :, None, None] * grid * sgn).reshape(b, 256)
+
+
+def _dq_iq3_s(blocks):
+    """IQ3_S 110B block: {f16 d; u8 qs[64]; u8 qh[8]; u8 signs[32];
+    u8 scales[4]}. 9-bit grid index; scale nibble shared per 2 groups."""
+    from .iq_grids import IQ3S_GRID, SIGN_LUT
+
+    b = blocks.shape[0]
+    d = _f16(blocks[:, 0:2].reshape(-1))
+    qs = blocks[:, 2:66].reshape(b, 8, 8).astype(np.int32)
+    qh = blocks[:, 66:74].astype(np.int32)  # [B, 8] (one byte per ib32)
+    signs = blocks[:, 74:106].reshape(b, 8, 4)
+    scales = blocks[:, 106:110].astype(np.int32)  # [B, 4]
+    nib = np.stack(
+        [scales & 0xF, scales >> 4], axis=-1
+    ).reshape(b, 8)  # per-ib32 4-bit scale
+    db = d[:, None] * (1 + 2 * nib)  # [B, 8]
+    # element pair l: idx1 = qs[2l] | ((qh << (8-2l)) & 256),
+    #                 idx2 = qs[2l+1] | ((qh << (7-2l)) & 256)
+    sh1 = np.array([8, 6, 4, 2])
+    sh2 = np.array([7, 5, 3, 1])
+    idx1 = qs[:, :, 0::2] | ((qh[:, :, None] << sh1[None, None, :]) & 256)
+    idx2 = qs[:, :, 1::2] | ((qh[:, :, None] << sh2[None, None, :]) & 256)
+    g1 = IQ3S_GRID[idx1].astype(np.float32)  # [B, 8, 4, 4]
+    g2 = IQ3S_GRID[idx2].astype(np.float32)
+    grid = np.concatenate([g1, g2], axis=-1)  # [B, 8, 4, 8]
+    sgn = SIGN_LUT[signs]
+    return (db[:, :, None, None] * grid * sgn).reshape(b, 256)
+
+
 _DEQUANT = {
     "F32": _dq_f32,
     "F16": _dq_f16,
     "BF16": _dq_bf16,
     "IQ4_NL": _dq_iq4_nl,
     "IQ4_XS": _dq_iq4_xs,
+    "IQ2_XS": _dq_iq2_xs,
+    "IQ2_S": _dq_iq2_s,
+    "IQ3_XXS": _dq_iq3_xxs,
+    "IQ3_S": _dq_iq3_s,
     "Q4_0": _dq_q4_0,
     "Q4_1": _dq_q4_1,
     "Q5_0": _dq_q5_0,
@@ -468,3 +572,317 @@ _DEQUANT = {
     "Q5_K": _dq_q5_k,
     "Q6_K": _dq_q6_k,
 }
+
+
+# ---------------------------------------------------------------------------
+# Exact int8 + per-16-group scale/zero extraction.
+#
+# Every GGML block format is `w[i] = s_g * q[i] - z_g` with a small integer
+# q (|q| <= 127) and per-group (16 or coarser) float scale/zero, so the
+# whole family maps EXACTLY onto one w8a16 fused kernel
+# (ops/pallas/int8_matmul.py) at int8 HBM bandwidth — the TPU analogue of
+# the reference's per-format MMVQ kernels (iq_dequant.cu q8_1 path,
+# ADR 0025). Extractors return (q int8 [B,256|32], s [B,blk/16] f32,
+# z [B,blk/16] f32 | None); dequant == repeat(s,16)*q - repeat(z,16).
+# ---------------------------------------------------------------------------
+
+
+def _x8_iq2_xs(blocks):
+    from .iq_grids import IQ2XS_GRID, SIGNS8
+
+    b = blocks.shape[0]
+    d = _f16(blocks[:, 0:2].reshape(-1))
+    qs = blocks[:, 2:66].copy().view(np.uint16).reshape(b, 8, 4)
+    scales = blocks[:, 66:74]
+    s = np.stack(
+        [
+            d[:, None] * (0.5 + (scales & 0xF)) * 0.25,
+            d[:, None] * (0.5 + (scales >> 4)) * 0.25,
+        ],
+        axis=-1,
+    ).reshape(b, 16)
+    q = (
+        IQ2XS_GRID[qs & 511].astype(np.float32) * SIGNS8[qs >> 9]
+    ).reshape(b, 256)
+    return q.astype(np.int8), s, None
+
+
+def _x8_iq2_s(blocks):
+    from .iq_grids import IQ2S_GRID, SIGN_LUT
+
+    b = blocks.shape[0]
+    d = _f16(blocks[:, 0:2].reshape(-1))
+    qs = blocks[:, 2:34].reshape(b, 8, 4).astype(np.int32)
+    signs = blocks[:, 34:66].reshape(b, 8, 4)
+    qh = blocks[:, 66:74].astype(np.int32)
+    scales = blocks[:, 74:82]
+    shifts = np.array([8, 6, 4, 2])
+    idx = qs | ((qh[:, :, None] << shifts[None, None, :]) & 0x300)
+    s = np.stack(
+        [
+            d[:, None] * (0.5 + (scales & 0xF)) * 0.25,
+            d[:, None] * (0.5 + (scales >> 4)) * 0.25,
+        ],
+        axis=-1,
+    ).reshape(b, 16)
+    q = (IQ2S_GRID[idx].astype(np.float32) * SIGN_LUT[signs]).reshape(b, 256)
+    return q.astype(np.int8), s, None
+
+
+def _x8_iq3_xxs(blocks):
+    from .iq_grids import IQ3XXS_GRID, SIGNS8
+
+    b = blocks.shape[0]
+    d = _f16(blocks[:, 0:2].reshape(-1))
+    qs = blocks[:, 2:66].reshape(b, 8, 4, 2)
+    aux = blocks[:, 66:98].copy().view(np.uint32)
+    db = d[:, None] * (0.5 + (aux >> 28)) * 0.5  # [B, 8] per-32
+    ks = (aux[:, :, None] >> (7 * np.arange(4))[None, None, :]) & 127
+    grid = IQ3XXS_GRID[qs].astype(np.float32).reshape(b, 8, 4, 8)
+    q = (grid * SIGNS8[ks]).reshape(b, 256)
+    return q.astype(np.int8), np.repeat(db, 2, axis=1), None
+
+
+def _x8_iq3_s(blocks):
+    from .iq_grids import IQ3S_GRID, SIGN_LUT
+
+    b = blocks.shape[0]
+    d = _f16(blocks[:, 0:2].reshape(-1))
+    qs = blocks[:, 2:66].reshape(b, 8, 8).astype(np.int32)
+    qh = blocks[:, 66:74].astype(np.int32)
+    signs = blocks[:, 74:106].reshape(b, 8, 4)
+    scales = blocks[:, 106:110].astype(np.int32)
+    nib = np.stack([scales & 0xF, scales >> 4], axis=-1).reshape(b, 8)
+    db = d[:, None] * (1 + 2 * nib)
+    sh1, sh2 = np.array([8, 6, 4, 2]), np.array([7, 5, 3, 1])
+    idx1 = qs[:, :, 0::2] | ((qh[:, :, None] << sh1[None, None, :]) & 256)
+    idx2 = qs[:, :, 1::2] | ((qh[:, :, None] << sh2[None, None, :]) & 256)
+    grid = np.concatenate(
+        [IQ3S_GRID[idx1], IQ3S_GRID[idx2]], axis=-1
+    ).astype(np.float32)
+    q = (grid * SIGN_LUT[signs]).reshape(b, 256)
+    return q.astype(np.int8), np.repeat(db, 2, axis=1), None
+
+
+def _x8_iq4_nl(blocks):
+    d = _f16(blocks[:, 0:2].reshape(-1))[:, None]  # per-32 block
+    lo, hi = _nibbles(blocks[:, 2:18])
+    q = np.concatenate([lo, hi], axis=1)
+    return (
+        IQ4_KVALUES[q].astype(np.int8),
+        np.repeat(d, 2, axis=1).astype(np.float32),
+        None,
+    )
+
+
+def _x8_iq4_xs(blocks):
+    b = blocks.shape[0]
+    d = _f16(blocks[:, 0:2].reshape(-1))
+    scales_h = blocks[:, 2:4].copy().view(np.uint16).reshape(-1).astype(np.uint32)
+    scales_l = blocks[:, 4:8].astype(np.uint32)
+    qs = blocks[:, 8:136]
+    q = np.empty((b, 256), np.int8)
+    s = np.empty((b, 8), np.float32)
+    for ib in range(8):
+        l4 = (scales_l[:, ib // 2] >> (4 * (ib % 2))) & 0xF
+        h2 = (scales_h >> (2 * ib)) & 3
+        s[:, ib] = d * ((l4 | (h2 << 4)).astype(np.int32) - 32)
+        chunk = qs[:, 16 * ib : 16 * (ib + 1)]
+        q[:, 32 * ib : 32 * ib + 16] = IQ4_KVALUES[chunk & 0xF]
+        q[:, 32 * ib + 16 : 32 * ib + 32] = IQ4_KVALUES[chunk >> 4]
+    return q, np.repeat(s, 2, axis=1), None
+
+
+def _x8_q8_0(blocks):
+    d = _f16(blocks[:, 0:2].reshape(-1))[:, None]
+    q = blocks[:, 2:34].copy().view(np.int8)
+    return q, np.repeat(d, 2, axis=1).astype(np.float32), None
+
+
+def _x8_q4_0(blocks):
+    d = _f16(blocks[:, 0:2].reshape(-1))[:, None]
+    lo, hi = _nibbles(blocks[:, 2:18])
+    q = np.concatenate([lo, hi], axis=1) - 8
+    return q.astype(np.int8), np.repeat(d, 2, axis=1).astype(np.float32), None
+
+
+def _x8_q4_1(blocks):
+    d = _f16(blocks[:, 0:2].reshape(-1))[:, None]
+    m = _f16(blocks[:, 2:4].reshape(-1))[:, None]
+    lo, hi = _nibbles(blocks[:, 4:20])
+    q = np.concatenate([lo, hi], axis=1)
+    return (
+        q.astype(np.int8),
+        np.repeat(d, 2, axis=1).astype(np.float32),
+        np.repeat(-m, 2, axis=1).astype(np.float32),
+    )
+
+
+def _x8_q5_0(blocks):
+    d = _f16(blocks[:, 0:2].reshape(-1))[:, None]
+    qh = blocks[:, 2:6].copy().view(np.uint32).reshape(-1)
+    lo, hi = _nibbles(blocks[:, 6:22])
+    j = np.arange(16)
+    b_lo = ((qh[:, None] >> j) & 1).astype(np.int32)
+    b_hi = ((qh[:, None] >> (j + 16)) & 1).astype(np.int32)
+    q = np.concatenate([lo | (b_lo << 4), hi | (b_hi << 4)], axis=1) - 16
+    return q.astype(np.int8), np.repeat(d, 2, axis=1).astype(np.float32), None
+
+
+def _x8_q5_1(blocks):
+    d = _f16(blocks[:, 0:2].reshape(-1))[:, None]
+    m = _f16(blocks[:, 2:4].reshape(-1))[:, None]
+    qh = blocks[:, 4:8].copy().view(np.uint32).reshape(-1)
+    lo, hi = _nibbles(blocks[:, 8:24])
+    j = np.arange(16)
+    b_lo = ((qh[:, None] >> j) & 1).astype(np.int32)
+    b_hi = ((qh[:, None] >> (j + 16)) & 1).astype(np.int32)
+    q = np.concatenate([lo | (b_lo << 4), hi | (b_hi << 4)], axis=1)
+    return (
+        q.astype(np.int8),
+        np.repeat(d, 2, axis=1).astype(np.float32),
+        np.repeat(-m, 2, axis=1).astype(np.float32),
+    )
+
+
+def _x8_q2_k(blocks):
+    b = blocks.shape[0]
+    scales = blocks[:, 0:16]
+    qs = blocks[:, 16:80]
+    d = _f16(blocks[:, 80:82].reshape(-1))[:, None]
+    dmin = _f16(blocks[:, 82:84].reshape(-1))[:, None]
+    s = (d * (scales & 0xF)).astype(np.float32)  # [B, 16] per-16
+    z = (dmin * (scales >> 4)).astype(np.float32)
+    q = np.empty((b, 256), np.int8)
+    for h in range(2):
+        chunk = qs[:, h * 32 : (h + 1) * 32]
+        for sh in range(4):
+            q[:, h * 128 + sh * 32 : h * 128 + (sh + 1) * 32] = (
+                (chunk >> (2 * sh)) & 3
+            )
+    return q, s, z
+
+
+def _x8_q3_k(blocks):
+    b = blocks.shape[0]
+    hmask = blocks[:, 0:32]
+    qs = blocks[:, 32:96]
+    a = blocks[:, 96:108].astype(np.uint32)
+    d = _f16(blocks[:, 108:110].reshape(-1))[:, None]
+    sc = np.empty((b, 16), np.int32)
+    for j in range(8):
+        sc[:, j] = a[:, j] & 0xF
+        sc[:, j + 8] = a[:, j] >> 4
+    for j in range(16):
+        sc[:, j] |= ((a[:, 8 + (j % 4)] >> (2 * (j // 4))) & 3) << 4
+    s = (d * (sc - 32)).astype(np.float32)
+    q = np.empty((b, 256), np.int8)
+    for h in range(2):
+        chunk = qs[:, h * 32 : (h + 1) * 32]
+        for sh in range(4):
+            qv = ((chunk >> (2 * sh)) & 3).astype(np.int32)
+            hbit = ((hmask >> (h * 4 + sh)) & 1).astype(np.int32)
+            q[:, h * 128 + sh * 32 : h * 128 + (sh + 1) * 32] = qv - (
+                hbit ^ 1
+            ) * 4
+    return q, s, None
+
+
+def _x8_q4_k(blocks):
+    b = blocks.shape[0]
+    d = _f16(blocks[:, 0:2].reshape(-1))[:, None]
+    dmin = _f16(blocks[:, 2:4].reshape(-1))[:, None]
+    sc, m = _k_scales_6bit(blocks[:, 4:16])
+    qs = blocks[:, 16:144]
+    s32 = (d * sc).astype(np.float32)  # [B, 8] per-32
+    z32 = (dmin * m).astype(np.float32)
+    q = np.empty((b, 256), np.int8)
+    for c in range(4):
+        chunk = qs[:, c * 32 : (c + 1) * 32]
+        q[:, c * 64 : c * 64 + 32] = chunk & 0xF
+        q[:, c * 64 + 32 : c * 64 + 64] = chunk >> 4
+    return q, np.repeat(s32, 2, axis=1), np.repeat(z32, 2, axis=1)
+
+
+def _x8_q5_k(blocks):
+    b = blocks.shape[0]
+    d = _f16(blocks[:, 0:2].reshape(-1))[:, None]
+    dmin = _f16(blocks[:, 2:4].reshape(-1))[:, None]
+    sc, m = _k_scales_6bit(blocks[:, 4:16])
+    qh = blocks[:, 16:48]
+    qs = blocks[:, 48:176]
+    s32 = (d * sc).astype(np.float32)
+    z32 = (dmin * m).astype(np.float32)
+    q = np.empty((b, 256), np.int8)
+    for c in range(4):
+        chunk = qs[:, c * 32 : (c + 1) * 32]
+        bit0 = ((qh >> (2 * c)) & 1).astype(np.int32)
+        bit1 = ((qh >> (2 * c + 1)) & 1).astype(np.int32)
+        q[:, c * 64 : c * 64 + 32] = (chunk & 0xF) | (bit0 << 4)
+        q[:, c * 64 + 32 : c * 64 + 64] = (chunk >> 4) | (bit1 << 4)
+    return q, np.repeat(s32, 2, axis=1), np.repeat(z32, 2, axis=1)
+
+
+def _x8_q6_k(blocks):
+    b = blocks.shape[0]
+    ql = blocks[:, 0:128]
+    qh = blocks[:, 128:192]
+    scales = blocks[:, 192:208].copy().view(np.int8).astype(np.float32)
+    d = _f16(blocks[:, 208:210].reshape(-1))[:, None]
+    s = (d * scales).astype(np.float32)  # [B, 16] per-16
+    q = np.empty((b, 256), np.int8)
+    for h in range(2):
+        ql_h = ql[:, h * 64 : (h + 1) * 64]
+        qh_h = qh[:, h * 32 : (h + 1) * 32]
+        lo = (ql_h & 0xF).astype(np.int32)
+        hi = (ql_h >> 4).astype(np.int32)
+        base = h * 128
+        q[:, base : base + 32] = (lo[:, :32] | (((qh_h >> 0) & 3) << 4)) - 32
+        q[:, base + 32 : base + 64] = (
+            lo[:, 32:] | (((qh_h >> 2) & 3) << 4)
+        ) - 32
+        q[:, base + 64 : base + 96] = (
+            hi[:, :32] | (((qh_h >> 4) & 3) << 4)
+        ) - 32
+        q[:, base + 96 : base + 128] = (
+            hi[:, 32:] | (((qh_h >> 6) & 3) << 4)
+        ) - 32
+    return q, s, None
+
+
+_INT8_GROUPED = {
+    "IQ2_XS": _x8_iq2_xs,
+    "IQ2_S": _x8_iq2_s,
+    "IQ3_XXS": _x8_iq3_xxs,
+    "IQ3_S": _x8_iq3_s,
+    "IQ4_NL": _x8_iq4_nl,
+    "IQ4_XS": _x8_iq4_xs,
+    "Q8_0": _x8_q8_0,
+    "Q4_0": _x8_q4_0,
+    "Q4_1": _x8_q4_1,
+    "Q5_0": _x8_q5_0,
+    "Q5_1": _x8_q5_1,
+    "Q2_K": _x8_q2_k,
+    "Q3_K": _x8_q3_k,
+    "Q4_K": _x8_q4_k,
+    "Q5_K": _x8_q5_k,
+    "Q6_K": _x8_q6_k,
+}
+
+
+def dequant_int8_grouped(
+    raw: np.ndarray, ggml_type: int, n_elems: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None] | None:
+    """Exact (q int8 [n], s f32 [n/16], z f32 [n/16] | None) extraction,
+    or None if the format has no int8 mapping (float types)."""
+    name, be, bb = GGML_TYPES[ggml_type]
+    fn = _INT8_GROUPED.get(name)
+    if fn is None:
+        return None
+    blocks = raw.reshape(n_elems // be, bb)
+    q, s, z = fn(blocks)
+    return (
+        q.reshape(-1),
+        s.reshape(-1),
+        z.reshape(-1) if z is not None else None,
+    )
