@@ -15,6 +15,7 @@ import numpy as np
 _AWQ_PARTS = {"qweight", "qzeros", "scales", "bias"}
 _GPTQ_PARTS = {"qweight", "qzeros", "scales", "g_idx", "bias"}
 _FP8_PARTS = {"weight", "weight_scale", "weight_scale_inv", "input_scale", "bias"}
+_EXL3_PARTS = {"trellis", "suh", "svh", "su", "sv", "mcg", "mul1", "bias"}
 
 
 def load_quantized_weights(
@@ -28,7 +29,7 @@ def load_quantized_weights(
     Non-quantized tensors (norms, embeddings, lm_head) route through the
     model's normal name mapping; linear groups become QuantLinear nodes.
     """
-    if method not in ("awq", "gptq", "fp8"):
+    if method not in ("awq", "gptq", "fp8", "exl3"):
         raise NotImplementedError(f"quant method {method} not yet supported")
 
     params = model.init_params(rng=None)
@@ -37,6 +38,8 @@ def load_quantized_weights(
     def is_quant_leaf(base: str, leaf: str, name: str) -> bool:
         if method in ("awq", "gptq"):
             return leaf in _AWQ_PARTS | _GPTQ_PARTS
+        if method == "exl3":
+            return leaf in _EXL3_PARTS
         # fp8: linear weights (the transposed mappings) are candidates;
         # groups that turn out to have no scale are placed normally below
         if leaf in ("weight_scale", "weight_scale_inv", "input_scale"):
@@ -66,7 +69,11 @@ def load_quantized_weights(
             node[tree_path[-1]] = jnp.asarray(a, model.dtype)
 
     for base, parts in groups.items():
-        if "qweight" not in parts and "weight" not in parts:
+        if (
+            "qweight" not in parts
+            and "weight" not in parts
+            and "trellis" not in parts
+        ):
             continue
         path = model._param_path(f"{base}.weight")
         if path is None:
@@ -91,6 +98,40 @@ def load_quantized_weights(
                 parts.get("weight_scale_inv"),
                 parts.get("bias"),
             )
+        elif method == "exl3":
+            # trellis decode + Hadamard fold -> dense bf16 (exl3.py)
+            import jax.numpy as jnp
+
+            from .exl3 import (
+                exl3_codebook_from_parts,
+                exl3_default_codebook,
+                exl3_to_dense,
+                unpack_sign_bitfield,
+            )
+
+            trellis = parts["trellis"]
+            kf, nf = trellis.shape[0] * 16, trellis.shape[1] * 16
+            suh = parts.get("suh")
+            if suh is None:
+                suh = unpack_sign_bitfield(parts["su"], kf)
+            svh = parts.get("svh")
+            if svh is None:
+                svh = unpack_sign_bitfield(parts["sv"], nf)
+            cb = exl3_codebook_from_parts(
+                parts,
+                exl3_default_codebook(
+                    hf_config.get("quantization_config", {})
+                ),
+            )
+            w = exl3_to_dense(trellis, suh, svh, cb)
+            node = params
+            for p in tree_path[:-2]:
+                node = node[p]
+            dest = {"weight": jnp.asarray(w, model.dtype)}
+            if "bias" in parts:
+                dest["bias"] = jnp.asarray(parts["bias"], model.dtype)
+            node[tree_path[-2]] = dest
+            continue
         elif method == "awq":
             from .awq import load_awq_linear
 
