@@ -120,6 +120,7 @@ def attention_block(
         q,
         kv_page,
         md,
+        params.get("sinks"),  # learned attention-sink logits (GPT-OSS)
         sm_scale=spec.sm_scale,
         sliding_window=spec.sliding_window,
         soft_cap=spec.soft_cap,

@@ -26,15 +26,25 @@ class MoESpec:
     num_experts: int
     top_k: int
     norm_topk_prob: bool = False
-    scoring: str = "softmax"  # softmax | sigmoid
-    act: str = "silu"
+    scoring: str = "softmax"  # softmax | sigmoid | softmax_after_topk
+    act: str = "silu"  # silu | gelu | ... | swiglu_oss (clamped, GPT-OSS)
     has_shared_expert: bool = False
     routed_scaling_factor: float | None = None
+    act_limit: float = 7.0  # clamp for swiglu_oss
+    act_alpha: float = 1.702  # sigmoid sharpness for swiglu_oss
 
 
 def route(spec: MoESpec, router_logits: jax.Array):
     """Top-k routing (reference router.rs TopKRouter): returns
     (weights [T, k] f32, expert_ids [T, k] i32)."""
+    if spec.scoring == "softmax_after_topk":
+        # GPT-OSS routing: select top-k on raw logits, THEN softmax over
+        # just the selected experts (reference router.rs TopKRouter modes)
+        topv, topi = jax.lax.top_k(
+            router_logits.astype(jnp.float32), spec.top_k
+        )
+        topv = jax.nn.softmax(topv, axis=-1)
+        return topv, topi.astype(jnp.int32)
     if spec.scoring == "sigmoid":
         scores = jax.nn.sigmoid(router_logits.astype(jnp.float32))
     else:
@@ -47,18 +57,39 @@ def route(spec: MoESpec, router_logits: jax.Array):
     return topv, topi.astype(jnp.int32)
 
 
+def _moe_inner(spec: MoESpec, hg, hu):
+    """gate/up -> expert hidden. swiglu_oss is GPT-OSS's clamped glu:
+    out = (up + 1) * gate * sigmoid(alpha * gate) with gate/up clamps."""
+    if spec.act == "swiglu_oss":
+        lim = spec.act_limit
+        hg = jnp.clip(hg, max=lim)
+        hu = jnp.clip(hu, min=-lim, max=lim)
+        return (hu + 1.0) * hg * jax.nn.sigmoid(spec.act_alpha * hg)
+    return _ACTS[spec.act](hg) * hu
+
+
+def _expert_bias(params: dict, name: str):
+    return params["experts"][name].get("bias")
+
+
 def _dense_experts(spec: MoESpec, params: dict, x, topv, topi):
     """Per-expert loop (correctness path; fine for few experts/tests)."""
     t, h = x.shape
     combine = jnp.zeros((t, spec.num_experts), jnp.float32)
     combine = combine.at[jnp.arange(t)[:, None], topi].set(topv)
-    act = _ACTS[spec.act]
     out = jnp.zeros((t, h), jnp.float32)
     wg = params["experts"]["gate_proj"]["weight"]  # [E, h, I]
     wu = params["experts"]["up_proj"]["weight"]
     wd = params["experts"]["down_proj"]["weight"]  # [E, I, h]
+    bg = _expert_bias(params, "gate_proj")  # [E, I] or None
+    bu = _expert_bias(params, "up_proj")
+    bd = _expert_bias(params, "down_proj")  # [E, h] or None
     for e in range(spec.num_experts):
-        y = (act(x @ wg[e]) * (x @ wu[e])) @ wd[e]
+        hg = x @ wg[e] + (bg[e] if bg is not None else 0.0)
+        hu = x @ wu[e] + (bu[e] if bu is not None else 0.0)
+        y = _moe_inner(spec, hg, hu) @ wd[e]
+        if bd is not None:
+            y = y + bd[e]
         out = out + combine[:, e : e + 1] * y.astype(jnp.float32)
     return out.astype(x.dtype)
 
@@ -99,14 +130,22 @@ def _gmm_experts(spec: MoESpec, params: dict, x, topv, topi):
     x_rep = jnp.repeat(x, k, axis=0)[order]  # [T*k, h] grouped by expert
     group_sizes = jnp.bincount(flat_expert, length=e).astype(jnp.int32)
 
-    act = _ACTS[spec.act]
     wg = params["experts"]["gate_proj"]["weight"]
     wu = params["experts"]["up_proj"]["weight"]
     wd = params["experts"]["down_proj"]["weight"]
     hg = gmm_up(x_rep, wg, group_sizes)
     hu = gmm_up(x_rep, wu, group_sizes)
-    inner = (act(hg) * hu).astype(x.dtype)
+    e_sorted = flat_expert[order]
+    bg, bu = _expert_bias(params, "gate_proj"), _expert_bias(params, "up_proj")
+    bd = _expert_bias(params, "down_proj")
+    if bg is not None:
+        hg = hg + bg[e_sorted]
+    if bu is not None:
+        hu = hu + bu[e_sorted]
+    inner = _moe_inner(spec, hg, hu).astype(x.dtype)
     y = gmm_down(inner, wd, group_sizes)
+    if bd is not None:
+        y = y + bd[e_sorted]
 
     w_sorted = topv.reshape(-1)[order][:, None]
     token_of = (order // k).astype(jnp.int32)
@@ -150,13 +189,20 @@ def _ep_experts(
             disp, NamedSharding(mesh, P("tp", None, None))
         )
 
-    act = _ACTS[spec.act]
     wg = params["experts"]["gate_proj"]["weight"]  # [E, D, I]
     wu = params["experts"]["up_proj"]["weight"]
     wd = params["experts"]["down_proj"]["weight"]  # [E, I, D]
     hg = jnp.einsum("ecd,edi->eci", disp.astype(jnp.float32), wg.astype(jnp.float32))
     hu = jnp.einsum("ecd,edi->eci", disp.astype(jnp.float32), wu.astype(jnp.float32))
-    y = jnp.einsum("eci,eid->ecd", act(hg) * hu, wd.astype(jnp.float32))
+    bg, bu = _expert_bias(params, "gate_proj"), _expert_bias(params, "up_proj")
+    bd = _expert_bias(params, "down_proj")
+    if bg is not None:
+        hg = hg + bg[:, None, :]
+    if bu is not None:
+        hu = hu + bu[:, None, :]
+    y = jnp.einsum("eci,eid->ecd", _moe_inner(spec, hg, hu), wd.astype(jnp.float32))
+    if bd is not None:
+        y = y + bd[:, None, :]
     if mesh is not None:
         y = jax.lax.with_sharding_constraint(
             y, NamedSharding(mesh, P("tp", None, None))

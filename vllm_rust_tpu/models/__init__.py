@@ -148,6 +148,9 @@ def _populate():
     try:
         from .qwen3_moe import MixtralForCausalLM, Qwen3MoeForCausalLM
 
+        from .gpt_oss import GptOssForCausalLM
+
+        _REGISTRY["GptOssForCausalLM"] = GptOssForCausalLM
         _REGISTRY["Qwen3MoeForCausalLM"] = Qwen3MoeForCausalLM
         _REGISTRY["Qwen2MoeForCausalLM"] = Qwen3MoeForCausalLM
         _REGISTRY["MixtralForCausalLM"] = MixtralForCausalLM

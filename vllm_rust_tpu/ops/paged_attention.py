@@ -56,6 +56,7 @@ def _ref_ragged_paged_attention(
     soft_cap: float | None,
     k_scale: float | None = None,
     v_scale: float | None = None,
+    sinks: jax.Array | None = None,  # [H] attention-sink logits
 ) -> jax.Array:
     """Jittable reference. Gathers each token's full sequence KV — O(T·P)
     memory, fine for tests and tiny batches; not a production path."""
@@ -99,8 +100,17 @@ def _ref_ragged_paged_attention(
         valid &= kv_span > (q_pos[:, None] - sliding_window)
     scores = jnp.where(valid[:, None, None, :], scores, DEFAULT_MASK_VALUE)
 
-    weights = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("tkgn,tnkd->tkgd", weights, v)
+    if sinks is None:
+        weights = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("tkgn,tnkd->tkgd", weights, v)
+    else:
+        # sink == virtual key with logit `sink` and zero value: it joins
+        # the max and the denominator but contributes nothing to out
+        sk = sinks.astype(jnp.float32).reshape(num_kv_heads, group)
+        m = jnp.maximum(scores.max(-1), sk[None])  # [T, K, G]
+        e = jnp.exp(scores - m[..., None])
+        denom = e.sum(-1) + jnp.exp(sk[None] - m)
+        out = jnp.einsum("tkgn,tnkd->tkgd", e, v) / denom[..., None]
     return out.reshape(t, num_q_heads, head_dim).astype(q.dtype)
 
 
@@ -119,6 +129,7 @@ def ragged_paged_attention_op(
     q: jax.Array,
     kv_pages: jax.Array,
     md: AttentionMetadata,
+    sinks: jax.Array | None = None,  # [H] attention-sink logits (GPT-OSS)
     *,
     sm_scale: float,
     sliding_window: int | None = None,
@@ -132,6 +143,11 @@ def ragged_paged_attention_op(
             backend = "decode" if _DECODE_ONLY.get() else "jax"
         else:
             backend = "ref"
+    if sinks is not None and backend == "jax":
+        # the stock ragged kernel has no sink support and returns no LSE
+        # to correct with; mixed prefill+decode steps take the reference
+        # path (decode-only steps keep the fast in-house kernel)
+        backend = "ref"
     if backend == "ref":
         return _ref_ragged_paged_attention(
             q,
@@ -142,6 +158,7 @@ def ragged_paged_attention_op(
             soft_cap=soft_cap,
             k_scale=k_scale,
             v_scale=v_scale,
+            sinks=sinks,
         )
     if backend == "jax":
         from jax.experimental.pallas.ops.tpu.ragged_paged_attention.kernel import (
@@ -174,6 +191,7 @@ def ragged_paged_attention_op(
             kv_pages,
             md.kv_lens,
             md.page_indices,
+            sinks,
             sm_scale=sm_scale,
             sliding_window=sliding_window,
             soft_cap=soft_cap,

@@ -34,6 +34,7 @@ def _kernel(
     page_indices_ref,  # scalar prefetch [S*P]
     q_ref,  # [1, H, D]
     kv_ref,  # [1, ps, 2K, D] — the page selected by the index map
+    sinks_ref,  # [H, 128] f32 (attention-sink logits, or zeros)
     o_ref,  # [1, H, D]
     m_ref,  # scratch [H, 128] f32
     l_ref,  # scratch [H, 128] f32
@@ -46,6 +47,7 @@ def _kernel(
     soft_cap: float | None,
     k_scale: float | None,
     v_scale: float | None,
+    use_sinks: bool,
 ):
     s = pl.program_id(0)
     p = pl.program_id(1)
@@ -122,7 +124,13 @@ def _kernel(
 
     @pl.when(p == n_pages - 1)
     def _finish():
-        denom = jnp.maximum(l_ref[:, :1], 1e-30)
+        l_fin = l_ref[:, :1]
+        if use_sinks:
+            # attention sink == a virtual key with logit `sink` and a
+            # zero value: it only enlarges the softmax denominator
+            # (GPT-OSS; reference AttentionConfig sinks knob)
+            l_fin = l_fin + jnp.exp(sinks_ref[:, :1] - m_ref[:, :1])
+        denom = jnp.maximum(l_fin, 1e-30)
         o_ref[0] = (acc_ref[...] / denom).astype(o_ref.dtype)
 
 
@@ -137,6 +145,7 @@ def decode_paged_attention(
     kv_pages: jax.Array,  # [pages, ps, 2K, D]
     kv_lens: jax.Array,  # [S] i32
     page_indices: jax.Array,  # [S, P] i32
+    sinks: jax.Array | None = None,  # [H] f32 attention-sink logits
     *,
     sm_scale: float,
     sliding_window: int | None = None,
@@ -148,6 +157,11 @@ def decode_paged_attention(
     _, page_size, combined, _ = kv_pages.shape
     num_kv = combined // 2
     p = page_indices.shape[1]
+    use_sinks = sinks is not None
+    sinks_tile = jnp.broadcast_to(
+        (sinks if use_sinks else jnp.zeros((h,))).astype(jnp.float32)[:, None],
+        (h, 128),
+    )
 
     kernel = functools.partial(
         _kernel,
@@ -158,6 +172,7 @@ def decode_paged_attention(
         soft_cap=soft_cap,
         k_scale=k_scale,
         v_scale=v_scale,
+        use_sinks=use_sinks,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -170,6 +185,7 @@ def decode_paged_attention(
                 # block fetch; Pallas prefetches the next page in parallel
                 lambda si, pi, lens, pages: (pages[si * p + pi], 0, 0, 0),
             ),
+            pl.BlockSpec((h, 128), lambda si, pi, lens, pages: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, h, d), lambda si, pi, lens, pages: (si, 0, 0)),
         scratch_shapes=[
@@ -186,4 +202,4 @@ def decode_paged_attention(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret_kernels(),
-    )(kv_lens, page_indices.reshape(-1), q, kv_pages)
+    )(kv_lens, page_indices.reshape(-1), q, kv_pages, sinks_tile)
