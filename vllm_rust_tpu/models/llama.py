@@ -40,6 +40,10 @@ class LlamaForCausalLM:
     # GLM4-style norms applied to sublayer OUTPUTS before the residual add
     post_sublayer_norms: bool = False
     residual_multiplier: float = 1.0  # Granite
+    # EAGLE-3 support: residual-stream captures after these layer indices
+    # are concatenated and returned as a third output (set by the spec
+    # engine when an Eagle3 proposer is attached)
+    aux_hidden_layers: tuple = ()
 
     def __init__(self, config: ModelConfig, dtype: Any = jnp.bfloat16):
         self.config = config
@@ -218,6 +222,7 @@ class LlamaForCausalLM:
             x = (x.astype(jnp.float32) * self.embedding_multiplier).astype(self.dtype)
 
         new_kv = []
+        aux_feats = []
         for i, lp in enumerate(params["layers"]):
             rope_tables = self.rope_tables_for_layer(params, i)
             residual = x
@@ -268,8 +273,12 @@ class LlamaForCausalLM:
             if self.post_sublayer_norms:
                 ffn = rms_norm(ffn, lp["post_mlp_layernorm"], cfg.rms_norm_eps)
             x = residual + ffn * self.residual_multiplier
+            for _ in range(self.aux_hidden_layers.count(i)):
+                aux_feats.append(x)
 
         x = rms_norm(x, params["norm"], cfg.rms_norm_eps, weight_offset=self.norm_offset)
+        if self.aux_hidden_layers:
+            return x, new_kv, jnp.concatenate(aux_feats, axis=-1)
         return x, new_kv
 
     def rope_tables_for_layer(self, params: dict, layer_idx: int):

@@ -20,11 +20,13 @@ Verification: "sample" (lossless; greedy-exact + rejection sampling) and
 """
 
 from .draft_model import DraftModelProposer
-from .eagle import EagleProposer, MtpProposer
+from .eagle import Eagle3Proposer, EagleProposer, MtpProposer
 from .medusa import MedusaProposer
+from .mlp_speculator import MLPSpeculatorProposer
 from .ngram import NgramProposer
 from .proposer import DraftProposer
 from .suffix import SuffixProposer
+from .tree import SpeculationTree
 
 __all__ = [
     "DraftModelProposer",

@@ -323,3 +323,144 @@ class MtpProposer(EagleProposer):
     style = "mtp"
     first_input_norm = True
     final_norm = True
+
+
+class Eagle3Proposer(EagleProposer):
+    """EAGLE-3 (reference eagle3_proposer.rs + models/eagle3.rs): the
+    draft conditions on MULTI-LAYER target features — residual-stream
+    captures from 3 target layers, concatenated [T, 3H] and projected by
+    fc — and its single decoder layer attends over the CONCAT of the
+    normed token embedding and the normed feature ([T, 2H] qkv input).
+    The draft may use a reduced vocabulary with a d2t offset table
+    (target_id = draft_id + d2t[draft_id]). Chaining uses the pre-final-
+    norm hidden state (reference: "chains the prenorm hidden states").
+    """
+
+    style = "eagle3"
+    final_norm = True
+    wants_aux_hiddens = True
+
+    def __init__(
+        self,
+        config: ModelConfig,
+        num_draft_tokens: int = 4,
+        dtype: Any = jnp.bfloat16,
+        draft_vocab_size: int | None = None,
+    ):
+        config.num_hidden_layers = 1
+        super().__init__(config, num_draft_tokens, dtype)
+        self.draft_vocab_size = draft_vocab_size or config.vocab_size
+        # the single layer's qkv projections read the [emb, feat] concat
+        self._qkv_in = 2 * config.hidden_size
+
+    def aux_layer_ids(self, num_target_layers: int) -> tuple[int, ...]:
+        """Default capture points (low / mid / high residual stream).
+        Always exactly 3 (repeats for tiny targets) — the fc is 3H wide."""
+        n = num_target_layers
+        return (
+            min(1, n - 1),
+            max(0, n // 2 - 1),
+            max(0, n - 4),
+        )
+
+    def init_params(self, rng: jax.Array | None = None, scale: float = 0.02):
+        cfg = self.config
+        d = self.dtype
+        h = cfg.hidden_size
+        params = super().init_params(rng, scale)
+
+        def w(shape):
+            if rng is None:
+                return jnp.zeros(shape, d)
+            return (
+                scale * jax.random.normal(jax.random.PRNGKey(3), shape)
+            ).astype(d)
+
+        # fc projects the 3-layer target feature concat; the layer's qkv
+        # reads 2H (embedding ++ feature)
+        params["fc"] = {"weight": w((3 * h, h))}
+        lp = params["layers"][0]
+        lp["hidden_norm"] = jnp.ones((h,), d)
+        nh, nkv, hd = (
+            cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim,
+        )
+        lp["self_attn"]["q_proj"] = {"weight": w((2 * h, nh * hd))}
+        lp["self_attn"]["k_proj"] = {"weight": w((2 * h, nkv * hd))}
+        lp["self_attn"]["v_proj"] = {"weight": w((2 * h, nkv * hd))}
+        params["embed_tokens"] = {"weight": w((cfg.vocab_size, h))}
+        params["lm_head"] = {"weight": w((h, self.draft_vocab_size))}
+        # d2t: draft-vocab -> target-vocab id offset (zeros = identity)
+        params["d2t"] = jnp.zeros((self.draft_vocab_size,), jnp.int32)
+        self.device_params = params
+        return params
+
+    def load_weights(self, weights: Iterable[tuple[str, np.ndarray]]):
+        """EAGLE-3 checkpoints: fc.weight [H, 3H], midlayer.* (one decoder
+        layer, hidden_norm + input_layernorm), norm, lm_head over the
+        draft vocab, d2t/t2d mapping tables, own embed_tokens."""
+        params = self.init_params(rng=None)
+        lp = params["layers"][0]
+        for name, arr in weights:
+            name = name.removeprefix("model.")
+            name = name.replace("midlayer.", "layers.0.").replace(
+                "layers.0.0.", "layers.0."
+            )
+            a = np.asarray(arr)
+            if name == "fc.weight":
+                params["fc"] = {"weight": jnp.asarray(a.T, self.dtype)}
+            elif name == "d2t":
+                params["d2t"] = jnp.asarray(a, jnp.int32)
+            elif name == "t2d":
+                continue  # only needed for training-time target mapping
+            elif name == "embed_tokens.weight":
+                params["embed_tokens"]["weight"] = jnp.asarray(a, self.dtype)
+            elif name == "lm_head.weight":
+                params["lm_head"]["weight"] = jnp.asarray(a.T, self.dtype)
+            elif name == "norm.weight":
+                params["norm"] = jnp.asarray(a, self.dtype)
+            elif name.startswith("layers.0."):
+                rest = name.split(".")[2:]
+                if rest[-1] == "weight" and rest[-2].endswith("_proj"):
+                    node = lp
+                    for p in rest[:-2]:
+                        node = node[p]
+                    node[rest[-2]]["weight"] = jnp.asarray(a.T, self.dtype)
+                elif rest[-1] == "weight":
+                    lp[".".join(rest[:-1])] = jnp.asarray(a, self.dtype)
+        self.device_params = params
+        return params
+
+    def _combine(self, params, target_params, ids, feats):
+        feats = feats.astype(self.dtype)
+        if feats.shape[-1] == 3 * self.config.hidden_size:
+            feats = linear(feats, params["fc"])  # window pass: project aux
+        emb = params["embed_tokens"]["weight"][ids]
+        # backbone layer 0 consumes the (embedding, feature) pair
+        return (emb, feats)
+
+    def _backbone(self, params, x, md, kv_pages):
+        emb, hid = x
+        eps = self.config.rms_norm_eps
+        rope = (params["rope_cos"], params["rope_sin"])
+        lp = params["layers"][0]
+        residual = hid
+        e = rms_norm(emb, lp["input_layernorm"], eps)
+        hn = rms_norm(hid, lp["hidden_norm"], eps)
+        attn_in = jnp.concatenate([e, hn], axis=-1)  # [T, 2H]
+        attn_out, kv = attention_block(
+            self.attn_specs[0], lp["self_attn"], attn_in, md, kv_pages[0], rope
+        )
+        h2 = residual + attn_out
+        residual = h2
+        h3 = rms_norm(h2, lp["post_attention_layernorm"], eps)
+        out = residual + swiglu_mlp(h3, lp["mlp"], self.config.hidden_act)
+        # prenorm output is both the chain state and the predict input
+        return out, [kv]
+
+    def _predict(self, params, target_params, h):
+        hn = rms_norm(h, params["norm"], self.config.rms_norm_eps)
+        logits = linear(hn, params["lm_head"])
+        draft_local = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        # draft vocab -> target vocab
+        draft = draft_local + params["d2t"][draft_local]
+        return draft, h  # chain on the PRENORM feature

@@ -42,6 +42,11 @@ class SpecLLMEngine(LLMEngine):
         super().__init__(model, params, config, tokenizer)
         assert proposer is not None
         self.proposer = proposer
+        if getattr(proposer, "wants_aux_hiddens", False):
+            # EAGLE-3: the target must surface multi-layer features
+            model.aux_hidden_layers = tuple(
+                proposer.aux_layer_ids(model.num_layers)
+            )
         if hasattr(proposer, "bind"):
             proposer.bind(self)
         self.k = proposer.max_draft_tokens

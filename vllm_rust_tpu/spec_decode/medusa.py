@@ -24,7 +24,7 @@ from ..config import ModelConfig
 from ..request import Sequence
 
 
-def medusa_head_fn(head_params, hidden: jax.Array) -> jax.Array:
+def medusa_head_fn(head_params, hidden: jax.Array, last_tok=None) -> jax.Array:
     """Apply every head to hidden [S, H] -> greedy drafts [S, K]."""
     cols = []
     for hp in head_params["heads"]:

@@ -111,9 +111,13 @@ class SpecStepFunction:
             slot_of = jnp.where(mm_idx >= 0, slot_ids[seq_of], null_row)
             override = mm_buf[slot_of, jnp.maximum(mm_idx, 0)]
             model_kwargs["embeds"] = (mm_idx >= 0, override)
-        hidden, kv_pages = self.model(
-            params, input_ids, md, kv_pages, **model_kwargs
-        )
+        out = self.model(params, input_ids, md, kv_pages, **model_kwargs)
+        if len(out) == 3:
+            # EAGLE-3: concatenated aux residual-stream features ride along
+            hidden, kv_pages, aux_feats = out
+        else:
+            hidden, kv_pages = out
+            aux_feats = None
         sel = hidden[gather_idx.reshape(-1)]  # [S*K1, H]
         logits = self.model.compute_logits(params, sel).reshape(s, k1, -1)
 
@@ -197,24 +201,24 @@ class SpecStepFunction:
             jax.lax.bitcast_convert_type(logprobs, jnp.int32).reshape(-1),
         ]
         acc_idx = jnp.minimum(acc_len, k1 - 1)
+        last_emitted = jnp.where(
+            next_hint >= 0, next_hint, sampled[jnp.arange(s), acc_idx]
+        )
         if self.head_fn is not None:
-            # in-step draft heads (Medusa): drafts for the NEXT window come
-            # from the hidden state at the last emitted position — no extra
-            # forward, no host round-trip
+            # in-step draft heads (Medusa / MLP speculator): drafts for the
+            # NEXT window come from the hidden state of the last emitted
+            # position — no extra forward, no host round-trip
             hid = hidden[gather_idx[jnp.arange(s), acc_idx]]
-            next_drafts = self.head_fn(head_params, hid)  # [S, Kn]
+            next_drafts = self.head_fn(head_params, hid, last_emitted)
             parts.append(next_drafts.astype(jnp.int32).reshape(-1))
         elif self.aux is not None:
-            # in-step autoregressive draft module (EAGLE/MTP): window pass
-            # over the target hiddens + K-round propose chain
-            last_emitted = jnp.where(
-                next_hint >= 0, next_hint, sampled[jnp.arange(s), acc_idx]
-            )
+            # in-step autoregressive draft module (EAGLE/MTP/EAGLE-3):
+            # window pass over the target hiddens + K-round propose chain
             aux_kv, next_drafts = self.aux.device_run(
                 head_params,
                 params,
                 aux_kv,
-                hidden,
+                aux_feats if aux_feats is not None else hidden,
                 input_ids,
                 md,
                 last_emitted,
