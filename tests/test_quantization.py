@@ -5,6 +5,8 @@ Reference test strategy: kernel outputs pinned against CPU reference
 implementations (SURVEY.md §4 GPU tests; ADR 0025 golden-vector idea).
 """
 
+import json
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -423,3 +425,180 @@ def test_w8a16_dense_fallback_for_untileable():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), want, rtol=5e-2, atol=5e-2
     )
+
+
+# -- BitsAndBytes ---------------------------------------------------------------
+
+
+def _nf4_quantize(w: np.ndarray, blocksize: int = 64):
+    """Blockwise NF4 quantization matching bitsandbytes serialization:
+    packed uint8 (first element in HIGH nibble) + f32 absmax."""
+    from vllm_rust_tpu.quantization.bitsandbytes import NF4_TABLE
+
+    flat = w.reshape(-1).astype(np.float32)
+    pad = (-flat.size) % blocksize
+    flat_p = np.pad(flat, (0, pad))
+    blocks = flat_p.reshape(-1, blocksize)
+    absmax = np.abs(blocks).max(axis=1) + 1e-12
+    normed = blocks / absmax[:, None]
+    codes = np.abs(normed[..., None] - NF4_TABLE).argmin(axis=-1)
+    codes = codes.reshape(-1)[: flat.size + (flat.size % 2)]
+    if codes.size % 2:
+        codes = np.append(codes, 0)
+    packed = (codes[0::2].astype(np.uint8) << 4) | codes[1::2].astype(np.uint8)
+    return packed, absmax.astype(np.float32)
+
+
+def test_bnb_nf4_dequant_roundtrip():
+    from vllm_rust_tpu.quantization.bitsandbytes import (
+        NF4_TABLE,
+        dequant_bnb_4bit,
+    )
+
+    r = np.random.default_rng(11)
+    w = r.normal(size=(24, 96)).astype(np.float32)
+    packed, absmax = _nf4_quantize(w, blocksize=64)
+    got = dequant_bnb_4bit(packed, absmax, NF4_TABLE, w.shape, blocksize=64)
+    # NF4 is lossy; reconstruction error bounded by half the widest level gap
+    err = np.abs(got - w) / np.repeat(absmax, 64)[: w.size].reshape(w.shape)
+    assert err.max() <= 0.152, err.max()  # half the widest NF4 gap
+    # values exactly on codebook levels reconstruct exactly
+    exact = NF4_TABLE[r.integers(0, 16, size=(8, 64))].astype(np.float32)
+    p2, a2 = _nf4_quantize(exact, 64)
+    got2 = dequant_bnb_4bit(p2, a2, NF4_TABLE, exact.shape, 64)
+    np.testing.assert_allclose(got2, exact, rtol=1e-6, atol=1e-7)
+
+
+def test_bnb_double_quant_absmax():
+    from vllm_rust_tpu.quantization.bitsandbytes import (
+        dequant_blockwise_absmax,
+    )
+
+    r = np.random.default_rng(5)
+    absmax_true = r.uniform(0.5, 2.0, size=512).astype(np.float32)
+    offset = np.float32(absmax_true.mean())
+    centered = absmax_true - offset
+    nested_bs = 256
+    outer = np.abs(centered.reshape(-1, nested_bs)).max(axis=1)
+    # int8 linear codebook: code k maps to (k - 127.5) / 127.5... use the
+    # simple symmetric map for the test: quant_map[c] = (c - 128) / 128
+    qmap = ((np.arange(256) - 128) / 128).astype(np.float32)
+    codes = np.clip(
+        np.round(centered / np.repeat(outer, nested_bs) * 128) + 128, 0, 255
+    ).astype(np.uint8)
+    got = dequant_blockwise_absmax(codes, outer, qmap, float(offset), nested_bs)
+    np.testing.assert_allclose(got, absmax_true, atol=float(outer.max()) / 64)
+
+
+def test_bnb_loader_end_to_end():
+    """NF4-quantize a tiny llama, load via the bitsandbytes path, and
+    compare generation against the explicitly dequantized model."""
+    from vllm_rust_tpu.config import CacheConfig, EngineConfig, SchedulerConfig
+    from vllm_rust_tpu.engine import LLMEngine
+    from vllm_rust_tpu.models import from_config
+    from vllm_rust_tpu.quantization.bitsandbytes import (
+        NF4_TABLE,
+        dequant_bnb_4bit,
+    )
+    from vllm_rust_tpu.quantization.loader import load_quantized_weights
+    from vllm_rust_tpu.request import SamplingParams
+    from vllm_rust_tpu.testing import tiny_llama_config
+
+    mc = tiny_llama_config()
+    model = from_config(mc, dtype=jnp.float32)
+    ref_params = model.init_params(jax.random.PRNGKey(9))
+
+    stream = []
+    deq = jax.tree_util.tree_map(lambda x: x, ref_params)
+    state_blob = None
+    for i, lp in enumerate(ref_params["layers"]):
+        for mod, names in (("self_attn", ["q_proj", "k_proj", "v_proj", "o_proj"]),
+                           ("mlp", ["gate_proj", "up_proj", "down_proj"])):
+            for nme in names:
+                w = np.asarray(lp[mod][nme]["weight"]).T  # [N, K] torch layout
+                packed, absmax = _nf4_quantize(w, 64)
+                base = f"model.layers.{i}.{mod}.{nme}"
+                state_blob = np.frombuffer(
+                    json.dumps(
+                        {"shape": list(w.shape), "blocksize": 64,
+                         "dtype": "bfloat16"}
+                    ).encode(),
+                    np.uint8,
+                )
+                stream.append((f"{base}.weight", packed[:, None]))
+                stream.append((f"{base}.weight.absmax", absmax))
+                stream.append((f"{base}.weight.quant_map", NF4_TABLE))
+                stream.append(
+                    (f"{base}.weight.quant_state.bitsandbytes__nf4",
+                     state_blob)
+                )
+                dw = dequant_bnb_4bit(packed, absmax, NF4_TABLE, w.shape, 64)
+                deq["layers"][i][mod][nme] = {"weight": jnp.asarray(dw.T)}
+    stream.append(("model.embed_tokens.weight",
+                   np.asarray(ref_params["embed_tokens"]["weight"])))
+    stream.append(("model.norm.weight", np.asarray(ref_params["norm"])))
+    stream.append(("lm_head.weight",
+                   np.asarray(ref_params["lm_head"]["weight"]).T))
+    for i, lp in enumerate(ref_params["layers"]):
+        for nrm in ("input_layernorm", "post_attention_layernorm"):
+            stream.append((f"model.layers.{i}.{nrm}.weight", np.asarray(lp[nrm])))
+
+    qparams = load_quantized_weights(model, "bitsandbytes", {}, stream)
+
+    cfg = EngineConfig(
+        model=mc,
+        cache=CacheConfig(num_pages=32, page_size=16),
+        scheduler=SchedulerConfig(max_num_seqs=4, max_tokens_per_step=64),
+        max_model_len=128,
+        token_buckets=(16, 32, 64),
+    )
+    p = SamplingParams(max_tokens=10, temperature=0.0, ignore_eos=True)
+    got = LLMEngine(model, qparams, cfg).generate([[1, 2, 3, 4]], p)[0].token_ids
+    ref = LLMEngine(model, deq, cfg).generate([[1, 2, 3, 4]], p)[0].token_ids
+    assert got == ref
+
+
+# -- compressed-tensors ---------------------------------------------------------
+
+
+def test_ct_packed_w4_matches_dense():
+    from vllm_rust_tpu.quantization.compressed_tensors import (
+        load_ct_packed_linear,
+    )
+    from vllm_rust_tpu.quantization.registry import apply_quantized_linear
+
+    r = np.random.default_rng(2)
+    n_out, n_in, g = 64, 256, 32
+    q = r.integers(-8, 8, size=(n_out, n_in), dtype=np.int64)  # signed int4
+    scales = r.uniform(0.01, 0.1, size=(n_out, n_in // g)).astype(np.float32)
+    w_ref = q.astype(np.float32) * np.repeat(scales, g, axis=1)
+
+    # pack: 8 nibbles per int32 word, LOW nibble first, biased by +8
+    u = (q + 8).astype(np.uint32)
+    words = np.zeros((n_out, n_in // 8), np.uint32)
+    for j in range(8):
+        words |= u[:, j::8] << (4 * j)
+    ql = load_ct_packed_linear(words.view(np.int32), scales, None, None)
+    x = r.normal(size=(4, n_in)).astype(np.float32)
+    got = np.asarray(apply_quantized_linear(jnp.asarray(x), ql))
+    want = x @ w_ref.T
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=8e-2)
+
+
+def test_ct_int8_per_channel_matches_dense():
+    from vllm_rust_tpu.quantization.compressed_tensors import (
+        load_ct_int8_linear,
+    )
+    from vllm_rust_tpu.quantization.registry import apply_quantized_linear
+
+    r = np.random.default_rng(4)
+    n_out, n_in = 64, 256
+    w8 = r.integers(-127, 128, size=(n_out, n_in), dtype=np.int64).astype(np.int8)
+    scales = r.uniform(0.005, 0.05, size=(n_out,)).astype(np.float32)
+    w_ref = w8.astype(np.float32) * scales[:, None]
+
+    ql = load_ct_int8_linear(w8, scales, None)
+    x = r.normal(size=(4, n_in)).astype(np.float32)
+    got = np.asarray(apply_quantized_linear(jnp.asarray(x), ql))
+    want = x @ w_ref.T
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=8e-2)

@@ -35,6 +35,7 @@ def _kernel(
     q_ref,  # [1, H, D]
     kv_ref,  # [1, ps, 2K, D] — the page selected by the index map
     sinks_ref,  # [H, 128] f32 (attention-sink logits, or zeros)
+    alibi_ref,  # [H, 128] f32 (per-head ALiBi slopes, or zeros)
     o_ref,  # [1, H, D]
     m_ref,  # scratch [H, 128] f32
     l_ref,  # scratch [H, 128] f32

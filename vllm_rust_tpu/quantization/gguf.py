@@ -196,15 +196,19 @@ def _int8_to_quant_linear(reader: GGUFReader, name: str) -> QuantLinear:
 def apply_gguf_i8(x, p: QuantLinear):
     from ..ops.pallas.int8_matmul import quant_matmul_w8a16
 
-    return quant_matmul_w8a16(
-        x,
+    t_shape = x.shape[:-1]
+    out = quant_matmul_w8a16(
+        x.reshape(-1, x.shape[-1]),
         p.qweight,
         p.scales,
         p.zs,
         s_tiled=p.aux.get("s_tiled"),
         zs_tiled=p.aux.get("zs_tiled"),
         has_z=p.zs is not None,  # pytree structure => static under jit
-    )
+    ).reshape(*t_shape, -1).astype(x.dtype)
+    if p.bias is not None:
+        out = out + p.bias.astype(out.dtype)
+    return out
 
 
 def load_gguf_model(path: str, dtype=jnp.bfloat16):

@@ -29,6 +29,11 @@ def load_quantized_weights(
     Non-quantized tensors (norms, embeddings, lm_head) route through the
     model's normal name mapping; linear groups become QuantLinear nodes.
     """
+    method = method.replace("-", "_")
+    if method == "bitsandbytes":
+        return _load_bitsandbytes(model, weights)
+    if method == "compressed_tensors":
+        return _load_compressed_tensors(model, hf_config, weights)
     if method not in ("awq", "gptq", "fp8", "exl3"):
         raise NotImplementedError(f"quant method {method} not yet supported")
 
@@ -152,6 +157,118 @@ def load_quantized_weights(
                 parts.get("bias"),
             )
         # replace the whole linear dict with the QuantLinear node
+        node = params
+        for p in tree_path[:-2]:
+            node = node[p]
+        node[tree_path[-2]] = ql
+    return params
+
+
+def _place_dense(model, params, name, arr):
+    path = model._param_path(name)
+    if path is None:
+        return
+    import jax.numpy as jnp
+
+    tree_path, transpose = path
+    a = np.asarray(arr)
+    if transpose:
+        a = a.T
+    node = params
+    for p in tree_path[:-1]:
+        node = node[p]
+    node[tree_path[-1]] = jnp.asarray(a, model.dtype)
+
+
+def _load_bitsandbytes(model, weights):
+    """BnB groups: `{p}.weight` + `{p}.weight.<aux>` (+ `{p}.SCB` for
+    8-bit). Quantized groups dequantize to dense bf16 (bitsandbytes.py);
+    everything else places normally."""
+    import jax.numpy as jnp
+
+    from .bitsandbytes import load_bnb_linear
+
+    params = model.init_params(rng=None)
+    groups: dict[str, dict[str, np.ndarray]] = {}
+    plain: list[tuple[str, np.ndarray]] = []
+    for name, arr in weights:
+        if ".weight." in name:
+            base, _, leaf = name.partition(".weight.")
+            groups.setdefault(base, {})["weight." + leaf] = np.asarray(arr)
+        elif name.endswith(".SCB"):
+            groups.setdefault(name[: -len(".SCB")], {})["SCB"] = np.asarray(
+                arr
+            )
+        elif name.endswith(".weight"):
+            groups.setdefault(name[: -len(".weight")], {})["weight"] = (
+                np.asarray(arr)
+            )
+        else:
+            plain.append((name, np.asarray(arr)))
+    for base, parts in groups.items():
+        w = load_bnb_linear(parts)
+        if w is None:
+            # not quantized after all: place the raw weight normally
+            if "weight" in parts:
+                _place_dense(model, params, base + ".weight", parts["weight"])
+            continue
+        path = model._param_path(base + ".weight")
+        if path is None:
+            continue
+        tree_path, transpose = path
+        if transpose:
+            w = w.T
+        node = params
+        for p in tree_path[:-1]:
+            node = node[p]
+        node[tree_path[-1]] = jnp.asarray(w, model.dtype)
+    for name, arr in plain:
+        _place_dense(model, params, name, arr)
+    return params
+
+
+def _load_compressed_tensors(model, hf_config, weights):
+    """compressed-tensors groups: weight_packed/weight_scale/
+    weight_zero_point (pack-quantized int4) or weight+weight_scale
+    (int-quantized int8)."""
+    from .compressed_tensors import load_ct_int8_linear, load_ct_packed_linear
+
+    params = model.init_params(rng=None)
+    groups: dict[str, dict[str, np.ndarray]] = {}
+    _CT = {
+        "weight_packed", "weight_scale", "weight_zero_point",
+        "weight_shape", "weight_g_idx", "weight", "bias",
+    }
+    for name, arr in weights:
+        base, _, leaf = name.rpartition(".")
+        if base and leaf in _CT:
+            groups.setdefault(base, {})[leaf] = np.asarray(arr)
+        else:
+            _place_dense(model, params, name, arr)
+    for base, parts in groups.items():
+        path = model._param_path(base + ".weight")
+        if path is None:
+            continue
+        tree_path, _ = path
+        if "weight_packed" in parts:
+            ql = load_ct_packed_linear(
+                parts["weight_packed"],
+                parts["weight_scale"],
+                parts.get("weight_zero_point"),
+                parts.get("bias"),
+            )
+        elif "weight" in parts and "weight_scale" in parts:
+            w = parts["weight"]
+            if w.dtype == np.int8:
+                ql = load_ct_int8_linear(w, parts["weight_scale"], parts.get("bias"))
+            else:
+                _place_dense(model, params, base + ".weight", w)
+                continue
+        else:
+            for leaf in ("weight", "bias"):
+                if leaf in parts:
+                    _place_dense(model, params, f"{base}.{leaf}", parts[leaf])
+            continue
         node = params
         for p in tree_path[:-2]:
             node = node[p]

@@ -28,7 +28,7 @@ def register_quant_method(name: str):
 def _ensure_loaded():
     import importlib
 
-    for mod in ("awq", "gptq", "fp8", "int8", "gguf"):
+    for mod in ("awq", "gptq", "fp8", "int8", "gguf", "compressed_tensors"):
         try:
             importlib.import_module(f".{mod}", __package__)  # registers itself
         except ImportError:
