@@ -87,3 +87,68 @@ def test_decode_kernel_quantized_kv():
     np.testing.assert_allclose(
         np.asarray(out_q[:1]), np.asarray(out_f[:1]), rtol=1e-5, atol=1e-5
     )
+
+
+def test_decode_kernel_alibi_matches_ref():
+    from vllm_rust_tpu.layers.attention import alibi_slopes
+
+    h, k, d = 8, 4, 32
+    s_pad, p_width = 4, 4
+    kv_lens = [37, 16, 50]
+    pages_rows = [[1, 2, 3], [4], [5, 6, 7, 8]]
+    q = jnp.asarray(rng.normal(size=(s_pad, h, d)), jnp.float32)
+    kv_pages = jnp.asarray(rng.normal(size=(10, PAGE, 2 * k, d)), jnp.float32)
+    md = decode_md(kv_lens, pages_rows, s_pad, p_width)
+    slopes = jnp.asarray(alibi_slopes(h), jnp.float32)
+
+    out_kernel = decode_paged_attention(
+        q, kv_pages, md.kv_lens, md.page_indices, None, slopes,
+        sm_scale=0.17,
+    )
+    out_ref = ragged_paged_attention_op(
+        q, kv_pages, md, None, slopes, sm_scale=0.17, backend="ref"
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_kernel[:3]), np.asarray(out_ref[:3]),
+        rtol=2e-5, atol=2e-5,
+    )
+
+
+def test_alibi_ref_matches_dense():
+    """ALiBi ref path vs an explicit dense-attention computation."""
+    h, d = 4, 16
+    t = 12  # single sequence, full prefill
+    q = rng.normal(size=(t, h, d)).astype(np.float32)
+    keys = rng.normal(size=(t, h, d)).astype(np.float32)
+    vals = rng.normal(size=(t, h, d)).astype(np.float32)
+
+    from vllm_rust_tpu.layers.attention import alibi_slopes
+
+    slopes = np.asarray(alibi_slopes(h), np.float32)
+    # dense reference
+    scores = np.einsum("qhd,khd->hqk", q, keys) * 0.25
+    dist = np.arange(t)[None, :] - np.arange(t)[:, None]  # key - query
+    scores += slopes[:, None, None] * dist[None]
+    scores = np.where(dist[None] <= 0, scores, -1e30)
+    w = np.exp(scores - scores.max(-1, keepdims=True))
+    w /= w.sum(-1, keepdims=True)
+    want = np.einsum("hqk,khd->qhd", w, vals)
+
+    # paged layout: one sequence, one page of 16
+    kv_pages = np.zeros((2, PAGE, 2 * h, d), np.float32)
+    kv_pages[1, :t, 0::2] = keys
+    kv_pages[1, :t, 1::2] = vals
+    md = AttentionMetadata(
+        slot_mapping=jnp.arange(t, dtype=jnp.int32) + PAGE,
+        kv_lens=jnp.asarray([t], jnp.int32),
+        page_indices=jnp.asarray([[1]], jnp.int32),
+        cu_q_lens=jnp.asarray([0, t], jnp.int32),
+        num_seqs=jnp.asarray([1], jnp.int32),
+        positions=jnp.arange(t, dtype=jnp.int32),
+        logits_indices=jnp.asarray([t - 1], jnp.int32),
+    )
+    got = ragged_paged_attention_op(
+        jnp.asarray(q), jnp.asarray(kv_pages), md, None,
+        jnp.asarray(slopes), sm_scale=0.25, backend="ref",
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)

@@ -12,6 +12,7 @@ dissolves under SPMD).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -22,8 +23,26 @@ from ..ops.attn_metadata import AttentionMetadata
 from ..ops.kv_write import write_kv_pages
 from ..ops.paged_attention import ragged_paged_attention_op
 from .linear import linear
-from .norm import rms_norm
+from .norm import layer_norm, rms_norm
 from .rotary import RotarySpec, apply_rope
+
+
+@functools.lru_cache(maxsize=None)
+def alibi_slopes(num_heads: int) -> tuple[float, ...]:
+    """Per-head ALiBi slopes (Press et al.; reference layers/alibi.rs):
+    geometric sequence from 2^(-8/n) for the nearest power of two, with
+    odd-stride interpolation for non-power-of-two head counts."""
+    import math
+
+    def pow2_slopes(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start * (start**i) for i in range(n)]
+
+    if math.log2(num_heads).is_integer():
+        return tuple(pow2_slopes(num_heads))
+    closest = 2 ** math.floor(math.log2(num_heads))
+    extra = pow2_slopes(2 * closest)[0::2][: num_heads - closest]
+    return tuple(pow2_slopes(closest) + extra)
 
 
 @dataclass(frozen=True)
@@ -42,6 +61,10 @@ class AttentionSpec:
     soft_cap: float | None = None
     interleaved_rope: bool = False
     norm_offset: float = 0.0  # 1.0 for Gemma-style (1+w) norms
+    use_alibi: bool = False  # per-head ALiBi bias (Bloom/MPT/Baichuan-13B)
+    # per-head q/k LayerNorm with bias over head_dim (Persimmon/Fuyu) —
+    # qk_norm must also be set
+    qk_norm_layernorm: bool = False
 
     @staticmethod
     def from_model_config(
@@ -92,6 +115,16 @@ def attention_block(
     v = v.reshape(t, k_heads, d)
 
     def qk_normalize(q, k):
+        if spec.qk_norm_layernorm:
+            q = layer_norm(
+                q, params["q_norm"]["weight"], params["q_norm"].get("bias"),
+                spec.rms_eps,
+            )
+            k = layer_norm(
+                k, params["k_norm"]["weight"], params["k_norm"].get("bias"),
+                spec.rms_eps,
+            )
+            return q, k
         q = rms_norm(q, params["q_norm"], spec.rms_eps, weight_offset=spec.norm_offset)
         k = rms_norm(k, params["k_norm"], spec.rms_eps, weight_offset=spec.norm_offset)
         return q, k
@@ -116,11 +149,15 @@ def attention_block(
         kv_page, k, v, md.slot_mapping, k_scale=k_scale, v_scale=v_scale
     )
 
+    slopes = (
+        jnp.asarray(alibi_slopes(h), jnp.float32) if spec.use_alibi else None
+    )
     out = ragged_paged_attention_op(
         q,
         kv_page,
         md,
         params.get("sinks"),  # learned attention-sink logits (GPT-OSS)
+        slopes,
         sm_scale=spec.sm_scale,
         sliding_window=spec.sliding_window,
         soft_cap=spec.soft_cap,

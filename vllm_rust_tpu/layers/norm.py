@@ -29,3 +29,28 @@ def rms_norm(
     y = xf * jax.lax.rsqrt(var + eps)
     w = weight.astype(jnp.float32) + weight_offset
     return (y * w).astype(dtype)
+
+
+def layer_norm(
+    x: jax.Array,
+    weight: jax.Array | None = None,
+    bias: jax.Array | None = None,
+    eps: float = 1e-5,
+    *,
+    weight_offset: float = 0.0,
+) -> jax.Array:
+    """Classic LayerNorm (mean-centered) with optional affine.
+
+    ``weight_offset=1.0`` covers Nemotron's LayerNorm1p ((1+w) scaling).
+    Reference: the LayerNorm branches of layers/normalization.rs.
+    """
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    if weight is not None:
+        y = y * (weight.astype(jnp.float32) + weight_offset)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(dtype)

@@ -146,6 +146,44 @@ def _populate():
     except ImportError:
         pass
     try:
+        from .gpt_family import (
+            BloomForCausalLM,
+            FalconForCausalLM,
+            GPTBigCodeForCausalLM,
+            GPTJForCausalLM,
+            GPTNeoXForCausalLM,
+            MPTForCausalLM,
+            NemotronForCausalLM,
+            OPTForCausalLM,
+            PersimmonForCausalLM,
+            PhiForCausalLM,
+            StablelmForCausalLM,
+            Starcoder2ForCausalLM,
+        )
+
+        _REGISTRY.update(
+            {
+                "GPTNeoXForCausalLM": GPTNeoXForCausalLM,
+                "GPTJForCausalLM": GPTJForCausalLM,
+                "OPTForCausalLM": OPTForCausalLM,
+                "BloomForCausalLM": BloomForCausalLM,
+                "MPTForCausalLM": MPTForCausalLM,
+                "MptForCausalLM": MPTForCausalLM,
+                "FalconForCausalLM": FalconForCausalLM,
+                "RWForCausalLM": FalconForCausalLM,
+                "GPTBigCodeForCausalLM": GPTBigCodeForCausalLM,
+                "Starcoder2ForCausalLM": Starcoder2ForCausalLM,
+                "PersimmonForCausalLM": PersimmonForCausalLM,
+                "PhiForCausalLM": PhiForCausalLM,
+                "StablelmForCausalLM": StablelmForCausalLM,
+                "StableLmForCausalLM": StablelmForCausalLM,
+                "StableLMEpochForCausalLM": StablelmForCausalLM,
+                "NemotronForCausalLM": NemotronForCausalLM,
+            }
+        )
+    except ImportError:
+        pass
+    try:
         from .qwen3_moe import MixtralForCausalLM, Qwen3MoeForCausalLM
 
         from .gpt_oss import GptOssForCausalLM

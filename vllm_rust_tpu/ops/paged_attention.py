@@ -57,6 +57,7 @@ def _ref_ragged_paged_attention(
     k_scale: float | None = None,
     v_scale: float | None = None,
     sinks: jax.Array | None = None,  # [H] attention-sink logits
+    alibi_slopes: jax.Array | None = None,  # [H] per-head ALiBi slopes
 ) -> jax.Array:
     """Jittable reference. Gathers each token's full sequence KV — O(T·P)
     memory, fine for tests and tiny batches; not a production path."""
@@ -90,6 +91,14 @@ def _ref_ragged_paged_attention(
 
     qf = q.astype(jnp.float32).reshape(t, num_kv_heads, group, head_dim)
     scores = jnp.einsum("tkgd,tnkd->tkgn", qf, k) * sm_scale  # [T, K, G, N]
+    if alibi_slopes is not None:
+        # bias = slope_h * (key_pos - q_pos), <= 0 under the causal mask
+        # (reference layers/alibi.rs build_alibi_bias)
+        slopes = alibi_slopes.astype(jnp.float32).reshape(num_kv_heads, group)
+        dist = (
+            jnp.arange(n, dtype=jnp.int32)[None, :] - q_pos[:, None]
+        ).astype(jnp.float32)  # [T, N]
+        scores = scores + slopes[None, :, :, None] * dist[:, None, None, :]
     if soft_cap is not None:
         scores = soft_cap * jnp.tanh(scores / soft_cap)
 
@@ -130,6 +139,7 @@ def ragged_paged_attention_op(
     kv_pages: jax.Array,
     md: AttentionMetadata,
     sinks: jax.Array | None = None,  # [H] attention-sink logits (GPT-OSS)
+    alibi_slopes: jax.Array | None = None,  # [H] ALiBi slopes (Bloom/MPT/…)
     *,
     sm_scale: float,
     sliding_window: int | None = None,
@@ -148,6 +158,10 @@ def ragged_paged_attention_op(
         # to correct with; mixed prefill+decode steps take the reference
         # path (decode-only steps keep the fast in-house kernel)
         backend = "ref"
+    if alibi_slopes is not None and backend in ("jax", "pallas"):
+        # ALiBi lives in the ref path (mixed steps) and the in-house
+        # decode kernel (pure-decode steps)
+        backend = "ref"
     if backend == "ref":
         return _ref_ragged_paged_attention(
             q,
@@ -159,6 +173,7 @@ def ragged_paged_attention_op(
             k_scale=k_scale,
             v_scale=v_scale,
             sinks=sinks,
+            alibi_slopes=alibi_slopes,
         )
     if backend == "jax":
         from jax.experimental.pallas.ops.tpu.ragged_paged_attention.kernel import (
@@ -192,6 +207,7 @@ def ragged_paged_attention_op(
             md.kv_lens,
             md.page_indices,
             sinks,
+            alibi_slopes,
             sm_scale=sm_scale,
             sliding_window=sliding_window,
             soft_cap=soft_cap,

@@ -49,6 +49,7 @@ def _kernel(
     k_scale: float | None,
     v_scale: float | None,
     use_sinks: bool,
+    use_alibi: bool,
 ):
     s = pl.program_id(0)
     p = pl.program_id(1)
@@ -97,6 +98,12 @@ def _kernel(
             )  # [G, ps]
             scores_rows.append(s_kh)
         scores = jnp.concatenate(scores_rows, axis=0) * sm_scale  # [H, ps]
+        if use_alibi:
+            # decode: the query sits at position kv_len-1; bias is
+            # slope_h * (key_pos - q_pos) <= 0 (reference layers/alibi.rs)
+            scores = scores + alibi_ref[:, :1] * (
+                pos - (kv_len - 1)
+            ).astype(jnp.float32)
         if soft_cap is not None:
             scores = soft_cap * jnp.tanh(scores / soft_cap)
         scores = jnp.where(valid, scores, NEG_INF)
@@ -147,6 +154,7 @@ def decode_paged_attention(
     kv_lens: jax.Array,  # [S] i32
     page_indices: jax.Array,  # [S, P] i32
     sinks: jax.Array | None = None,  # [H] f32 attention-sink logits
+    alibi_slopes: jax.Array | None = None,  # [H] f32 per-head slopes
     *,
     sm_scale: float,
     sliding_window: int | None = None,
@@ -159,8 +167,15 @@ def decode_paged_attention(
     num_kv = combined // 2
     p = page_indices.shape[1]
     use_sinks = sinks is not None
+    use_alibi = alibi_slopes is not None
     sinks_tile = jnp.broadcast_to(
         (sinks if use_sinks else jnp.zeros((h,))).astype(jnp.float32)[:, None],
+        (h, 128),
+    )
+    alibi_tile = jnp.broadcast_to(
+        (alibi_slopes if use_alibi else jnp.zeros((h,))).astype(jnp.float32)[
+            :, None
+        ],
         (h, 128),
     )
 
@@ -174,6 +189,7 @@ def decode_paged_attention(
         k_scale=k_scale,
         v_scale=v_scale,
         use_sinks=use_sinks,
+        use_alibi=use_alibi,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -186,6 +202,7 @@ def decode_paged_attention(
                 # block fetch; Pallas prefetches the next page in parallel
                 lambda si, pi, lens, pages: (pages[si * p + pi], 0, 0, 0),
             ),
+            pl.BlockSpec((h, 128), lambda si, pi, lens, pages: (0, 0)),
             pl.BlockSpec((h, 128), lambda si, pi, lens, pages: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, h, d), lambda si, pi, lens, pages: (si, 0, 0)),
@@ -203,4 +220,4 @@ def decode_paged_attention(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret_kernels(),
-    )(kv_lens, page_indices.reshape(-1), q, kv_pages, sinks_tile)
+    )(kv_lens, page_indices.reshape(-1), q, kv_pages, sinks_tile, alibi_tile)
