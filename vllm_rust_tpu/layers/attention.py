@@ -65,6 +65,10 @@ class AttentionSpec:
     # per-head q/k LayerNorm with bias over head_dim (Persimmon/Fuyu) —
     # qk_norm must also be set
     qk_norm_layernorm: bool = False
+    # q/k norm computed over the FULL projection dim (OLMo-2), not per head
+    qk_norm_full: bool = False
+    # clamp q/k/v projections to [-clip, clip] (OLMo-1 clip_qkv)
+    qkv_clip: float | None = None
 
     @staticmethod
     def from_model_config(
@@ -110,11 +114,22 @@ def attention_block(
         q = linear(x, params["q_proj"])
         k = linear(x, params["k_proj"])
         v = linear(x, params["v_proj"])
+    if spec.qkv_clip is not None:
+        q = jnp.clip(q, -spec.qkv_clip, spec.qkv_clip)
+        k = jnp.clip(k, -spec.qkv_clip, spec.qkv_clip)
+        v = jnp.clip(v, -spec.qkv_clip, spec.qkv_clip)
+    if spec.qk_norm and spec.qk_norm_full:
+        # OLMo-2: RMSNorm over the flat [heads*head_dim] projection,
+        # before head split and rope
+        q = rms_norm(q, params["q_norm"], spec.rms_eps)
+        k = rms_norm(k, params["k_norm"], spec.rms_eps)
     q = q.reshape(t, h, d)
     k = k.reshape(t, k_heads, d)
     v = v.reshape(t, k_heads, d)
 
     def qk_normalize(q, k):
+        if spec.qk_norm_full:
+            return q, k  # already applied pre-reshape
         if spec.qk_norm_layernorm:
             q = layer_norm(
                 q, params["q_norm"]["weight"], params["q_norm"].get("bias"),

@@ -78,6 +78,12 @@ def _populate():
     except ImportError:
         pass
     try:
+        from .breadth import register_breadth
+
+        register_breadth(_REGISTRY)
+    except ImportError:
+        pass
+    try:
         from .deepseek import DeepseekV2ForCausalLM, DeepseekV3ForCausalLM
 
         _REGISTRY["DeepseekV2ForCausalLM"] = DeepseekV2ForCausalLM

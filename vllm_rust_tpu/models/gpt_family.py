@@ -53,6 +53,7 @@ class LNTransformer:
     learned_pos_offset: int = 0  # OPT stores positions offset by +2
     norm_kind: str = "layernorm"
     norm_has_bias: bool = True
+    norm_affine: bool = True  # False: non-parametric LayerNorm (OLMo-1)
     embed_ln: bool = False  # Bloom: LayerNorm right after embedding
     qk_layernorm: bool = False  # Persimmon: per-head q/k LayerNorm
     attn_bias: bool = True
@@ -142,6 +143,8 @@ class LNTransformer:
             return p
 
         def norm_p(dim=None):
+            if not self.norm_affine:
+                return {}
             dim = dim or h
             p = {"weight": jnp.ones((dim,), d)}
             if self.norm_kind == "layernorm1p":

@@ -48,6 +48,8 @@ class LlamaForCausalLM:
     def __init__(self, config: ModelConfig, dtype: Any = jnp.bfloat16):
         self.config = config
         self.dtype = dtype
+        if config.attention_bias:
+            self.qkv_bias = True
         self.attn_specs = tuple(
             self._make_attn_spec(i) for i in range(config.num_hidden_layers)
         )
@@ -99,7 +101,7 @@ class LlamaForCausalLM:
         else:
             keys = iter([None] * n_keys)
         h, hd = cfg.hidden_size, cfg.head_dim
-        nh, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
+        nh = cfg.num_attention_heads
         inter = cfg.intermediate_size
 
         def linear_p(key, din, dout, bias=False):
@@ -110,6 +112,7 @@ class LlamaForCausalLM:
 
         layers = []
         for i in range(cfg.num_hidden_layers):
+            nkv = self.attn_specs[i].num_kv_heads  # per-layer GQA (DeciLM)
             lp = {
                 "input_layernorm": jnp.ones((h,), d) - self.norm_offset,
                 "post_attention_layernorm": jnp.ones((h,), d) - self.norm_offset,
