@@ -241,3 +241,172 @@ def test_attention_bias_from_config():
     params = model.init_params(jax.random.PRNGKey(0))
     assert "bias" in params["layers"][0]["self_attn"]["q_proj"]
     _smoke(cfg)
+
+
+# -- MoE breadth ------------------------------------------------------------
+
+
+def moe_base(arch, model_type, **over):
+    d = dict(num_experts=4, num_experts_per_tok=2, moe_intermediate_size=32)
+    d.update(over)
+    return base(arch, model_type, **d)
+
+
+def test_glm4_moe():
+    cfg = moe_base("Glm4MoeForCausalLM", "glm4_moe",
+                   num_shared_experts=1, scoring_func="sigmoid",
+                   routed_scaling_factor=1.5, first_k_dense_replace=1,
+                   norm_topk_prob=True, n_group=2, topk_group=1)
+    cfg.extra = {"use_qk_norm": True, "partial_rotary_factor": 0.5}
+    model = from_config(cfg, dtype=jnp.float32)
+    assert cfg.qk_norm and cfg.partial_rotary_factor == 0.5
+    params = model.init_params(jax.random.PRNGKey(0))
+    assert "experts" not in params["layers"][0]["mlp"]  # dense first layer
+    moe = params["layers"][1]["mlp"]
+    assert "e_score_correction_bias" in moe
+    assert "shared_expert" in moe and "shared_expert_gate" not in moe
+    _smoke(cfg)
+
+
+def test_glm4_moe_checkpoint_names():
+    cfg = moe_base("Glm4MoeForCausalLM", "glm4_moe", num_hidden_layers=1,
+                   num_shared_experts=1, scoring_func="sigmoid")
+    model = from_config(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    h, inter = 64, 32
+    stream = [
+        ("model.layers.0.mlp.gate.weight",
+         rng.normal(size=(4, h)).astype(np.float32)),
+        ("model.layers.0.mlp.gate.e_score_correction_bias",
+         rng.normal(size=(4,)).astype(np.float32)),
+        ("model.layers.0.mlp.shared_experts.gate_proj.weight",
+         rng.normal(size=(inter, h)).astype(np.float32)),
+    ]
+    for j in range(4):
+        for nm, shp in (("gate_proj", (inter, h)), ("up_proj", (inter, h)),
+                        ("down_proj", (h, inter))):
+            stream.append((f"model.layers.0.mlp.experts.{j}.{nm}.weight",
+                           rng.normal(size=shp).astype(np.float32)))
+    params = model.load_weights(iter(stream))
+    moe = params["layers"][0]["mlp"]
+    assert float(jnp.abs(moe["e_score_correction_bias"]).max()) > 0
+    assert float(jnp.abs(moe["shared_expert"]["gate_proj"]["weight"]).max()) > 0
+    assert moe["experts"]["gate_proj"]["weight"].shape == (4, h, inter)
+
+
+def test_olmoe():
+    cfg = moe_base("OlmoeForCausalLM", "olmoe", norm_topk_prob=True)
+    model = from_config(cfg, dtype=jnp.float32)
+    assert model.attn_specs[0].qk_norm_full
+    params = model.init_params(jax.random.PRNGKey(0))
+    assert params["layers"][0]["self_attn"]["q_norm"].shape == (64,)
+    _smoke(cfg)
+
+
+def test_dbrx():
+    cfg = base("DbrxForCausalLM", "dbrx", vocab_size=128)
+    cfg.extra = {
+        "d_model": 64, "n_heads": 4, "n_layers": 2, "max_seq_len": 256,
+        "attn_config": {"kv_n_heads": 2, "clip_qkv": 8.0,
+                        "rope_theta": 500000.0},
+        "ffn_config": {"ffn_hidden_size": 32, "moe_num_experts": 4,
+                       "moe_top_k": 2, "moe_normalize_expert_weights": 1},
+    }
+    model = from_config(cfg, dtype=jnp.float32)
+    assert cfg.num_key_value_heads == 2
+    assert model.attn_specs[0].qkv_clip == 8.0
+    assert not model.attn_specs[0].qk_norm
+    _smoke(cfg)
+
+
+def test_dbrx_checkpoint_layout():
+    cfg = base("DbrxForCausalLM", "dbrx", vocab_size=128)
+    cfg.extra = {
+        "d_model": 64, "n_heads": 4, "n_layers": 1,
+        "attn_config": {"kv_n_heads": 2},
+        "ffn_config": {"ffn_hidden_size": 32, "moe_num_experts": 4,
+                       "moe_top_k": 2},
+    }
+    model = from_config(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    h, inter, e, nh, nkv, hd = 64, 32, 4, 4, 2, 16
+    w1 = rng.normal(size=(e * inter, h)).astype(np.float32)
+    v1 = rng.normal(size=(e * inter, h)).astype(np.float32)
+    w2 = rng.normal(size=(e * inter, h)).astype(np.float32)
+    qkv = rng.normal(size=((nh + 2 * nkv) * hd, h)).astype(np.float32)
+    stream = [
+        ("transformer.blocks.0.norm_attn_norm.attn.Wqkv.weight", qkv),
+        ("transformer.blocks.0.norm_attn_norm.attn.out_proj.weight",
+         rng.normal(size=(h, h)).astype(np.float32)),
+        ("transformer.blocks.0.norm_attn_norm.norm_1.weight",
+         np.ones(h, np.float32)),
+        ("transformer.blocks.0.norm_attn_norm.norm_2.weight",
+         np.ones(h, np.float32)),
+        ("transformer.blocks.0.ffn.router.layer.weight",
+         rng.normal(size=(e, h)).astype(np.float32)),
+        ("transformer.blocks.0.ffn.experts.mlp.w1", w1),
+        ("transformer.blocks.0.ffn.experts.mlp.v1", v1),
+        ("transformer.blocks.0.ffn.experts.mlp.w2", w2),
+        ("transformer.wte.weight", rng.normal(size=(128, h)).astype(np.float32)),
+        ("transformer.norm_f.weight", np.ones(h, np.float32)),
+        ("lm_head.weight", rng.normal(size=(128, h)).astype(np.float32)),
+    ]
+    params = model.load_weights(iter(stream))
+    moe = params["layers"][0]["mlp"]
+    # w1 expert 0 row 0 -> gate_proj[0, :, 0]
+    np.testing.assert_array_equal(
+        np.asarray(moe["experts"]["gate_proj"]["weight"][0, :, 0]), w1[0]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(moe["experts"]["down_proj"]["weight"][0, 0, :]), w2[0]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(params["layers"][0]["self_attn"]["q_proj"]["weight"]),
+        qkv[: nh * hd].T,
+    )
+
+
+def test_granitemoe():
+    cfg = moe_base("GraniteMoeForCausalLM", "granitemoe", norm_topk_prob=True)
+    cfg.extra = {"embedding_multiplier": 12.0, "residual_multiplier": 0.22,
+                 "attention_multiplier": 0.0078125}
+    model = from_config(cfg, dtype=jnp.float32)
+    assert model.residual_multiplier == 0.22
+    assert model.attn_specs[0].sm_scale == 0.0078125
+    _smoke(cfg)
+
+
+def test_granitemoe_shared_checkpoint():
+    cfg = moe_base("GraniteMoeSharedForCausalLM", "granitemoeshared",
+                   num_hidden_layers=1, shared_expert_intermediate_size=48)
+    model = from_config(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    h, inter, e, si = 64, 32, 4, 48
+    inp = rng.normal(size=(e, 2 * inter, h)).astype(np.float32)
+    outp = rng.normal(size=(e, h, inter)).astype(np.float32)
+    sh_in = rng.normal(size=(2 * si, h)).astype(np.float32)
+    sh_out = rng.normal(size=(h, si)).astype(np.float32)
+    stream = [
+        ("model.layers.0.block_sparse_moe.input_linear.weight", inp),
+        ("model.layers.0.block_sparse_moe.output_linear.weight", outp),
+        ("model.layers.0.block_sparse_moe.router.layer.weight",
+         rng.normal(size=(e, h)).astype(np.float32)),
+        ("model.layers.0.shared_mlp.input_linear.weight", sh_in),
+        ("model.layers.0.shared_mlp.output_linear.weight", sh_out),
+    ]
+    params = model.load_weights(iter(stream))
+    moe = params["layers"][0]["mlp"]
+    # input_linear rows [gate; up] per expert
+    np.testing.assert_array_equal(
+        np.asarray(moe["experts"]["gate_proj"]["weight"][0]), inp[0, :inter].T
+    )
+    np.testing.assert_array_equal(
+        np.asarray(moe["experts"]["up_proj"]["weight"][0]), inp[0, inter:].T
+    )
+    np.testing.assert_array_equal(
+        np.asarray(moe["experts"]["down_proj"]["weight"][0]), outp[0].T
+    )
+    np.testing.assert_array_equal(
+        np.asarray(moe["shared_expert"]["gate_proj"]["weight"]), sh_in[:si].T
+    )
+    _smoke(cfg)

@@ -195,6 +195,9 @@ def _populate():
         from .gpt_oss import GptOssForCausalLM
 
         _REGISTRY["GptOssForCausalLM"] = GptOssForCausalLM
+        from .moe_breadth import register_moe_breadth
+
+        register_moe_breadth(_REGISTRY)
         _REGISTRY["Qwen3MoeForCausalLM"] = Qwen3MoeForCausalLM
         _REGISTRY["Qwen2MoeForCausalLM"] = Qwen3MoeForCausalLM
         _REGISTRY["MixtralForCausalLM"] = MixtralForCausalLM

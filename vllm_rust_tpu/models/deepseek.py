@@ -114,6 +114,41 @@ def mla_attention(
     return linear(o.reshape(t, h * d_v), params["o_proj"]), kv_page
 
 
+def deepseek_moe_ffn(cfg, spec, params, x):
+    """DeepSeek-style MoE FFN: sigmoid/softmax scoring, optional
+    e-score correction bias + grouped top-k, routed scaling, gateless
+    shared experts. Shared by DeepSeek V2/V3, GLM-4.5-MoE, and friends
+    (reference moe/router.rs grouped top-k + expert_layer.rs shared)."""
+    router_logits = linear(x, params["router"]).astype(jnp.float32)
+    if spec.scoring == "sigmoid":
+        scores = jax.nn.sigmoid(router_logits)
+    else:
+        scores = jax.nn.softmax(router_logits, axis=-1)
+    if cfg.n_group and cfg.topk_group:
+        bias = params.get("e_score_correction_bias")
+        topv, topi = grouped_topk(
+            scores, bias, spec.top_k, cfg.n_group, cfg.topk_group
+        )
+    else:
+        scores_b = scores
+        if params.get("e_score_correction_bias") is not None:
+            scores_b = scores + params["e_score_correction_bias"]
+        _, topi = jax.lax.top_k(scores_b, spec.top_k)
+        topi = topi.astype(jnp.int32)
+        topv = jnp.take_along_axis(scores, topi, axis=-1)
+    if spec.norm_topk_prob:
+        topv = topv / jnp.maximum(topv.sum(-1, keepdims=True), 1e-20)
+    if spec.routed_scaling_factor:
+        topv = topv * spec.routed_scaling_factor
+    from ..utils import on_tpu
+
+    fn = _gmm_experts if on_tpu() else _dense_experts
+    out = fn(spec, params, x, topv, topi)
+    if "shared_expert" in params:
+        out = out + swiglu_mlp(x, params["shared_expert"], spec.act)
+    return out
+
+
 def grouped_topk(
     scores: jax.Array,  # [T, E] (post-scoring)
     bias: jax.Array | None,  # e_score_correction_bias [E] or None
@@ -316,31 +351,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         return super()._param_path(name)
 
     def _moe(self, spec, params, x):
-        router_logits = linear(x, params["router"]).astype(jnp.float32)
-        if spec.scoring == "sigmoid":
-            scores = jax.nn.sigmoid(router_logits)
-        else:
-            scores = jax.nn.softmax(router_logits, axis=-1)
-        cfg = self.config
-        if cfg.n_group and cfg.topk_group:
-            bias = params.get("e_score_correction_bias")
-            topv, topi = grouped_topk(
-                scores, bias, spec.top_k, cfg.n_group, cfg.topk_group
-            )
-        else:
-            topv, topi = jax.lax.top_k(scores, spec.top_k)
-            topi = topi.astype(jnp.int32)
-        if spec.norm_topk_prob:
-            topv = topv / jnp.maximum(topv.sum(-1, keepdims=True), 1e-20)
-        if spec.routed_scaling_factor:
-            topv = topv * spec.routed_scaling_factor
-        from ..utils import on_tpu
-
-        fn = _gmm_experts if on_tpu() else _dense_experts
-        out = fn(spec, params, x, topv, topi)
-        if "shared_expert" in params:
-            out = out + swiglu_mlp(x, params["shared_expert"], spec.act)
-        return out
+        return deepseek_moe_ffn(self.config, spec, params, x)
 
     # -- forward --------------------------------------------------------------
 

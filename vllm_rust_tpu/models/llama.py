@@ -45,6 +45,12 @@ class LlamaForCausalLM:
     # engine when an Eagle3 proposer is attached)
     aux_hidden_layers: tuple = ()
 
+    def _norm(self, x, w):
+        """Hidden-state norm hook (DBRX overrides with LayerNorm)."""
+        return rms_norm(
+            x, w, self.config.rms_norm_eps, weight_offset=self.norm_offset
+        )
+
     def __init__(self, config: ModelConfig, dtype: Any = jnp.bfloat16):
         self.config = config
         self.dtype = dtype

@@ -149,14 +149,22 @@ class Qwen3MoeForCausalLM(LlamaForCausalLM):
 
     # -- forward --------------------------------------------------------------
 
+    def _moe_ffn(self, lp_mlp, h):
+        """MoE FFN hook (Glm4Moe overrides with DeepSeek-style routing)."""
+        return moe_layer(self.moe_spec, lp_mlp, h, backend=self.moe_backend)
+
     def __call__(self, params, input_ids, md, kv_pages):
         cfg = self.config
         x = params["embed_tokens"]["weight"][input_ids]
+        if self.embedding_multiplier is not None:
+            x = (x.astype(jnp.float32) * self.embedding_multiplier).astype(
+                self.dtype
+            )
         new_kv = []
         for i, lp in enumerate(params["layers"]):
             rope_tables = self.rope_tables_for_layer(params, i)
             residual = x
-            h = rms_norm(x, lp["input_layernorm"], cfg.rms_norm_eps)
+            h = self._norm(x, lp["input_layernorm"])
             ks, vs = self.kv_scales if self.kv_scales else (None, None)
             attn_out, kv = attention_block(
                 self.attn_specs[i],
@@ -170,19 +178,17 @@ class Qwen3MoeForCausalLM(LlamaForCausalLM):
                 v_scale=vs,
             )
             new_kv.append(kv)
-            x = residual + attn_out
+            x = residual + attn_out * self.residual_multiplier
 
             residual = x
-            h = rms_norm(x, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+            h = self._norm(x, lp["post_attention_layernorm"])
             if "experts" in lp["mlp"]:
-                ffn = moe_layer(
-                    self.moe_spec, lp["mlp"], h, backend=self.moe_backend
-                )
+                ffn = self._moe_ffn(lp["mlp"], h)
             else:
                 ffn = swiglu_mlp(h, lp["mlp"], cfg.hidden_act)
-            x = residual + ffn
+            x = residual + ffn * self.residual_multiplier
 
-        x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+        x = self._norm(x, params["norm"])
         return x, new_kv
 
 
