@@ -44,6 +44,7 @@ def register_tool_parser(*names: str):
 
 
 def get_tool_parser(name: str) -> Callable[[str], ParseResult]:
+    _ensure_formats()
     if name not in _REGISTRY:
         raise ValueError(
             f"unknown tool parser {name!r}; available: {sorted(_REGISTRY)}"
@@ -51,7 +52,12 @@ def get_tool_parser(name: str) -> Callable[[str], ParseResult]:
     return _REGISTRY[name]
 
 
+def _ensure_formats():
+    from . import formats  # noqa: F401  (registers extended parsers)
+
+
 def available_tool_parsers() -> list[str]:
+    _ensure_formats()
     return sorted(_REGISTRY)
 
 
