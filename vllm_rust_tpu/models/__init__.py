@@ -94,6 +94,26 @@ def _populate():
         from .llava import LlavaForConditionalGeneration
 
         _REGISTRY["LlavaForConditionalGeneration"] = LlavaForConditionalGeneration
+        from .vlm_breadth import register_vlm_breadth
+
+        register_vlm_breadth(_REGISTRY)
+
+        def _gemma3_cond(config, **kw):
+            """Gemma3ForConditionalGeneration is multimodal when the HF
+            config carries a vision_config; small text-only checkpoints
+            reuse the same arch string."""
+            if "vision_config" in config.extra:
+                from .vlm_breadth import Gemma3MMForConditionalGeneration
+
+                return Gemma3MMForConditionalGeneration(config, **kw)
+            from .gemma import Gemma3ForCausalLM
+
+            return Gemma3ForCausalLM(config, **kw)
+
+        _REGISTRY["Gemma3ForConditionalGeneration"] = _gemma3_cond
+        from .audio_lmm import register_audio_lmm
+
+        register_audio_lmm(_REGISTRY)
     except ImportError:
         pass
     try:
