@@ -92,16 +92,22 @@ class KVCacheManager:
                         }
                     )
                 else:
-                    pools.append(
-                        {
-                            "conv": jnp.zeros(
-                                (num_slots + 1, *entry["conv"]), model_dtype
-                            ),
-                            "ssm": jnp.zeros(
-                                (num_slots + 1, *entry["ssm"]), jnp.float32
-                            ),
-                        }
-                    )
+                    pool = {
+                        "conv": jnp.zeros(
+                            (num_slots + 1, *entry["conv"]), model_dtype
+                        ),
+                        "ssm": jnp.zeros(
+                            (num_slots + 1, *entry["ssm"]), jnp.float32
+                        ),
+                    }
+                    if "kv" in entry:
+                        # parallel-hybrid layer (FalconH1): attention AND
+                        # mamba in one layer — paged KV + recurrent state
+                        nkv, hd = entry["kv"]
+                        pool["kv"] = jnp.zeros(
+                            (cfg.num_pages, cfg.page_size, 2 * nkv, hd), dt
+                        )
+                    pools.append(pool)
                 continue
             nkv, hd = entry
             shape = (cfg.num_pages, cfg.page_size, 2 * nkv, hd)

@@ -169,6 +169,9 @@ def _populate():
                 "JambaForCausalLM": JambaForCausalLM,
             }
         )
+        from .hybrid_ssm import register_hybrid_ssm
+
+        register_hybrid_ssm(_REGISTRY)
     except ImportError:
         pass
     try:
@@ -218,6 +221,9 @@ def _populate():
         from .moe_breadth import register_moe_breadth
 
         register_moe_breadth(_REGISTRY)
+        from .moe_breadth2 import register_moe_breadth2
+
+        register_moe_breadth2(_REGISTRY)
         _REGISTRY["Qwen3MoeForCausalLM"] = Qwen3MoeForCausalLM
         _REGISTRY["Qwen2MoeForCausalLM"] = Qwen3MoeForCausalLM
         _REGISTRY["MixtralForCausalLM"] = MixtralForCausalLM
