@@ -131,6 +131,7 @@ class OlmoForCausalLM(LNTransformer):
 
 
 class PostNormLlama(LlamaForCausalLM):
+    supports_pp = False  # custom __call__ (post-norm residual order)
     """Post-LN RMSNorm skeleton shared by OLMo-2/3 and EXAONE-4
     (reference models/olmo2.rs, exaone4.rs:96-153): the sublayer output
     is normalized BEFORE the residual add; there are no pre-norms.

@@ -175,6 +175,7 @@ def grouped_topk(
 
 
 class DeepseekV2ForCausalLM(LlamaForCausalLM):
+    supports_pp = False  # custom __call__ (MLA + MoE)
     """DeepSeek V2/V3 (MLA + optionally MoE layers)."""
 
     def __init__(self, config: ModelConfig, dtype: Any = jnp.bfloat16):

@@ -44,6 +44,10 @@ class LlamaForCausalLM:
     # are concatenated and returned as a third output (set by the spec
     # engine when an Eagle3 proposer is attached)
     aux_hidden_layers: tuple = ()
+    # pipeline-parallel stage hooks available (subclasses that override
+    # __call__ with structure the hooks don't cover must clear this —
+    # reference models/factory.rs Capabilities::PP)
+    supports_pp: bool = True
 
     def _norm(self, x, w):
         """Hidden-state norm hook (DBRX overrides with LayerNorm)."""
@@ -211,6 +215,94 @@ class LlamaForCausalLM:
 
     # -- forward ------------------------------------------------------------
 
+    def embed(self, params: dict, input_ids: jax.Array, embeds=None) -> jax.Array:
+        """Pipeline stage hook: token embedding (reference
+        distributed/pipeline.rs — stage 0 hosts the embedding).
+        ``embeds``: multimodal injection (mask [T] bool, override [T, H])
+        applied BEFORE the embedding multiplier (reference
+        multimodal/processor.rs merge_embeddings)."""
+        x = params["embed_tokens"]["weight"][input_ids]
+        if embeds is not None:
+            mask, override = embeds
+            x = jnp.where(mask[:, None], override.astype(x.dtype), x)
+        if self.embedding_multiplier is not None:
+            x = (x.astype(jnp.float32) * self.embedding_multiplier).astype(self.dtype)
+        return x
+
+    def _layer_step(self, params, i, lp, x, md, kv_page):
+        """One decoder layer. Shared by __call__ and the pipeline-stage
+        hook run_layers."""
+        cfg = self.config
+        rope_tables = self.rope_tables_for_layer(params, i)
+        residual = x
+        h = rms_norm(
+            x, lp["input_layernorm"], cfg.rms_norm_eps, weight_offset=self.norm_offset
+        )
+        ks, vs = self.kv_scales if self.kv_scales else (None, None)
+        attn_out, kv = attention_block(
+            self.attn_specs[i],
+            lp["self_attn"],
+            h,
+            md,
+            kv_page,
+            rope_tables,
+            attention_backend=self.attention_backend,
+            k_scale=ks,
+            v_scale=vs,
+        )
+        if self.post_sublayer_norms:
+            attn_out = rms_norm(
+                attn_out, lp["post_self_attn_layernorm"], cfg.rms_norm_eps
+            )
+        x = residual + attn_out * self.residual_multiplier
+
+        residual = x
+        h = rms_norm(
+            x,
+            lp["post_attention_layernorm"],
+            cfg.rms_norm_eps,
+            weight_offset=self.norm_offset,
+        )
+        if self.extra_ffn_norms:
+            h = rms_norm(
+                h,
+                lp["pre_feedforward_layernorm"],
+                cfg.rms_norm_eps,
+                weight_offset=self.norm_offset,
+            )
+        ffn = swiglu_mlp(h, lp["mlp"], cfg.hidden_act)
+        if self.extra_ffn_norms:
+            ffn = rms_norm(
+                ffn,
+                lp["post_feedforward_layernorm"],
+                cfg.rms_norm_eps,
+                weight_offset=self.norm_offset,
+            )
+        if self.post_sublayer_norms:
+            ffn = rms_norm(ffn, lp["post_mlp_layernorm"], cfg.rms_norm_eps)
+        x = residual + ffn * self.residual_multiplier
+        return x, kv
+
+    def run_layers(
+        self, params, x, md, kv_pages, lo: int, hi: int
+    ) -> tuple[jax.Array, list[jax.Array]]:
+        """Pipeline stage hook: layers [lo, hi) on an already-embedded
+        activation. kv_pages is the STAGE slice (index 0 = layer lo)."""
+        new_kv = []
+        for i in range(lo, hi):
+            x, kv = self._layer_step(
+                params, i, params["layers"][i], x, md, kv_pages[i - lo]
+            )
+            new_kv.append(kv)
+        return x, new_kv
+
+    def final_norm(self, params, x: jax.Array) -> jax.Array:
+        """Pipeline stage hook: final norm (last stage, before lm_head)."""
+        return rms_norm(
+            x, params["norm"], self.config.rms_norm_eps,
+            weight_offset=self.norm_offset,
+        )
+
     def __call__(
         self,
         params: dict,
@@ -219,73 +311,16 @@ class LlamaForCausalLM:
         kv_pages: list[jax.Array],  # per layer
         embeds: tuple[jax.Array, jax.Array] | None = None,
     ) -> tuple[jax.Array, list[jax.Array]]:
-        cfg = self.config
-        x = params["embed_tokens"]["weight"][input_ids]
-        if embeds is not None:
-            # multimodal injection: (mask [T] bool, override [T, H]) —
-            # image-span positions take projected vision embeddings
-            # (reference multimodal/processor.rs merge_embeddings)
-            mask, override = embeds
-            x = jnp.where(mask[:, None], override.astype(x.dtype), x)
-        if self.embedding_multiplier is not None:
-            x = (x.astype(jnp.float32) * self.embedding_multiplier).astype(self.dtype)
-
+        x = self.embed(params, input_ids, embeds)
         new_kv = []
         aux_feats = []
         for i, lp in enumerate(params["layers"]):
-            rope_tables = self.rope_tables_for_layer(params, i)
-            residual = x
-            h = rms_norm(
-                x, lp["input_layernorm"], cfg.rms_norm_eps, weight_offset=self.norm_offset
-            )
-            ks, vs = self.kv_scales if self.kv_scales else (None, None)
-            attn_out, kv = attention_block(
-                self.attn_specs[i],
-                lp["self_attn"],
-                h,
-                md,
-                kv_pages[i],
-                rope_tables,
-                attention_backend=self.attention_backend,
-                k_scale=ks,
-                v_scale=vs,
-            )
+            x, kv = self._layer_step(params, i, lp, x, md, kv_pages[i])
             new_kv.append(kv)
-            if self.post_sublayer_norms:
-                attn_out = rms_norm(
-                    attn_out, lp["post_self_attn_layernorm"], cfg.rms_norm_eps
-                )
-            x = residual + attn_out * self.residual_multiplier
-
-            residual = x
-            h = rms_norm(
-                x,
-                lp["post_attention_layernorm"],
-                cfg.rms_norm_eps,
-                weight_offset=self.norm_offset,
-            )
-            if self.extra_ffn_norms:
-                h = rms_norm(
-                    h,
-                    lp["pre_feedforward_layernorm"],
-                    cfg.rms_norm_eps,
-                    weight_offset=self.norm_offset,
-                )
-            ffn = swiglu_mlp(h, lp["mlp"], cfg.hidden_act)
-            if self.extra_ffn_norms:
-                ffn = rms_norm(
-                    ffn,
-                    lp["post_feedforward_layernorm"],
-                    cfg.rms_norm_eps,
-                    weight_offset=self.norm_offset,
-                )
-            if self.post_sublayer_norms:
-                ffn = rms_norm(ffn, lp["post_mlp_layernorm"], cfg.rms_norm_eps)
-            x = residual + ffn * self.residual_multiplier
             for _ in range(self.aux_hidden_layers.count(i)):
                 aux_feats.append(x)
 
-        x = rms_norm(x, params["norm"], cfg.rms_norm_eps, weight_offset=self.norm_offset)
+        x = self.final_norm(params, x)
         if self.aux_hidden_layers:
             return x, new_kv, jnp.concatenate(aux_feats, axis=-1)
         return x, new_kv

@@ -70,6 +70,7 @@ class Phi3ForCausalLM(LlamaForCausalLM):
 
 
 class GPT2LMHeadModel(LlamaForCausalLM):
+    supports_pp = False  # custom __call__ (LayerNorm transformer)
     """GPT-2 (reference models/gpt2.rs): learned positions, LayerNorm,
     fused c_attn/c_proj conv1d weights, gelu MLP without gating.
 

@@ -30,6 +30,7 @@ from .llama import LlamaForCausalLM
 
 class Qwen3MoeForCausalLM(LlamaForCausalLM):
     moe_backend = "auto"
+    supports_pp = False  # custom __call__ (MoE layers) — no stage hooks yet
 
     def __init__(self, config: ModelConfig, dtype: Any = jnp.bfloat16):
         config.qk_norm = True
