@@ -1,0 +1,129 @@
+"""EPLB planner + prompt-adapter engine tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_rust_tpu.config import CacheConfig, EngineConfig, SchedulerConfig
+from vllm_rust_tpu.models import from_config
+from vllm_rust_tpu.parallel.eplb import (
+    EplbState,
+    apply_plan_to_experts,
+    plan_rebalance,
+    replica_router,
+)
+from vllm_rust_tpu.request import SamplingParams
+from vllm_rust_tpu.testing import tiny_llama_config
+
+
+def test_plan_rebalance_balances_hot_expert():
+    # expert 0 is 8x hotter than the rest; with spare slots it must be
+    # replicated and rank loads must flatten out
+    loads = np.array([8.0, 1.0, 1.0, 1.0])
+    naive = plan_rebalance(np.ones(4), num_ranks=2, slots_per_rank=2)
+    # naive layout: imbalance when loads are applied
+    plan = plan_rebalance(loads, num_ranks=2, slots_per_rank=3)
+    rl = plan.rank_loads(loads)
+    assert rl.max() / rl.mean() < naive.rank_loads(loads).max() / rl.mean()
+    # every logical expert is served
+    served = {l for slots in plan.logical_to_phys for l in
+              [plan.phys_to_logical[p] for p in slots]}
+    assert served == {0, 1, 2, 3}
+    # hottest expert got the spare replicas
+    assert len(plan.logical_to_phys[0]) == 3
+
+
+def test_apply_plan_gathers_weights():
+    plan = plan_rebalance(np.array([4.0, 1.0]), num_ranks=2, slots_per_rank=2)
+    experts = {
+        "gate_proj": {"weight": jnp.arange(2 * 3 * 2, dtype=jnp.float32)
+                      .reshape(2, 3, 2)},
+    }
+    phys = apply_plan_to_experts(experts, plan)
+    assert phys["gate_proj"]["weight"].shape == (4, 3, 2)
+    for p, logical in enumerate(plan.phys_to_logical):
+        np.testing.assert_array_equal(
+            np.asarray(phys["gate_proj"]["weight"][p]),
+            np.asarray(experts["gate_proj"]["weight"][logical]),
+        )
+
+
+def test_replica_router_round_robins():
+    plan = plan_rebalance(np.array([10.0, 1.0]), num_ranks=2, slots_per_rank=2)
+    map_fn, num_phys = replica_router(plan)
+    assert num_phys == 4
+    topi = jnp.zeros((8,), jnp.int32)  # 8 tokens all to logical expert 0
+    phys = np.asarray(map_fn(topi))
+    # replicas of expert 0 each take a share
+    reps = set(plan.logical_to_phys[0])
+    assert set(phys) == reps
+    counts = [int((phys == p).sum()) for p in reps]
+    assert max(counts) - min(counts) <= 1
+
+
+def test_eplb_state_triggers_replan():
+    st = EplbState(num_experts=4, num_ranks=2, decay=0.0)
+    st.observe(np.array([100.0, 1.0, 1.0, 1.0]))
+    assert st.imbalance() > 1.25
+    plan = st.maybe_rebalance()
+    assert plan is not None
+    assert st.imbalance() < 2.0  # improved
+
+
+def test_prompt_adapter_engine():
+    from vllm_rust_tpu.lora.prompt_adapter import PromptAdapterEngine
+
+    mc = tiny_llama_config()
+    cfg = EngineConfig(
+        model=mc,
+        cache=CacheConfig(num_pages=32, page_size=16),
+        scheduler=SchedulerConfig(max_num_seqs=4, max_tokens_per_step=64),
+        max_model_len=64,
+        token_buckets=(16, 32, 64),
+        fetch_interval=1,
+    )
+    model = from_config(mc, dtype=jnp.float32)
+    params = model.init_params(jax.random.PRNGKey(0))
+    eng = PromptAdapterEngine(model, params, cfg)
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(4, mc.hidden_size)).astype(np.float32)
+    eng.adapters.register("helper", emb, dtype=jnp.float32)
+    assert eng.adapters.list() == ["helper"]
+
+    sp = SamplingParams(max_tokens=4, temperature=0.0, ignore_eos=True)
+    eng.add_request_with_adapter("a1", [5, 6, 7], "helper", sp)
+    out_a = _drain(eng)
+
+    # same prompt, no adapter: virtual-token injection must change logits
+    eng2 = PromptAdapterEngine(model, params, cfg)
+    eng2.adapters.register("zero", np.zeros_like(emb), dtype=jnp.float32)
+    eng2.add_request_with_adapter("a2", [5, 6, 7], "zero", sp)
+    out_b = _drain(eng2)
+    assert out_a != out_b
+
+    # determinism: same adapter again reproduces the same tokens
+    eng3 = PromptAdapterEngine(model, params, cfg)
+    eng3.adapters.register("helper", emb, dtype=jnp.float32)
+    eng3.add_request_with_adapter("a3", [5, 6, 7], "helper", sp)
+    assert _drain(eng3) == out_a
+
+
+def _drain(eng, max_steps=60):
+    for _ in range(max_steps):
+        for out in eng.step():
+            if out.finished:
+                return out.token_ids
+    raise AssertionError("request did not finish")
+
+
+def test_prompt_adapter_manager_lru_and_peft():
+    from vllm_rust_tpu.lora.prompt_adapter import PromptAdapterManager
+
+    m = PromptAdapterManager(capacity=2)
+    m.register("a", np.zeros((2, 8)))
+    m.register("b", np.zeros((2, 8)))
+    m.get("a")  # touch a
+    m.register("c", np.zeros((2, 8)))  # evicts b (LRU)
+    assert m.list() == ["a", "c"]
+    m.load_peft("p", {"prompt_embeddings": np.ones((3, 8))})
+    assert m.get("p").num_virtual_tokens == 3
