@@ -72,15 +72,27 @@ def _expert_bias(params: dict, name: str):
     return params["experts"][name].get("bias")
 
 
+def _expert_stack(params: dict, name: str):
+    """Stacked [E, in, out] expert weights; int8-quantized stacks
+    (quantization/formats_extra.py experts_int8) dequantize here — XLA
+    fuses the scale multiply into the expert matmul."""
+    node = params["experts"][name]
+    if "qweight" in node:
+        from ..quantization.formats_extra import dequant_expert_int8
+
+        return dequant_expert_int8(node)
+    return node["weight"]
+
+
 def _dense_experts(spec: MoESpec, params: dict, x, topv, topi):
     """Per-expert loop (correctness path; fine for few experts/tests)."""
     t, h = x.shape
     combine = jnp.zeros((t, spec.num_experts), jnp.float32)
     combine = combine.at[jnp.arange(t)[:, None], topi].set(topv)
     out = jnp.zeros((t, h), jnp.float32)
-    wg = params["experts"]["gate_proj"]["weight"]  # [E, h, I]
-    wu = params["experts"]["up_proj"]["weight"]
-    wd = params["experts"]["down_proj"]["weight"]  # [E, I, h]
+    wg = _expert_stack(params, "gate_proj")  # [E, h, I]
+    wu = _expert_stack(params, "up_proj")
+    wd = _expert_stack(params, "down_proj")  # [E, I, h]
     bg = _expert_bias(params, "gate_proj")  # [E, I] or None
     bu = _expert_bias(params, "up_proj")
     bd = _expert_bias(params, "down_proj")  # [E, h] or None
@@ -112,7 +124,7 @@ def _gmm_experts(spec: MoESpec, params: dict, x, topv, topi):
                 return c
         return d
 
-    inter = params["experts"]["gate_proj"]["weight"].shape[-1]
+    inter = _expert_stack(params, "gate_proj").shape[-1]
     gmm_up = functools.partial(
         _gmm,
         preferred_element_type=jnp.float32,
@@ -130,9 +142,9 @@ def _gmm_experts(spec: MoESpec, params: dict, x, topv, topi):
     x_rep = jnp.repeat(x, k, axis=0)[order]  # [T*k, h] grouped by expert
     group_sizes = jnp.bincount(flat_expert, length=e).astype(jnp.int32)
 
-    wg = params["experts"]["gate_proj"]["weight"]
-    wu = params["experts"]["up_proj"]["weight"]
-    wd = params["experts"]["down_proj"]["weight"]
+    wg = _expert_stack(params, "gate_proj")
+    wu = _expert_stack(params, "up_proj")
+    wd = _expert_stack(params, "down_proj")
     hg = gmm_up(x_rep, wg, group_sizes)
     hu = gmm_up(x_rep, wu, group_sizes)
     e_sorted = flat_expert[order]
@@ -189,9 +201,9 @@ def _ep_experts(
             disp, NamedSharding(mesh, P("tp", None, None))
         )
 
-    wg = params["experts"]["gate_proj"]["weight"]  # [E, D, I]
-    wu = params["experts"]["up_proj"]["weight"]
-    wd = params["experts"]["down_proj"]["weight"]  # [E, I, D]
+    wg = _expert_stack(params, "gate_proj")  # [E, D, I]
+    wu = _expert_stack(params, "up_proj")
+    wd = _expert_stack(params, "down_proj")  # [E, I, D]
     hg = jnp.einsum("ecd,edi->eci", disp.astype(jnp.float32), wg.astype(jnp.float32))
     hu = jnp.einsum("ecd,edi->eci", disp.astype(jnp.float32), wu.astype(jnp.float32))
     bg, bu = _expert_bias(params, "gate_proj"), _expert_bias(params, "up_proj")

@@ -34,6 +34,15 @@ def load_quantized_weights(
         return _load_bitsandbytes(model, weights)
     if method == "compressed_tensors":
         return _load_compressed_tensors(model, hf_config, weights)
+    from .formats_extra import FP8_ALIASES
+
+    if method in FP8_ALIASES:
+        # ModelOpt-FP8 / FBGEMM-FP8 / PTPC-FP8 / Quark-FP8 share the fp8
+        # storage path; they differ only in scale granularity, which
+        # load_fp8_linear already handles (per-tensor/channel/block)
+        method = "fp8"
+    if method == "modelopt_fp4":
+        return _load_modelopt_fp4(model, weights)
     if method not in ("awq", "gptq", "fp8", "exl3"):
         raise NotImplementedError(f"quant method {method} not yet supported")
 
@@ -178,6 +187,54 @@ def _place_dense(model, params, name, arr):
     for p in tree_path[:-1]:
         node = node[p]
     node[tree_path[-1]] = jnp.asarray(a, model.dtype)
+
+
+def _load_modelopt_fp4(model, weights):
+    """ModelOpt NVFP4 groups: `{p}.weight` (packed e2m1 pairs) +
+    `{p}.weight_scale` (per-16 block e4m3) + `{p}.weight_scale_2`
+    (global). Dequantizes to dense on host (formats_extra.dequant_nvfp4;
+    reference quantization/modelopt.rs)."""
+    import jax.numpy as jnp
+
+    from .formats_extra import dequant_nvfp4
+
+    params = model.init_params(rng=None)
+    groups: dict[str, dict[str, np.ndarray]] = {}
+    plain: list[tuple[str, np.ndarray]] = []
+    for name, arr in weights:
+        base, _, leaf = name.rpartition(".")
+        if leaf in ("weight", "weight_scale", "weight_scale_2", "input_scale",
+                    "bias") and base:
+            groups.setdefault(base, {})[leaf] = np.asarray(arr)
+        else:
+            plain.append((name, np.asarray(arr)))
+    for base, parts in groups.items():
+        w = parts.get("weight")
+        if w is None:
+            continue
+        if "weight_scale_2" not in parts or w.dtype != np.uint8:
+            # unquantized tensor in an fp4 checkpoint
+            _place_dense(model, params, base + ".weight", w)
+            if "bias" in parts:
+                _place_dense(model, params, base + ".bias", parts["bias"])
+            continue
+        dense = dequant_nvfp4(w, parts["weight_scale"],
+                              parts["weight_scale_2"])  # [N, K]
+        path = model._param_path(base + ".weight")
+        if path is None:
+            continue
+        tree_path, transpose = path
+        if transpose:
+            dense = dense.T
+        node = params
+        for p in tree_path[:-1]:
+            node = node[p]
+        node[tree_path[-1]] = jnp.asarray(dense, model.dtype)
+        if "bias" in parts:
+            _place_dense(model, params, base + ".bias", parts["bias"])
+    for name, arr in plain:
+        _place_dense(model, params, name, arr)
+    return params
 
 
 def _load_bitsandbytes(model, weights):

@@ -45,10 +45,8 @@ def apply_quantized_linear(x: jax.Array, p: QuantLinear) -> jax.Array:
 
 def detect_quantization(hf_config: dict, model_dir: str | None = None) -> str | None:
     """Detect quant method from config.json quantization_config (reference
-    loader.rs:308 is_quantized + quantization/detection.rs)."""
-    qc = hf_config.get("quantization_config")
-    if qc:
-        method = qc.get("quant_method", "").lower()
-        if method:
-            return method
-    return None
+    loader.rs:308 is_quantized + quantization/detection.rs). Vendor
+    formats (modelopt/quark/...) normalize in formats_extra.resolve_method."""
+    from .formats_extra import resolve_method
+
+    return resolve_method(hf_config)
