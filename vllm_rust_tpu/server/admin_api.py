@@ -95,7 +95,96 @@ async def stop_profile(request):
     return web.json_response({"status": "stopped", "dir": _PROFILE_DIR})
 
 
+async def list_models(request):
+    """Browse the local HF hub cache (reference admin model browse,
+    api/admin/static_files.rs + frontend ModelSelector)."""
+    hub = os.path.expanduser(
+        os.environ.get("HF_HUB_CACHE",
+                       os.path.join(os.environ.get("HF_HOME",
+                                    "~/.cache/huggingface"), "hub"))
+    )
+    hub = os.path.expanduser(hub)
+    models = []
+    if os.path.isdir(hub):
+        for entry in sorted(os.listdir(hub)):
+            if not entry.startswith("models--"):
+                continue
+            repo = entry[len("models--"):].replace("--", "/", 1)
+            path = os.path.join(hub, entry)
+            size = 0
+            for root, _, files in os.walk(os.path.join(path, "blobs")):
+                for f in files:
+                    try:
+                        size += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+            models.append({"model": repo, "size_bytes": size, "path": path})
+    current = request.app["server"].model_name
+    return web.json_response({"models": models, "current": current})
+
+
+async def restart(request):
+    """Atomic engine swap (reference api/admin/restart.rs +
+    AtomicEngineHandle main.rs:2570): pause admissions, build the new
+    engine via the app's engine_factory, swap, resume. Requests arriving
+    during the swap are rejected with 503 by the middleware."""
+    factory = request.app.get("engine_factory")
+    if factory is None:
+        return web.json_response(
+            {"error": "no engine_factory configured"}, status=400
+        )
+    body = {}
+    try:
+        body = await request.json()
+    except Exception:
+        pass
+    app = request.app
+    srv = app["server"]
+    app["restarting"] = True
+    try:
+        import inspect
+
+        # the factory builds the AsyncLLMEngine and must run on the loop
+        # thread; admissions are rejected (503) for the duration
+        result = factory(body.get("model"))
+        if inspect.isawaitable(result):
+            result = await result
+        new_engine, new_tokenizer, new_name = result
+        old = srv.engine
+        srv.engine = new_engine
+        if new_tokenizer is not None:
+            srv.tokenizer = new_tokenizer
+        if new_name:
+            srv.model_name = new_name
+        if old is not None:
+            old.shutdown()
+    finally:
+        app["restarting"] = False
+    return web.json_response({"status": "ok", "model": srv.model_name})
+
+
+async def load(request):
+    """Server load snapshot (reference /load endpoint)."""
+    s = request.app["server"]
+    stats = s.engine.get_stats() if s.engine else {}
+    return web.json_response(
+        {
+            "server_load": stats.get("num_running", 0)
+            + stats.get("num_waiting", 0),
+            "num_running": stats.get("num_running", 0),
+            "num_waiting": stats.get("num_waiting", 0),
+        }
+    )
+
+
 def add_admin_routes(app) -> None:
+    app.add_routes(
+        [
+            web.get("/admin/models", list_models),
+            web.post("/admin/restart", restart),
+            web.get("/load", load),
+        ]
+    )
     app.add_routes(
         [
             web.get("/admin/device", device_info),

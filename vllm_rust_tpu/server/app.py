@@ -55,6 +55,12 @@ async def request_middleware(request: web.Request, handler):
     request["request_id"] = request.headers.get(
         "x-request-id", f"rid-{uuid.uuid4().hex[:16]}"
     )
+    if request.app.get("restarting") and not request.path.startswith(
+        ("/health", "/ping", "/admin")
+    ):
+        # engine swap in flight: reject instead of queueing against a
+        # dying engine (reference api/middleware.rs:208 restart rejection)
+        return _error(503, "server is restarting", "unavailable_error")
     api_key = request.app.get("api_key")
     if api_key and request.path.startswith("/v1"):
         auth = request.headers.get("authorization", "")
@@ -763,6 +769,7 @@ def build_app(
     tool_parser: str | None = None,
     reasoning_parser: str | None = None,
     encoder=None,
+    engine_factory=None,
 ) -> web.Application:
     s = Server(
         engine,
@@ -776,6 +783,8 @@ def build_app(
     app = web.Application(middlewares=[request_middleware])
     app["api_key"] = api_key
     app["server"] = s
+    app["engine_factory"] = engine_factory
+    app["restarting"] = False
     app.add_routes(
         [
             web.get("/health", s.health),
