@@ -231,9 +231,39 @@ def _populate():
         pass
 
 
+# speculator checkpoint architectures -> proposer class + target-arch hint
+# (reference models/factories eagle*/medusa/mtp files + Capabilities::
+# SPECULATIVE_DRAFT). These are draft MODULES, not standalone LMs: the
+# spec-decode engine attaches them to a target model (spec_decode/*.py).
+SPECULATOR_ARCHS: dict[str, str] = {
+    "EAGLEForCausalLM": "eagle",
+    "EagleLlamaForCausalLM": "eagle",
+    "EagleMiniCPMForCausalLM": "eagle",
+    "Eagle3LlamaForCausalLM": "eagle3",
+    "LlamaForCausalLMEagle3": "eagle3",
+    "EagleLlama4ForCausalLM": "eagle",
+    "EagleDeepSeekMTPModel": "mtp",
+    "DeepSeekMTPModel": "mtp",
+    "Glm4MoeMTPModel": "mtp",
+    "MiMoMTPModel": "mtp",
+    "ErnieMTPModel": "mtp",
+    "Qwen3NextMTP": "mtp",
+    "LongCatFlashMTPModel": "mtp",
+    "MedusaModel": "medusa",
+    "MedusaModelHead": "medusa",
+    "MLPSpeculatorPreTrainedModel": "mlp_speculator",
+}
+
+
+def speculator_kind(arch: str) -> str | None:
+    """Classify a checkpoint architecture as a speculator draft module
+    (returns the proposer kind) or None for ordinary models."""
+    return SPECULATOR_ARCHS.get(arch)
+
+
 def supported_architectures() -> list[str]:
     _populate()
-    return sorted(_REGISTRY)
+    return sorted(set(_REGISTRY) | set(SPECULATOR_ARCHS))
 
 
 def from_config(config: ModelConfig, **kwargs):
@@ -243,6 +273,14 @@ def from_config(config: ModelConfig, **kwargs):
     for arch in config.architectures:
         if arch in _REGISTRY:
             return _REGISTRY[arch](config, **kwargs)
+    for arch in config.architectures:
+        kind = speculator_kind(arch)
+        if kind:
+            raise ValueError(
+                f"{arch} is a speculative-decoding draft module "
+                f"(kind={kind!r}); pass it as the draft/speculator model "
+                "of a target engine (spec_decode), not as a standalone LM"
+            )
     raise ValueError(
         f"unsupported architecture(s) {config.architectures}; "
         f"supported: {supported_architectures()}"
