@@ -114,6 +114,9 @@ def _populate():
         from .audio_lmm import register_audio_lmm
 
         register_audio_lmm(_REGISTRY)
+        from .vlm_breadth2 import register_vlm_breadth2
+
+        register_vlm_breadth2(_REGISTRY)
     except ImportError:
         pass
     try:

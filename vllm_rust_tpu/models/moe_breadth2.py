@@ -420,6 +420,101 @@ class MiniMaxM2ForCausalLM(Qwen3MoeForCausalLM):
         return super()._param_path(name)
 
 
+class Grok1ForCausalLM(Qwen3MoeForCausalLM):
+    """xAI Grok-1 (reference models/grok1.rs): top-2 GELU-activated MoE,
+    tanh router-logit softcap (30), four RMSNorms per layer (pre/post
+    attention + pre/post MoE), attention-output and embedding/logit
+    multipliers."""
+
+    def __init__(self, config: ModelConfig, dtype: Any = jnp.bfloat16):
+        ex = config.extra
+        config.qk_norm = False
+        config.hidden_act = "gelu"
+        config.num_experts = int(ex.get("num_local_experts",
+                                        config.num_experts or 8))
+        config.num_experts_per_tok = config.num_experts_per_tok or 2
+        super().__init__(config, dtype)
+        config.qk_norm = False  # Qwen3Moe base re-enables it
+        self.attn_specs = tuple(
+            dataclasses.replace(s, qk_norm=False) for s in self.attn_specs
+        )
+        self.router_softcap = float(ex.get("router_logit_softcapping", 30.0))
+        self.attn_out_mult = float(ex.get("attn_output_multiplier", 1.0))
+        self.embedding_multiplier = float(
+            ex.get("embedding_multiplier_scale", 1.0)
+        )
+        if ex.get("output_multiplier_scale"):
+            config.logits_scaling = 1.0 / float(ex["output_multiplier_scale"])
+        self.moe_spec = dataclasses.replace(
+            self.moe_spec, act="gelu", norm_topk_prob=True
+        )
+
+    def init_params(self, rng=None, scale: float = 0.02):
+        params = super().init_params(rng, scale)
+        h = self.config.hidden_size
+        for lp in params["layers"]:
+            lp["self_attn"].pop("q_norm", None)
+            lp["self_attn"].pop("k_norm", None)
+            lp["post_attn_norm"] = jnp.ones((h,), self.dtype)
+            lp["post_moe_norm"] = jnp.ones((h,), self.dtype)
+        return params
+
+    def _moe_ffn(self, lp_mlp, h):
+        from ..layers.linear import linear as _linear
+        from ..layers.moe import _dense_experts, _gmm_experts, route
+        from ..utils import on_tpu
+
+        logits = _linear(h, lp_mlp["router"]).astype(jnp.float32)
+        cap = self.router_softcap
+        if cap:
+            logits = cap * jnp.tanh(logits / cap)
+        topv, topi = route(self.moe_spec, logits)
+        fn = _gmm_experts if on_tpu() else _dense_experts
+        return fn(self.moe_spec, lp_mlp, h, topv, topi)
+
+    def __call__(self, params, input_ids, md, kv_pages):
+        from ..layers.attention import attention_block
+        from ..layers.norm import rms_norm
+
+        cfg = self.config
+        eps = cfg.rms_norm_eps
+        x = params["embed_tokens"]["weight"][input_ids]
+        x = (x.astype(jnp.float32) * self.embedding_multiplier).astype(
+            self.dtype
+        )
+        new_kv = []
+        for i, lp in enumerate(params["layers"]):
+            residual = x
+            h = rms_norm(x, lp["input_layernorm"], eps)
+            attn_out, kv = attention_block(
+                self.attn_specs[i], lp["self_attn"], h, md, kv_pages[i],
+                (params["rope_cos"], params["rope_sin"]),
+                attention_backend=self.attention_backend,
+            )
+            new_kv.append(kv)
+            attn_out = rms_norm(attn_out * self.attn_out_mult,
+                                lp["post_attn_norm"], eps)
+            x = residual + attn_out
+            residual = x
+            h = rms_norm(x, lp["post_attention_layernorm"], eps)
+            ffn = self._moe_ffn(lp["mlp"], h)
+            x = residual + rms_norm(ffn, lp["post_moe_norm"], eps)
+        x = rms_norm(x, params["norm"], eps)
+        return x, new_kv
+
+    def _param_path(self, name: str):
+        name = (
+            name.replace(".pre_attn_norm.", ".input_layernorm.")
+            .replace(".pre_moe_norm.", ".post_attention_layernorm.")
+            .replace(".moe_block.gate", ".mlp.router")
+        )
+        parts = name.removeprefix("model.").split(".")
+        if (len(parts) == 4 and parts[0] == "layers"
+                and parts[2] in ("post_attn_norm", "post_moe_norm")):
+            return ["layers", int(parts[1]), parts[2]], False
+        return super()._param_path(name)
+
+
 def register_moe_breadth2(registry: dict) -> None:
     registry.update(
         {
@@ -434,5 +529,7 @@ def register_moe_breadth2(registry: dict) -> None:
             "HunYuanMoEV1ForCausalLM": HunyuanMoEV1ForCausalLM,
             "HunyuanMoEV1ForCausalLM": HunyuanMoEV1ForCausalLM,
             "MiniMaxM2ForCausalLM": MiniMaxM2ForCausalLM,
+            "Grok1ForCausalLM": Grok1ForCausalLM,
+            "Grok1ModelForCausalLM": Grok1ForCausalLM,
         }
     )
