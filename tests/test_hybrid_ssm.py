@@ -69,6 +69,19 @@ def test_granite_moe_hybrid_engine_matches_full_prefill():
     teacher_forced_check(mc, [9, 8, 7, 6], n=6)
 
 
+def test_zamba2_engine_matches_full_prefill():
+    mc = ModelConfig.from_dict(
+        dict(_BASE, architectures=["Zamba2ForCausalLM"], model_type="zamba2",
+             layers_block_type=["mamba", "hybrid", "mamba", "hybrid"],
+             n_mamba_heads=4, attention_head_dim=16)
+    )
+    m = from_config(mc, dtype=jnp.float32)
+    assert m.kinds == ["mamba", "hybrid", "mamba", "hybrid"]
+    info = m.kv_head_info
+    assert "kv" in info[1] and "kv" not in info[0]
+    teacher_forced_check(mc, [4, 2, 6], n=6)
+
+
 def test_granite_moe_hybrid_weight_translation():
     """GraniteMoe fused input/output_linear names land as stacked experts."""
     mc = ModelConfig.from_dict(

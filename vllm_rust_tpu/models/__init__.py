@@ -232,6 +232,7 @@ def _populate():
         _REGISTRY["MixtralForCausalLM"] = MixtralForCausalLM
     except ImportError:
         pass
+    _register_aliases()
 
 
 # speculator checkpoint architectures -> proposer class + target-arch hint
@@ -262,6 +263,37 @@ def speculator_kind(arch: str) -> str | None:
     """Classify a checkpoint architecture as a speculator draft module
     (returns the proposer kind) or None for ordinary models."""
     return SPECULATOR_ARCHS.get(arch)
+
+
+def _register_aliases():
+    """Checkpoint families the reference registry itself groups under one
+    implementation (registry.rs ArchitectureInfo arch_names lists)."""
+    alias_to_target = {
+        # DeepSeek V1 dense is the Llama architecture; V3.2 loads V3
+        # weights (the DSA top-k indexer prunes attention — running the
+        # dense MLA superset is the documented round-1 fallback)
+        "DeepseekForCausalLM": "LlamaForCausalLM",
+        "DeepseekV32ForCausalLM": "DeepseekV3ForCausalLM",
+        "MantisForConditionalGeneration": "LlavaNextForConditionalGeneration",
+        "TarsierForConditionalGeneration": "LlavaForConditionalGeneration",
+        "Tarsier2ForConditionalGeneration": "Qwen2VLForConditionalGeneration",
+        "GrokForCausalLM": "Grok1ForCausalLM",
+        "Grok2ForCausalLM": "Grok1ForCausalLM",
+        "MistralLarge3ForCausalLM": "MistralForCausalLM",
+        "BgeM3EmbeddingModel": "XLMRobertaModel",
+        "BgeRerankerModel": "XLMRobertaForSequenceClassification",
+        "GteModel": "BertModel",
+        "Qwen25VLForConditionalGeneration": "Qwen2_5_VLForConditionalGeneration",
+        "T5Model": "T5ForConditionalGeneration",
+        "PhiMoeForCausalLM": "PhiMoEForCausalLM",
+        "Ernie45MoeForCausalLM": "Ernie4_5_MoeForCausalLM",
+        "Ernie4_5MoeForCausalLM": "Ernie4_5_MoeForCausalLM",
+        # Nemotron-NAS checkpoints are DeciLM variable-GQA models
+        "NemotronNasForCausalLM": "DeciLMForCausalLM",
+    }
+    for alias, target in alias_to_target.items():
+        if target in _REGISTRY and alias not in _REGISTRY:
+            _REGISTRY[alias] = _REGISTRY[target]
 
 
 def supported_architectures() -> list[str]:

@@ -527,6 +527,156 @@ class GraniteMoeHybridForCausalLM(HybridMamba2Base):
         super()._load_layer(lp, rest, a, layer_idx)
 
 
+class Zamba2ForCausalLM(HybridMamba2Base):
+    """Zamba2 (reference models/zamba2.rs): a Mamba2 backbone where
+    "hybrid" layers run a transformer block over concat(hidden,
+    original_embeds) and inject its projected output into the mamba
+    input (xs = hidden + transformer_out; residual stays pre-injection).
+    Like the reference, the shared-block weights are materialized per
+    hybrid layer (per-layer LoRA specialization folds into them)."""
+
+    def _layer_kinds(self) -> list[str]:
+        blocks = self.config.extra.get("layers_block_type")
+        if blocks:
+            return ["hybrid" if b == "hybrid" else "mamba" for b in blocks]
+        return ["mamba"] * self.config.num_hidden_layers
+
+    def __init__(self, config: ModelConfig, dtype: Any = jnp.bfloat16):
+        ex = config.extra
+        super().__init__(config, dtype)
+        self.has_per_layer_ffn = False
+        self.num_heads = int(ex.get("n_mamba_heads", self.num_heads))
+        self.head_dim = self.d_inner // self.num_heads
+        self.n_groups = int(ex.get("mamba_ngroups", self.n_groups))
+        self.conv_dim = self.d_inner + 2 * self.n_groups * self.d_state
+        h = config.hidden_size
+        self.attn_hidden = int(ex.get("attention_hidden_size", 2 * h))
+        attn_hd = int(ex.get("attention_head_dim",
+                             self.attn_hidden // config.num_attention_heads))
+        nh = config.num_attention_heads
+        self.attn_spec = AttentionSpec(
+            num_heads=nh,
+            num_kv_heads=nh,  # Zamba2 shared attention is MHA
+            head_dim=attn_hd,
+            rotary=RotarySpec.from_model_config(config),
+            sm_scale=attn_hd**-0.5,
+            rms_eps=config.rms_norm_eps,
+        )
+
+    @property
+    def kv_head_info(self) -> list:
+        spec = self.attn_spec
+        rec = {"conv": (self.conv_dim, self.d_conv - 1),
+               "ssm": (self.num_heads, self.head_dim, self.d_state)}
+        out = []
+        for kind in self.kinds:
+            if kind == "hybrid":
+                out.append({"kv": (spec.num_kv_heads, spec.head_dim), **rec})
+            else:
+                out.append(dict(rec))
+        return out
+
+    def init_params(self, rng=None, scale: float = 0.02):
+        cfg = self.config
+        d = self.dtype
+        h = cfg.hidden_size
+        nh, hd = self.attn_spec.num_heads, self.attn_spec.head_dim
+
+        def w(key, shape):
+            if key is None:
+                return jnp.zeros(shape, d)
+            return (scale * jax.random.normal(key, shape, jnp.float32)).astype(d)
+
+        n_keys = cfg.num_hidden_layers * 24 + 2
+        keys = iter(jax.random.split(rng, n_keys) if rng is not None
+                    else [None] * n_keys)
+        layers = []
+        for kind in self.kinds:
+            lp: dict = {
+                "input_layernorm": jnp.ones((h,), d),  # mamba pre-norm
+                "mamba": self._mixer_params(w, keys),
+            }
+            if kind == "hybrid":
+                lp["shared_transformer"] = {
+                    "input_layernorm": jnp.ones((self.attn_hidden,), d),
+                    "self_attn": {
+                        "q_proj": {"weight": w(next(keys),
+                                               (self.attn_hidden, nh * hd))},
+                        "k_proj": {"weight": w(next(keys),
+                                               (self.attn_hidden, nh * hd))},
+                        "v_proj": {"weight": w(next(keys),
+                                               (self.attn_hidden, nh * hd))},
+                        "o_proj": {"weight": w(next(keys), (nh * hd, h))},
+                    },
+                    "pre_ff_layernorm": jnp.ones((h,), d),
+                    "feed_forward": self._mlp_params(w, keys),
+                }
+                lp["linear"] = {"weight": w(next(keys), (h, h))}
+            layers.append(lp)
+        params = {
+            "embed_tokens": {"weight": w(next(keys), (cfg.vocab_size, h))},
+            "layers": layers,
+            "norm_f": jnp.ones((h,), d),
+        }
+        if not cfg.tie_word_embeddings:
+            params["lm_head"] = {"weight": w(next(keys), (h, cfg.vocab_size))}
+        cos, sin = compute_rope_tables(self.attn_spec.rotary,
+                                       cfg.max_position_embeddings)
+        params["rope_cos"] = cos
+        params["rope_sin"] = sin
+        return params
+
+    def __call__(self, params, input_ids, md: AttentionMetadata, states):
+        x = params["embed_tokens"]["weight"][input_ids]
+        x0 = x  # original embeddings, re-fed to every hybrid block
+        rope_tables = (params["rope_cos"], params["rope_sin"])
+        new_states = []
+        for i, lp in enumerate(params["layers"]):
+            if self.kinds[i] == "hybrid":
+                st = lp["shared_transformer"]
+                concat = jnp.concatenate([x, x0], axis=-1)
+                hcat = rms_norm(concat, st["input_layernorm"], self.eps)
+                attn_out, new_kv = attention_block(
+                    self.attn_spec, st["self_attn"], hcat, md,
+                    states[i]["kv"], rope_tables,
+                    attention_backend=self.attention_backend,
+                )
+                ff_in = rms_norm(attn_out, st["pre_ff_layernorm"], self.eps)
+                ff = swiglu_mlp(ff_in, st["feed_forward"],
+                                self.config.hidden_act)
+                th = linear(ff, lp["linear"])
+                xs = x + th
+            else:
+                new_kv = None
+                xs = x
+            residual = x
+            h = rms_norm(xs, lp["input_layernorm"], self.eps)
+            out, rec = self._mixer(lp["mamba"], h, md, states[i])
+            x = residual + out
+            new_states.append(rec if new_kv is None else {"kv": new_kv, **rec})
+        x = rms_norm(x, params["norm_f"], self.eps)
+        return x, new_states
+
+    def _load_layer(self, lp, rest, a, layer_idx):
+        if rest[0] == "shared_transformer":
+            st = lp["shared_transformer"]
+            if rest[1] == "self_attn":
+                st["self_attn"][rest[2]][rest[3]] = jnp.asarray(
+                    a.T, self.dtype
+                )
+            elif rest[1] in ("input_layernorm", "pre_ff_layernorm"):
+                st[rest[1]] = jnp.asarray(a, self.dtype)
+            elif rest[1] == "feed_forward":
+                st["feed_forward"][rest[2]][rest[3]] = jnp.asarray(
+                    a.T, self.dtype
+                )
+            return
+        if rest[0] == "linear":
+            lp["linear"]["weight"] = jnp.asarray(a.T, self.dtype)
+            return
+        super()._load_layer(lp, rest, a, layer_idx)
+
+
 def register_hybrid_ssm(registry: dict) -> None:
     registry.update(
         {
@@ -534,5 +684,6 @@ def register_hybrid_ssm(registry: dict) -> None:
             "NemotronHForCausalLM": NemotronHForCausalLM,
             "FalconH1ForCausalLM": FalconH1ForCausalLM,
             "GraniteMoeHybridForCausalLM": GraniteMoeHybridForCausalLM,
+            "Zamba2ForCausalLM": Zamba2ForCausalLM,
         }
     )
