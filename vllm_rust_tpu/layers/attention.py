@@ -181,4 +181,10 @@ def attention_block(
         backend=attention_backend,
     )
     out = out.reshape(t, h * d)
+    if "g_proj" in params:
+        # sigmoid output gate on the attention output per channel
+        # (Qwen3-Next attn_output_gate; reference qwen3_next.rs:174-190)
+        out = out * jax.nn.sigmoid(
+            linear(x, params["g_proj"]).astype(jnp.float32)
+        ).astype(out.dtype)
     return linear(out, params["o_proj"]), kv_page

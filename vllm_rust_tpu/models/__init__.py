@@ -230,6 +230,9 @@ def _populate():
         _REGISTRY["Qwen3MoeForCausalLM"] = Qwen3MoeForCausalLM
         _REGISTRY["Qwen2MoeForCausalLM"] = Qwen3MoeForCausalLM
         _REGISTRY["MixtralForCausalLM"] = MixtralForCausalLM
+        from .qwen3_next import Qwen3NextForCausalLM
+
+        _REGISTRY["Qwen3NextForCausalLM"] = Qwen3NextForCausalLM
     except ImportError:
         pass
     _register_aliases()

@@ -219,3 +219,86 @@ def selective_scan(
         jnp.where(row_real[:, None, None], final, ssm_state[write_slot])
     )
     return y.astype(x.dtype), ssm_state
+
+
+def gated_delta_scan(
+    q: jax.Array,  # [T, H, Dk] (already normalized/scaled by caller)
+    k: jax.Array,  # [T, H, Dk]
+    v: jax.Array,  # [T, H, Dv]
+    alpha: jax.Array,  # [T, H] per-token decay in (0, 1]
+    beta: jax.Array,  # [T, H] delta-rule write strength in (0, 1)
+    ssm_state: jax.Array,  # [num_slots+1, H, Dk, Dv] f32
+    md: AttentionMetadata,
+) -> tuple[jax.Array, jax.Array]:
+    """Gated delta rule (Qwen3-Next GDN; reference qwen3_next.rs documents
+    the recurrence but falls back to full attention — here it runs for
+    real as a TPU scan):
+
+        S_t = alpha_t * S_{t-1}
+        S_t = S_t + beta_t * k_t (v_t - S_t^T k_t)^T
+        y_t = S_t^T q_t
+
+    The matrix-valued state breaks the associative-scan trick the
+    diagonal SSMs use, so the recurrence runs as a lax.scan over the
+    position axis, vectorized across the sequences of the step (decode
+    batches scan exactly one position). Returns (y [T, H, Dv], updated
+    ssm_state)."""
+    t, h, dk = q.shape
+    dv = v.shape[-1]
+    s = md.kv_lens.shape[0]
+    num_slots = ssm_state.shape[0] - 1
+    seq_of, local_idx, tok_real, read_slot, row_real, write_slot, last_idx = (
+        segment_info(md, num_slots)
+    )
+
+    seg_len = md.cu_q_lens[1:] - md.cu_q_lens[:-1]  # [S]
+    max_len = t  # static upper bound on per-sequence tokens this step
+    resumed = md.positions[jnp.maximum(md.cu_q_lens[:-1], 0)] > 0
+
+    # [S, L] gather of the flat token axis (padded rows read token 0)
+    pos_idx = jnp.arange(max_len, dtype=jnp.int32)
+    tok_of = jnp.minimum(md.cu_q_lens[:-1][:, None] + pos_idx[None, :], t - 1)
+    valid = pos_idx[None, :] < seg_len[:, None]  # [S, L]
+
+    def g2(x):
+        return x[tok_of]  # [S, L, ...]
+
+    qf = g2(q.astype(jnp.float32))
+    kf = g2(k.astype(jnp.float32))
+    vf = g2(v.astype(jnp.float32))
+    af = g2(alpha.astype(jnp.float32))
+    bf = g2(beta.astype(jnp.float32))
+
+    init = jnp.where(
+        (row_real & resumed)[:, None, None, None],
+        ssm_state[jnp.where(row_real, md.slot_ids, num_slots)],
+        0.0,
+    )  # [S, H, Dk, Dv]
+
+    def step(S, inp):
+        q_t, k_t, v_t, a_t, b_t, ok = inp  # [S,H,Dk],... [S,H], [S]
+        Sd = S * a_t[:, :, None, None]
+        pred = jnp.einsum("shkv,shk->shv", Sd, k_t)  # S^T k
+        delta = b_t[:, :, None] * (v_t - pred)  # [S, H, Dv]
+        S_new = Sd + jnp.einsum("shk,shv->shkv", k_t, delta)
+        S_new = jnp.where(ok[:, None, None, None], S_new, S)
+        y_t = jnp.einsum("shkv,shk->shv", S_new, q_t)
+        return S_new, y_t
+
+    xs = (
+        qf.transpose(1, 0, 2, 3), kf.transpose(1, 0, 2, 3),
+        vf.transpose(1, 0, 2, 3), af.transpose(1, 0, 2),
+        bf.transpose(1, 0, 2), valid.T,
+    )
+    S_fin, ys = jax.lax.scan(step, init, xs)  # ys [L, S, H, Dv]
+
+    # scatter back to the flat token axis
+    flat = ys.transpose(1, 0, 2, 3).reshape(s * max_len, h, dv)
+    src = seq_of * max_len + jnp.minimum(local_idx, max_len - 1)
+    y = flat[src]
+    y = jnp.where(tok_real[:, None, None], y, 0.0)
+
+    ssm_state = ssm_state.at[write_slot].set(
+        jnp.where(row_real[:, None, None, None], S_fin, ssm_state[write_slot])
+    )
+    return y.astype(q.dtype), ssm_state
