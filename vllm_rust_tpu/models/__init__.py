@@ -233,6 +233,9 @@ def _populate():
         from .qwen3_next import Qwen3NextForCausalLM
 
         _REGISTRY["Qwen3NextForCausalLM"] = Qwen3NextForCausalLM
+        from .breadth3 import register_breadth3
+
+        register_breadth3(_REGISTRY)
     except ImportError:
         pass
     _register_aliases()
