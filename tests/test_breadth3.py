@@ -103,3 +103,18 @@ def test_bailing_moe():
         np.asarray(params["layers"][0]["self_attn"]["k_proj"]["weight"]),
         qkv[nh * hd : (nh + nkv) * hd].T, rtol=1e-6,
     )
+
+
+def test_jais():
+    cfg = ModelConfig.from_dict(
+        dict(architectures=["JAISLMHeadModel"], model_type="jais",
+             vocab_size=128, n_embd=64, n_layer=2, n_head=4, n_inner=96,
+             embeddings_scale=9.87, width_scale=0.11,
+             position_embedding_type="alibi", eos_token_id=1)
+    )
+    model = from_config(cfg, dtype=jnp.float32)
+    assert model.embeddings_scale == 9.87 and model.width_scale == 0.11
+    params = model.init_params(jax.random.PRNGKey(0))
+    assert "wpe" not in params  # alibi, no learned positions
+    assert "c_fc2" in params["layers"][0]["mlp"]
+    _smoke(cfg)

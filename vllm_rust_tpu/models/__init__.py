@@ -60,13 +60,15 @@ def _populate():
     except ImportError:
         pass
     try:
-        from .phi import GPT2LMHeadModel, Phi3ForCausalLM
+        from .phi import GPT2LMHeadModel, JAISLMHeadModel, Phi3ForCausalLM
 
         _REGISTRY.update(
             {
                 "Phi3ForCausalLM": Phi3ForCausalLM,
                 "Phi4ForCausalLM": Phi3ForCausalLM,
                 "GPT2LMHeadModel": GPT2LMHeadModel,
+                "JAISLMHeadModel": JAISLMHeadModel,
+                "Jais2ForCausalLM": JAISLMHeadModel,
             }
         )
     except ImportError:

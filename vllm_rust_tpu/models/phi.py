@@ -217,3 +217,74 @@ class GPT2LMHeadModel(LlamaForCausalLM):
     def compute_logits(self, params, hidden):
         logits = hidden @ params["wte"]["weight"].T
         return logits.astype(jnp.float32)
+
+
+class JAISLMHeadModel(GPT2LMHeadModel):
+    """JAIS / Jais-2 (reference models/jais.rs): GPT-2 skeleton with
+    ALiBi positions (no wpe), SwiGLU MLP (c_fc gate + c_fc2 up), and muP
+    scales (embeddings_scale on the embedding, width_scale on logits)."""
+
+    def __init__(self, config: ModelConfig, dtype: Any = jnp.bfloat16):
+        ex = config.extra
+        super().__init__(config, dtype)
+        self.embeddings_scale = float(
+            ex.get("embeddings_scale", ex.get("mup_embeddings_scale", 1.0))
+        )
+        self.width_scale = float(
+            ex.get("width_scale",
+                   ex.get("mup_output_alpha", 1.0)
+                   * ex.get("mup_width_scale", 1.0))
+        )
+
+    def init_params(self, rng=None, scale: float = 0.02):
+        params = super().init_params(rng, scale)
+        cfg, d = self.config, self.dtype
+        h, inter = cfg.hidden_size, cfg.intermediate_size
+        del params["wpe"]  # ALiBi: no learned positions
+        for lp in params["layers"]:
+            lp["mlp"]["c_fc2"] = {
+                "weight": jnp.zeros((h, inter), d),
+                "bias": jnp.zeros((inter,), d),
+            }
+        return params
+
+    def __call__(self, params, input_ids, md, kv_pages):
+        from ..layers.attention import alibi_slopes
+        from ..layers.linear import linear
+        from ..ops.kv_write import write_kv_pages
+        from ..ops.paged_attention import ragged_paged_attention_op
+
+        cfg = self.config
+        h, hd = cfg.num_attention_heads, cfg.head_dim
+        x = params["wte"]["weight"][input_ids]
+        x = (x.astype(jnp.float32) * self.embeddings_scale).astype(self.dtype)
+        slopes = jnp.asarray(alibi_slopes(h), jnp.float32)
+        new_kv = []
+        for i, lp in enumerate(params["layers"]):
+            t = x.shape[0]
+            res = x
+            y = self._layer_norm(x, lp["ln_1"])
+            qkv = linear(y, lp["attn"]["c_attn"])
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(t, h, hd)
+            k = k.reshape(t, h, hd)
+            v = v.reshape(t, h, hd)
+            kv = write_kv_pages(kv_pages[i], k, v, md.slot_mapping)
+            new_kv.append(kv)
+            o = ragged_paged_attention_op(
+                q, kv, md, None, slopes, sm_scale=hd**-0.5,
+                backend=self.attention_backend,
+            ).reshape(t, h * hd)
+            x = res + linear(o, lp["attn"]["c_proj"])
+
+            res = x
+            y = self._layer_norm(x, lp["ln_2"])
+            gate = jax.nn.silu(linear(y, lp["mlp"]["c_fc"]))
+            y = gate * linear(y, lp["mlp"]["c_fc2"])
+            x = res + linear(y, lp["mlp"]["c_proj"])
+        return self._layer_norm(x, params["ln_f"]), new_kv
+
+    def compute_logits(self, params, hidden):
+        return (hidden @ params["wte"]["weight"].T).astype(
+            jnp.float32
+        ) * self.width_scale
