@@ -118,3 +118,30 @@ def test_jais():
     assert "wpe" not in params  # alibi, no learned positions
     assert "c_fc2" in params["layers"][0]["mlp"]
     _smoke(cfg)
+
+
+def test_apertus():
+    cfg = base("ApertusForCausalLM", "apertus")
+    cfg.extra = {"xielu_eps": 1e-6, "xielu_beta": 0.5}
+    model = from_config(cfg, dtype=jnp.float32)
+    params = model.init_params(jax.random.PRNGKey(0))
+    assert "gate_proj" not in params["layers"][0]["mlp"]  # ungated
+    assert "q_norm" in params["layers"][0]["self_attn"]
+    _smoke(cfg)
+
+
+def test_arctic():
+    cfg = base("ArcticForCausalLM", "arctic", num_hidden_layers=4,
+               head_dim=16)
+    cfg.num_experts_per_tok = 2
+    cfg.moe_intermediate_size = 16
+    cfg.extra = {"num_local_experts": 4, "moe_layer_frequency": 2,
+                 "use_residual": True}
+    model = from_config(cfg, dtype=jnp.float32)
+    assert [model.is_moe_layer(i) for i in range(4)] == [
+        False, True, False, True,
+    ]
+    params = model.init_params(jax.random.PRNGKey(0))
+    assert "residual_mlp" in params["layers"][1]
+    assert "residual_mlp" not in params["layers"][0]
+    _smoke(cfg)

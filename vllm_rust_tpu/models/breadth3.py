@@ -207,5 +207,108 @@ def register_breadth3(registry: dict) -> None:
             "Dots1ForCausalLM": Dots1ForCausalLM,
             "BailingMoeForCausalLM": BailingMoeForCausalLM,
             "BailingMoeV2ForCausalLM": BailingMoeForCausalLM,
+            "ApertusForCausalLM": ApertusForCausalLM,
+            "ArcticForCausalLM": ArcticForCausalLM,
         }
     )
+
+
+class ApertusForCausalLM(LlamaForCausalLM):
+    """Swiss AI Apertus (reference models/apertus.rs): per-head qk
+    RMSNorm and an UNGATED MLP with the xIELU activation
+    x * (sigmoid(x) + eps * x + beta)."""
+
+    def __init__(self, config: ModelConfig, dtype: Any = jnp.bfloat16):
+        config.qk_norm = True
+        super().__init__(config, dtype)
+        ex = config.extra
+        self.xielu_eps = float(ex.get("xielu_eps", 1e-7))
+        self.xielu_beta = float(ex.get("xielu_beta", 0.5))
+
+    def init_params(self, rng=None, scale: float = 0.02):
+        params = super().init_params(rng, scale)
+        # ungated MLP: drop gate_proj
+        for lp in params["layers"]:
+            lp["mlp"].pop("gate_proj", None)
+        return params
+
+    def _ffn(self, mlp_params, h):
+        from ..layers.linear import linear as _linear
+        import jax as _jax
+
+        x = _linear(h, mlp_params["up_proj"]).astype(jnp.float32)
+        x = x * (_jax.nn.sigmoid(x) + self.xielu_eps * x + self.xielu_beta)
+        return _linear(x.astype(h.dtype), mlp_params["down_proj"])
+
+
+class ArcticForCausalLM(Qwen3MoeForCausalLM):
+    """Snowflake Arctic (reference models/arctic.rs): dense/MoE layers
+    alternating by moe_layer_frequency; MoE layers optionally add a
+    PARALLEL residual MLP (use_residual) to the expert output."""
+
+    def __init__(self, config: ModelConfig, dtype: Any = jnp.bfloat16):
+        ex = config.extra
+        config.qk_norm = False
+        if ex.get("num_local_experts"):
+            config.num_experts = int(ex["num_local_experts"])
+        super().__init__(config, dtype)
+        self.config.qk_norm = False
+        self.moe_freq = int(ex.get("moe_layer_frequency", 2))
+        self.use_residual = bool(ex.get("use_residual", True))
+        self.attn_specs = tuple(
+            dataclasses.replace(s, qk_norm=False) for s in self.attn_specs
+        )
+
+    def is_moe_layer(self, layer_idx: int) -> bool:
+        return (layer_idx % max(1, self.moe_freq)) == (self.moe_freq - 1) \
+            if self.moe_freq > 1 else True
+
+    def init_params(self, rng=None, scale: float = 0.02):
+        params = super().init_params(rng, scale)
+        cfg, d = self.config, self.dtype
+        h, inter = cfg.hidden_size, cfg.intermediate_size
+        for i, lp in enumerate(params["layers"]):
+            lp["self_attn"].pop("q_norm", None)
+            lp["self_attn"].pop("k_norm", None)
+            if self.is_moe_layer(i) and self.use_residual:
+                lp["residual_mlp"] = {
+                    "gate_proj": {"weight": jnp.zeros((h, inter), d)},
+                    "up_proj": {"weight": jnp.zeros((h, inter), d)},
+                    "down_proj": {"weight": jnp.zeros((inter, h), d)},
+                }
+                lp["residual_layernorm"] = jnp.ones((h,), d)
+        return params
+
+    def __call__(self, params, input_ids, md, kv_pages):
+        from ..layers.attention import attention_block
+        from ..layers.mlp import swiglu_mlp as _swiglu
+        from ..layers.norm import rms_norm as _rms
+
+        cfg = self.config
+        eps = cfg.rms_norm_eps
+        x = params["embed_tokens"]["weight"][input_ids]
+        new_kv = []
+        for i, lp in enumerate(params["layers"]):
+            residual = x
+            h = _rms(x, lp["input_layernorm"], eps)
+            attn_out, kv = attention_block(
+                self.attn_specs[i], lp["self_attn"], h, md, kv_pages[i],
+                (params["rope_cos"], params["rope_sin"]),
+                attention_backend=self.attention_backend,
+            )
+            new_kv.append(kv)
+            x = residual + attn_out
+
+            residual = x
+            h = _rms(x, lp["post_attention_layernorm"], eps)
+            if "experts" in lp["mlp"]:
+                ffn = self._moe_ffn(lp["mlp"], h)
+                if "residual_mlp" in lp:
+                    # parallel residual MLP over its own norm of x
+                    rh = _rms(x, lp["residual_layernorm"], eps)
+                    ffn = ffn + _swiglu(rh, lp["residual_mlp"],
+                                        cfg.hidden_act)
+            else:
+                ffn = _swiglu(h, lp["mlp"], cfg.hidden_act)
+            x = residual + ffn
+        return _rms(x, params["norm"], eps), new_kv

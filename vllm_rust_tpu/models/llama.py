@@ -55,6 +55,10 @@ class LlamaForCausalLM:
             x, w, self.config.rms_norm_eps, weight_offset=self.norm_offset
         )
 
+    def _ffn(self, mlp_params, h):
+        """FFN hook (Apertus overrides with an ungated xIELU MLP)."""
+        return swiglu_mlp(h, mlp_params, self.config.hidden_act)
+
     def __init__(self, config: ModelConfig, dtype: Any = jnp.bfloat16):
         self.config = config
         self.dtype = dtype
@@ -270,7 +274,7 @@ class LlamaForCausalLM:
                 cfg.rms_norm_eps,
                 weight_offset=self.norm_offset,
             )
-        ffn = swiglu_mlp(h, lp["mlp"], cfg.hidden_act)
+        ffn = self._ffn(lp["mlp"], h)
         if self.extra_ffn_norms:
             ffn = rms_norm(
                 ffn,
