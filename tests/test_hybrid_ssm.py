@@ -106,3 +106,60 @@ def test_granite_moe_hybrid_weight_translation():
     assert experts["gate_proj"]["weight"].shape == (e, h, i)
     assert experts["down_proj"]["weight"].shape == (e, i, h)
     assert params["layers"][0]["feed_forward"]["router"]["weight"].shape == (h, e)
+
+
+def test_lfm2_engine_matches_full_prefill():
+    mc = ModelConfig.from_dict(
+        dict(architectures=["Lfm2ForCausalLM"], model_type="lfm2",
+             vocab_size=128, hidden_size=32, intermediate_size=64,
+             num_hidden_layers=4, num_attention_heads=4,
+             num_key_value_heads=2, tie_word_embeddings=True,
+             eos_token_id=0, max_position_embeddings=128,
+             layer_types=["short_conv", "full_attention", "short_conv",
+                          "full_attention"],
+             conv_L_cache=3)
+    )
+    m = from_config(mc, dtype=jnp.float32)
+    assert m.kinds == ["conv", "attention", "conv", "attention"]
+    info = m.kv_head_info
+    assert info[0]["conv"] == (32, 2)
+    assert isinstance(info[1], tuple)
+    params = m.init_params(jax.random.PRNGKey(0))
+    assert "q_norm" in params["layers"][1]["self_attn"]
+    assert "w1" in params["layers"][0]["feed_forward"]
+    teacher_forced_check(mc, [5, 3, 9], n=6)
+
+
+def test_lfm2_weight_names():
+    mc = ModelConfig.from_dict(
+        dict(architectures=["Lfm2ForCausalLM"], model_type="lfm2",
+             vocab_size=64, hidden_size=32, intermediate_size=64,
+             num_hidden_layers=2, num_attention_heads=4,
+             num_key_value_heads=2, tie_word_embeddings=True,
+             layer_types=["short_conv", "full_attention"], conv_L_cache=3)
+    )
+    m = from_config(mc, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    h = 32
+    stream = [
+        ("model.embed_tokens.weight", rng.normal(size=(64, h)).astype(np.float32)),
+        ("model.layers.0.operator_norm.weight", np.ones(h, np.float32)),
+        ("model.layers.0.conv.in_proj.weight",
+         rng.normal(size=(3 * h, h)).astype(np.float32)),
+        ("model.layers.0.conv.conv.weight",
+         rng.normal(size=(h, 1, 3)).astype(np.float32)),
+        ("model.layers.0.conv.out_proj.weight",
+         rng.normal(size=(h, h)).astype(np.float32)),
+        ("model.layers.0.feed_forward.w1.weight",
+         rng.normal(size=(128, h)).astype(np.float32)),
+        ("model.layers.0.feed_forward.w2.weight",
+         rng.normal(size=(h, 64)).astype(np.float32)),
+        ("model.layers.1.self_attn.q_layernorm.weight", np.ones(8, np.float32)),
+        ("model.layers.1.self_attn.out_proj.weight",
+         rng.normal(size=(h, h)).astype(np.float32)),
+    ]
+    params = m.load_weights(iter(stream))
+    assert params["layers"][0]["mamba"]["conv1d"]["weight"].shape == (h, 3)
+    assert params["layers"][0]["feed_forward"]["w1"]["weight"].shape == (h, 128)
+    assert float(jnp.abs(
+        params["layers"][1]["self_attn"]["o_proj"]["weight"]).sum()) > 0

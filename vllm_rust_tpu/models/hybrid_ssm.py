@@ -150,7 +150,7 @@ class HybridMamba2Base(Mamba2ForCausalLM):
             lp: dict = {"input_layernorm": jnp.ones((h,), d)}
             if kind == "attention":
                 lp["self_attn"] = self._attn_params(w, keys)
-            elif kind == "mamba":
+            elif kind != "mlp":  # mamba / conv / other recurrent mixers
                 lp["mamba"] = self._mixer_params(w, keys)
             else:
                 lp["block_mlp"] = {
@@ -677,9 +677,150 @@ class Zamba2ForCausalLM(HybridMamba2Base):
         super()._load_layer(lp, rest, a, layer_idx)
 
 
+class Lfm2ForCausalLM(HybridMamba2Base):
+    """LiquidAI LFM2 (reference models/lfm2.rs): attention layers with
+    per-head qk norms (before rope) + short-convolution layers
+    (in_proj → B·x → causal conv (no activation) → gate by C →
+    out_proj); per-layer SwiGLU MLP with merged w1 = [gate; up]."""
+
+    def _layer_kinds(self) -> list[str]:
+        lt = self.config.layer_types or []
+        n = self.config.num_hidden_layers
+        if lt:
+            return ["attention" if t == "full_attention" else "conv"
+                    for t in lt]
+        return ["conv"] * n
+
+    def __init__(self, config: ModelConfig, dtype: Any = jnp.bfloat16):
+        ex = config.extra
+        config.qk_norm = True
+        super().__init__(config, dtype)
+        self.l_cache = int(ex.get("conv_L_cache", 4))
+        self.conv_bias = bool(ex.get("conv_bias", False))
+        if "block_ff_dim" in ex:
+            config.intermediate_size = int(ex["block_ff_dim"])
+        if "norm_eps" in ex:
+            self.eps = float(ex["norm_eps"])
+        self.attn_spec = dataclasses.replace(
+            self.attn_spec, qk_norm=True, rms_eps=self.eps
+        )
+
+    @property
+    def kv_head_info(self) -> list:
+        cfg = self.config
+        out = []
+        for kind in self.kinds:
+            if kind == "attention":
+                out.append((cfg.num_key_value_heads, cfg.head_dim))
+            else:
+                out.append({"conv": (cfg.hidden_size, self.l_cache - 1),
+                            "ssm": (1, 1, 1)})  # conv-only state
+        return out
+
+    def _attn_params(self, w, keys):
+        p = super()._attn_params(w, keys)
+        hd = self.config.head_dim
+        p["q_norm"] = jnp.ones((hd,), self.dtype)
+        p["k_norm"] = jnp.ones((hd,), self.dtype)
+        return p
+
+    def _mixer_params(self, w, keys):
+        h = self.config.hidden_size
+        p = {
+            "in_proj": {"weight": w(next(keys), (h, 3 * h))},
+            "conv1d": {"weight": w(next(keys), (h, self.l_cache))},
+            "out_proj": {"weight": w(next(keys), (h, h))},
+        }
+        if self.conv_bias:
+            p["conv1d"]["bias"] = jnp.zeros((h,), self.dtype)
+        return p
+
+    def _block_out(self, lp, kind, h, md, state, rope_tables):
+        if kind == "attention":
+            return attention_block(
+                self.attn_spec, lp["self_attn"], h, md, state, rope_tables,
+                attention_backend=self.attention_backend,
+            )
+        mp = lp["mamba"]
+        proj = linear(h, mp["in_proj"])
+        b, c, x = jnp.split(proj, 3, axis=-1)
+        bx = b * x
+        from ..ops.ssm import causal_conv1d as _cc
+
+        conv_out, conv_state = _cc(
+            bx, mp["conv1d"]["weight"], mp["conv1d"].get("bias"),
+            state["conv"], md, activation="none",
+        )
+        y = c * conv_out
+        return linear(y, mp["out_proj"]), {"conv": conv_state,
+                                           "ssm": state["ssm"]}
+
+    def _ffn(self, lp, h, layer_idx):
+        ff = lp["feed_forward"]
+        if "w1" in ff:
+            gate_up = linear(h, ff["w1"])
+            g, u = jnp.split(gate_up, 2, axis=-1)
+            return linear(
+                jax.nn.silu(g.astype(jnp.float32)).astype(h.dtype) * u,
+                ff["w2"],
+            )
+        return super()._ffn(lp, h, layer_idx)
+
+    def _ffn_params(self, w, keys, layer_idx):
+        h, inter = self.config.hidden_size, self.config.intermediate_size
+        return {
+            "w1": {"weight": w(next(keys), (h, 2 * inter))},
+            "w2": {"weight": w(next(keys), (inter, h))},
+        }
+
+    _ln_names = {
+        "input_layernorm": "input_layernorm",
+        "operator_norm": "input_layernorm",
+        "ffn_norm": "pre_ff_layernorm",
+        "pre_ff_layernorm": "pre_ff_layernorm",
+        "post_attention_layernorm": "pre_ff_layernorm",
+        "norm": "input_layernorm",
+    }
+
+    def _load_layer(self, lp, rest, a, layer_idx):
+        kind = self.kinds[layer_idx]
+        name_map = {"out_proj": "o_proj"}
+        if rest[0] == "self_attn" and kind == "attention":
+            key = name_map.get(rest[1], rest[1])
+            if key in ("q_norm", "k_norm") or rest[1].endswith("layernorm"):
+                leaf = "q_norm" if rest[1][0] == "q" else "k_norm"
+                lp["self_attn"][leaf] = jnp.asarray(a, self.dtype)
+            else:
+                lp["self_attn"][key][rest[2]] = jnp.asarray(
+                    a.T if rest[2] == "weight" else a, self.dtype
+                )
+            return
+        if rest[0] == "conv" and kind == "conv":
+            m = lp["mamba"]
+            if rest[1] in ("in_proj", "out_proj"):
+                m[rest[1]][rest[2]] = jnp.asarray(
+                    a.T if rest[2] == "weight" else a, self.dtype
+                )
+            elif rest[1] == "conv":
+                if rest[2] == "weight":
+                    # HF stores [hidden, L] (or [hidden, 1, L])
+                    w = a[:, 0, :] if a.ndim == 3 else a
+                    m["conv1d"]["weight"] = jnp.asarray(w, self.dtype)
+                else:
+                    m["conv1d"]["bias"] = jnp.asarray(a, self.dtype)
+            return
+        if rest[0] == "feed_forward" and rest[1] in ("w1", "w2"):
+            lp["feed_forward"][rest[1]][rest[2]] = jnp.asarray(
+                a.T, self.dtype
+            )
+            return
+        super()._load_layer(lp, rest, a, layer_idx)
+
+
 def register_hybrid_ssm(registry: dict) -> None:
     registry.update(
         {
+            "Lfm2ForCausalLM": Lfm2ForCausalLM,
             "BambaForCausalLM": BambaForCausalLM,
             "NemotronHForCausalLM": NemotronHForCausalLM,
             "FalconH1ForCausalLM": FalconH1ForCausalLM,
