@@ -298,6 +298,11 @@ def _register_aliases():
         "Ernie4_5MoeForCausalLM": "Ernie4_5_MoeForCausalLM",
         # Nemotron-NAS checkpoints are DeciLM variable-GQA models
         "NemotronNasForCausalLM": "DeciLMForCausalLM",
+        # weight-identical llama forks (reference factories/llama.rs
+        # LLAMA_ARCH_NAMES)
+        "TeleChatForCausalLM": "LlamaForCausalLM",
+        "TeleChat2ForCausalLM": "LlamaForCausalLM",
+        "IQuestCoderForCausalLM": "LlamaForCausalLM",
     }
     for alias, target in alias_to_target.items():
         if target in _REGISTRY and alias not in _REGISTRY:
