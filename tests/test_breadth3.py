@@ -145,3 +145,34 @@ def test_arctic():
     assert "residual_mlp" in params["layers"][1]
     assert "residual_mlp" not in params["layers"][0]
     _smoke(cfg)
+
+
+def test_qwen2_reward_model():
+    cfg = ModelConfig.from_dict(
+        dict(architectures=["Qwen2ForRewardModel"], model_type="qwen2",
+             vocab_size=64, hidden_size=32, intermediate_size=64,
+             num_hidden_layers=2, num_attention_heads=4,
+             num_key_value_heads=2, num_labels=1)
+    )
+    model = from_config(cfg, dtype=jnp.float32)
+    assert model.is_reward_model
+    params = model.init_params(jax.random.PRNGKey(0))
+    # forward + score over the last hidden state
+    from tests.test_misc_archs import _smoke  # noqa: F401
+    from tests.test_model_forward import make_kv_pages, md_single_seq
+
+    ids = jax.random.randint(jax.random.PRNGKey(1), (6,), 0, 64)
+    kv = make_kv_pages(model)
+    h, _ = model(params, ids, md_single_seq(6), kv)
+    s = model.score(params, h[-1:])
+    assert s.shape == (1, 1)
+    assert np.isfinite(np.asarray(s)).all()
+    # score-head checkpoint names (score.0 / score.2 HF convention)
+    rng = np.random.default_rng(0)
+    stream = [
+        ("score.0.weight", rng.normal(size=(32, 32)).astype(np.float32)),
+        ("score.0.bias", rng.normal(size=(32,)).astype(np.float32)),
+        ("score.2.weight", rng.normal(size=(1, 32)).astype(np.float32)),
+    ]
+    p2 = model.load_weights(iter(stream))
+    assert p2["score"]["fc2"]["weight"].shape == (32, 1)

@@ -238,6 +238,9 @@ def _populate():
         from .breadth3 import register_breadth3
 
         register_breadth3(_REGISTRY)
+        from .reward import register_reward
+
+        register_reward(_REGISTRY)
     except ImportError:
         pass
     _register_aliases()
