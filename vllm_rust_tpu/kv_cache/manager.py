@@ -93,13 +93,16 @@ class KVCacheManager:
                     )
                 else:
                     pool = {
-                        "conv": jnp.zeros(
-                            (num_slots + 1, *entry["conv"]), model_dtype
-                        ),
                         "ssm": jnp.zeros(
                             (num_slots + 1, *entry["ssm"]), jnp.float32
                         ),
                     }
+                    if "conv" in entry:
+                        # conv-free linear attention (MiniMax lightning)
+                        # has only the matrix state
+                        pool["conv"] = jnp.zeros(
+                            (num_slots + 1, *entry["conv"]), model_dtype
+                        )
                     if "kv" in entry:
                         # parallel-hybrid layer (FalconH1): attention AND
                         # mamba in one layer — paged KV + recurrent state

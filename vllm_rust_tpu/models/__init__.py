@@ -235,6 +235,14 @@ def _populate():
         from .qwen3_next import Qwen3NextForCausalLM
 
         _REGISTRY["Qwen3NextForCausalLM"] = Qwen3NextForCausalLM
+        from .minimax_text01 import MiniMaxText01ForCausalLM
+
+        _REGISTRY["MiniMaxText01ForCausalLM"] = MiniMaxText01ForCausalLM
+        _REGISTRY["MiniMaxForCausalLM"] = MiniMaxText01ForCausalLM
+        _REGISTRY["MiniMaxM1ForCausalLM"] = MiniMaxText01ForCausalLM
+        from .kimi_linear import KimiLinearForCausalLM
+
+        _REGISTRY["KimiLinearForCausalLM"] = KimiLinearForCausalLM
         from .breadth3 import register_breadth3
 
         register_breadth3(_REGISTRY)

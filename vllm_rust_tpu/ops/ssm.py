@@ -221,6 +221,177 @@ def selective_scan(
     return y.astype(x.dtype), ssm_state
 
 
+def lightning_scan(
+    q: jax.Array,  # [T, H, D] (already activated/scaled by caller)
+    k: jax.Array,  # [T, H, D]
+    v: jax.Array,  # [T, H, D]
+    decay: jax.Array,  # [H] per-head constant decay λ_h in (0, 1]
+    ssm_state: jax.Array,  # [num_slots+1, H, D, D] f32
+    md: AttentionMetadata,
+    *,
+    chunk: int = 64,
+) -> tuple[jax.Array, jax.Array]:
+    """Lightning attention (MiniMax-Text-01 linear attention; reference
+    models/minimax_text01.rs:353-545 runs it as a per-token host loop):
+
+        S_t = λ_h · S_{t-1} + k_t ⊗ v_t
+        y_t = q_t @ S_t            (state updated BEFORE readout)
+
+    Because λ is a per-head constant, the recurrence admits the chunked
+    parallel form: within a chunk of C tokens the output is one masked
+    [C, C] decay-weighted attention matmul (MXU work), and the state is
+    carried across chunks by a short lax.scan — O(T/C) sequential steps
+    instead of the reference's O(T).
+    """
+    t, h, d = q.shape
+    s = md.kv_lens.shape[0]
+    num_slots = ssm_state.shape[0] - 1
+    seq_of, local_idx, tok_real, read_slot, row_real, write_slot, last_idx = (
+        segment_info(md, num_slots)
+    )
+
+    seg_len = md.cu_q_lens[1:] - md.cu_q_lens[:-1]  # [S]
+    resumed = md.positions[jnp.maximum(md.cu_q_lens[:-1], 0)] > 0
+
+    # gather the flat token axis into per-sequence rows [S, L, ...]
+    c = min(chunk, t)
+    l_pad = ((t + c - 1) // c) * c
+    n_chunks = l_pad // c
+    pos_idx = jnp.arange(l_pad, dtype=jnp.int32)
+    tok_of = jnp.minimum(md.cu_q_lens[:-1][:, None] + pos_idx[None, :], t - 1)
+    valid = pos_idx[None, :] < seg_len[:, None]  # [S, L]
+
+    qf = q.astype(jnp.float32)[tok_of]  # [S, L, H, D]
+    kf = jnp.where(valid[:, :, None, None], k.astype(jnp.float32)[tok_of], 0.0)
+    vf = jnp.where(valid[:, :, None, None], v.astype(jnp.float32)[tok_of], 0.0)
+
+    lam = decay.astype(jnp.float32)  # [H]
+    log_lam = jnp.log(jnp.maximum(lam, 1e-38))
+    ci = jnp.arange(c, dtype=jnp.float32)
+    # intra-chunk decay matrix λ^{i-j} for i ≥ j (diagonal = λ^0 = 1)
+    diff = ci[:, None] - ci[None, :]
+    dmat = jnp.where(diff >= 0, jnp.exp(log_lam[:, None, None] * diff), 0.0)
+    # [H, C, C]
+
+    init = jnp.where(
+        (row_real & resumed)[:, None, None, None],
+        ssm_state[jnp.where(row_real, md.slot_ids, num_slots)],
+        0.0,
+    )  # [S, H, D, D]
+
+    def step(S, inp):
+        qc, kc, vc, nvalid = inp  # [S,C,H,D] ×3, [S]
+        scores = jnp.einsum("sihd,sjhd->shij", qc, kc)
+        intra = jnp.einsum("shij,sjhe->sihe", scores * dmat[None], vc)
+        # cross-chunk: y_i += λ^{i+1} · q_i @ S_in
+        lam_q = jnp.exp(log_lam[None, :] * (ci[:, None] + 1.0))  # [C, H]
+        cross = jnp.einsum("sihd,shde->sihe", qc, S)
+        y_c = intra + cross * lam_q[None, :, :, None]
+        # state: S' = λ^{n} S_in + Σ_j λ^{n-1-j} k_j ⊗ v_j  (n = valid count)
+        nv = nvalid.astype(jnp.float32)[:, None]  # [S, 1]
+        w_j = jnp.exp(log_lam[None, None, :] * (nv[:, :, None] - 1.0 - ci[None, :, None]))
+        w_j = jnp.where((ci[None, :] < nv)[:, :, None], w_j, 0.0)  # [S, C, H]
+        s_inc = jnp.einsum("sjh,sjhd,sjhe->shde", w_j, kc, vc)
+        lam_n = jnp.exp(log_lam[None, :] * nv)  # [S, H]
+        S_new = S * lam_n[:, :, None, None] + s_inc
+        return S_new, y_c
+
+    qcs = qf.reshape(s, n_chunks, c, h, d).transpose(1, 0, 2, 3, 4)
+    kcs = kf.reshape(s, n_chunks, c, h, d).transpose(1, 0, 2, 3, 4)
+    vcs = vf.reshape(s, n_chunks, c, h, d).transpose(1, 0, 2, 3, 4)
+    nvs = jnp.clip(
+        seg_len[None, :] - jnp.arange(n_chunks, dtype=jnp.int32)[:, None] * c,
+        0,
+        c,
+    )  # [NC, S]
+    S_fin, ys = jax.lax.scan(step, init, (qcs, kcs, vcs, nvs))
+    # ys: [NC, S, C, H, D] → flat [S*L, H, D]
+    flat = ys.transpose(1, 0, 2, 3, 4).reshape(s * l_pad, h, d)
+    src = seq_of * l_pad + jnp.minimum(local_idx, l_pad - 1)
+    y = jnp.where(tok_real[:, None, None], flat[src], 0.0)
+
+    ssm_state = ssm_state.at[write_slot].set(
+        jnp.where(row_real[:, None, None, None], S_fin, ssm_state[write_slot])
+    )
+    return y.astype(q.dtype), ssm_state
+
+
+def kda_scan(
+    q: jax.Array,  # [T, H, Dk] (already normalized/scaled by caller)
+    k: jax.Array,  # [T, H, Dk]
+    v: jax.Array,  # [T, H, Dv]
+    log_g: jax.Array,  # [T, H, Dk] per-CHANNEL log-decay (≤ 0)
+    beta: jax.Array,  # [T, H] delta-rule write strength in (0, 1)
+    ssm_state: jax.Array,  # [num_slots+1, H, Dk, Dv] f32
+    md: AttentionMetadata,
+) -> tuple[jax.Array, jax.Array]:
+    """Kimi Delta Attention (KDA): the gated delta rule with a per-key-
+    channel (diagonal) decay instead of GDN's per-head scalar
+    (reference models/kimi_linear.rs documents the architecture but
+    substitutes full attention for the KDA layers — here it runs for
+    real, like gated_delta_scan):
+
+        S_t = Diag(exp(g_t)) · S_{t-1}
+        S_t = S_t + β_t · k_t (v_t - S_t^T k_t)^T
+        y_t = S_t^T q_t
+    """
+    t, h, dk = q.shape
+    dv = v.shape[-1]
+    s = md.kv_lens.shape[0]
+    num_slots = ssm_state.shape[0] - 1
+    seq_of, local_idx, tok_real, read_slot, row_real, write_slot, last_idx = (
+        segment_info(md, num_slots)
+    )
+
+    seg_len = md.cu_q_lens[1:] - md.cu_q_lens[:-1]
+    max_len = t
+    resumed = md.positions[jnp.maximum(md.cu_q_lens[:-1], 0)] > 0
+    pos_idx = jnp.arange(max_len, dtype=jnp.int32)
+    tok_of = jnp.minimum(md.cu_q_lens[:-1][:, None] + pos_idx[None, :], t - 1)
+    valid = pos_idx[None, :] < seg_len[:, None]
+
+    def g2(x):
+        return x[tok_of]
+
+    qf = g2(q.astype(jnp.float32))
+    kf = g2(k.astype(jnp.float32))
+    vf = g2(v.astype(jnp.float32))
+    af = g2(jnp.exp(log_g.astype(jnp.float32)))  # [S, L, H, Dk]
+    bf = g2(beta.astype(jnp.float32))
+
+    init = jnp.where(
+        (row_real & resumed)[:, None, None, None],
+        ssm_state[jnp.where(row_real, md.slot_ids, num_slots)],
+        0.0,
+    )
+
+    def step(S, inp):
+        q_t, k_t, v_t, a_t, b_t, ok = inp  # [S,H,Dk]×2,[S,H,Dv],[S,H,Dk],[S,H],[S]
+        Sd = S * a_t[:, :, :, None]
+        pred = jnp.einsum("shkv,shk->shv", Sd, k_t)
+        delta = b_t[:, :, None] * (v_t - pred)
+        S_new = Sd + jnp.einsum("shk,shv->shkv", k_t, delta)
+        S_new = jnp.where(ok[:, None, None, None], S_new, S)
+        y_t = jnp.einsum("shkv,shk->shv", S_new, q_t)
+        return S_new, y_t
+
+    xs = (
+        qf.transpose(1, 0, 2, 3), kf.transpose(1, 0, 2, 3),
+        vf.transpose(1, 0, 2, 3), af.transpose(1, 0, 2, 3),
+        bf.transpose(1, 0, 2), valid.T,
+    )
+    S_fin, ys = jax.lax.scan(step, init, xs)
+
+    flat = ys.transpose(1, 0, 2, 3).reshape(s * max_len, h, dv)
+    src = seq_of * max_len + jnp.minimum(local_idx, max_len - 1)
+    y = jnp.where(tok_real[:, None, None], flat[src], 0.0)
+
+    ssm_state = ssm_state.at[write_slot].set(
+        jnp.where(row_real[:, None, None, None], S_fin, ssm_state[write_slot])
+    )
+    return y.astype(q.dtype), ssm_state
+
+
 def gated_delta_scan(
     q: jax.Array,  # [T, H, Dk] (already normalized/scaled by caller)
     k: jax.Array,  # [T, H, Dk]
