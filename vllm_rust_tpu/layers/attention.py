@@ -62,6 +62,7 @@ class AttentionSpec:
     interleaved_rope: bool = False
     norm_offset: float = 0.0  # 1.0 for Gemma-style (1+w) norms
     use_alibi: bool = False  # per-head ALiBi bias (Bloom/MPT/Baichuan-13B)
+    alibi_sqrt: bool = False  # sqrt-distance ALiBi (Step1, step1.rs:53-76)
     # per-head q/k LayerNorm with bias over head_dim (Persimmon/Fuyu) —
     # qk_norm must also be set
     qk_norm_layernorm: bool = False
@@ -179,6 +180,7 @@ def attention_block(
         k_scale=k_scale,
         v_scale=v_scale,
         backend=attention_backend,
+        alibi_sqrt=spec.alibi_sqrt,
     )
     out = out.reshape(t, h * d)
     if "g_proj" in params:

@@ -246,6 +246,9 @@ def _populate():
         from .breadth3 import register_breadth3
 
         register_breadth3(_REGISTRY)
+        from .breadth4 import register_breadth4
+
+        register_breadth4(_REGISTRY)
         from .reward import register_reward
 
         register_reward(_REGISTRY)
@@ -275,6 +278,19 @@ SPECULATOR_ARCHS: dict[str, str] = {
     "MedusaModel": "medusa",
     "MedusaModelHead": "medusa",
     "MLPSpeculatorPreTrainedModel": "mlp_speculator",
+    # per-target EAGLE/MTP checkpoint arch strings (reference
+    # factories/eagle3_llama.rs, eagle_deep_seek_mtp_model.rs,
+    # eagle_mistral_large3.rs, exaone_moe_mtp.rs, step3p5_mtp.rs,
+    # glm4_moe_mtp_model.rs, glm_ocr_mtp_model.rs, open_pangu_mtp_model.rs)
+    "Eagle3Qwen2_5vlForCausalLM": "eagle3",
+    "Eagle3Qwen3vlForCausalLM": "eagle3",
+    "EagleDeepseekV3ForCausalLM": "eagle",
+    "EagleMistralLarge3ForCausalLM": "eagle",
+    "ExaoneMoeMTP": "mtp",
+    "Step3p5MTP": "mtp",
+    "Glm4MoeLiteMTPModel": "mtp",
+    "GlmOcrMTPModel": "mtp",
+    "OpenPanguMTPModel": "mtp",
 }
 
 

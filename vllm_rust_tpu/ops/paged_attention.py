@@ -58,6 +58,7 @@ def _ref_ragged_paged_attention(
     v_scale: float | None = None,
     sinks: jax.Array | None = None,  # [H] attention-sink logits
     alibi_slopes: jax.Array | None = None,  # [H] per-head ALiBi slopes
+    alibi_sqrt: bool = False,  # Step1 sqrt-distance ALiBi
 ) -> jax.Array:
     """Jittable reference. Gathers each token's full sequence KV — O(T·P)
     memory, fine for tests and tiny batches; not a production path."""
@@ -93,11 +94,15 @@ def _ref_ragged_paged_attention(
     scores = jnp.einsum("tkgd,tnkd->tkgn", qf, k) * sm_scale  # [T, K, G, N]
     if alibi_slopes is not None:
         # bias = slope_h * (key_pos - q_pos), <= 0 under the causal mask
-        # (reference layers/alibi.rs build_alibi_bias)
+        # (reference layers/alibi.rs build_alibi_bias); the sqrt variant
+        # (Step1, reference models/step1.rs build_sqrt_alibi_bias) uses
+        # slope_h * (-sqrt(q_pos - key_pos))
         slopes = alibi_slopes.astype(jnp.float32).reshape(num_kv_heads, group)
         dist = (
             jnp.arange(n, dtype=jnp.int32)[None, :] - q_pos[:, None]
         ).astype(jnp.float32)  # [T, N]
+        if alibi_sqrt:
+            dist = -jnp.sqrt(jnp.maximum(-dist, 0.0))
         scores = scores + slopes[None, :, :, None] * dist[:, None, None, :]
     if soft_cap is not None:
         scores = soft_cap * jnp.tanh(scores / soft_cap)
@@ -132,6 +137,7 @@ def _ref_ragged_paged_attention(
         "k_scale",
         "v_scale",
         "backend",
+        "alibi_sqrt",
     ),
 )
 def ragged_paged_attention_op(
@@ -147,6 +153,7 @@ def ragged_paged_attention_op(
     k_scale: float | None = None,
     v_scale: float | None = None,
     backend: str = "auto",
+    alibi_sqrt: bool = False,
 ) -> jax.Array:
     if backend == "auto":
         if on_tpu():
@@ -162,6 +169,8 @@ def ragged_paged_attention_op(
         # ALiBi lives in the ref path (mixed steps) and the in-house
         # decode kernel (pure-decode steps)
         backend = "ref"
+    if alibi_sqrt and alibi_slopes is not None:
+        backend = "ref"  # sqrt-ALiBi (Step1) only in the reference path
     if backend == "ref":
         return _ref_ragged_paged_attention(
             q,
@@ -174,6 +183,7 @@ def ragged_paged_attention_op(
             v_scale=v_scale,
             sinks=sinks,
             alibi_slopes=alibi_slopes,
+            alibi_sqrt=alibi_sqrt,
         )
     if backend == "jax":
         from jax.experimental.pallas.ops.tpu.ragged_paged_attention.kernel import (
