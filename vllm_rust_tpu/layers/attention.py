@@ -70,6 +70,8 @@ class AttentionSpec:
     qk_norm_full: bool = False
     # clamp q/k/v projections to [-clip, clip] (OLMo-1 clip_qkv)
     qkv_clip: float | None = None
+    # weightless per-head RMSNorm on V (Gemma3n v_norm, gemma3n.rs:576)
+    v_norm_unweighted: bool = False
 
     @staticmethod
     def from_model_config(
@@ -127,6 +129,11 @@ def attention_block(
     q = q.reshape(t, h, d)
     k = k.reshape(t, k_heads, d)
     v = v.reshape(t, k_heads, d)
+    if spec.v_norm_unweighted:
+        vf = v.astype(jnp.float32)
+        v = (vf * jax.lax.rsqrt(
+            jnp.mean(jnp.square(vf), axis=-1, keepdims=True) + spec.rms_eps
+        )).astype(v.dtype)
 
     def qk_normalize(q, k):
         if spec.qk_norm_full:
@@ -184,9 +191,14 @@ def attention_block(
     )
     out = out.reshape(t, h * d)
     if "g_proj" in params:
-        # sigmoid output gate on the attention output per channel
+        # sigmoid output gate on the attention output — per channel
         # (Qwen3-Next attn_output_gate; reference qwen3_next.rs:174-190)
-        out = out * jax.nn.sigmoid(
+        # or per HEAD when the projection is hidden -> num_heads
+        # (Step-3.5 use_head_wise_attn_gate; reference step3p5.rs:379-390)
+        gate = jax.nn.sigmoid(
             linear(x, params["g_proj"]).astype(jnp.float32)
-        ).astype(out.dtype)
+        )
+        if gate.shape[-1] == h:  # per-head: broadcast over head_dim
+            gate = jnp.repeat(gate, d, axis=-1)
+        out = out * gate.astype(out.dtype)
     return linear(out, params["o_proj"]), kv_page

@@ -252,6 +252,9 @@ def _populate():
         from .reward import register_reward
 
         register_reward(_REGISTRY)
+        from .breadth5 import register_breadth5
+
+        register_breadth5(_REGISTRY)
     except ImportError:
         pass
     _register_aliases()
