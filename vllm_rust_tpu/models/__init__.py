@@ -255,6 +255,9 @@ def _populate():
         from .breadth5 import register_breadth5
 
         register_breadth5(_REGISTRY)
+        from .gemma3n import register_gemma3n
+
+        register_gemma3n(_REGISTRY)
     except ImportError:
         pass
     _register_aliases()

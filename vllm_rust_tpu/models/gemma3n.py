@@ -204,12 +204,15 @@ class Gemma3nForCausalLM(Gemma3ForCausalLM):
     def __call__(self, params, input_ids, md, kv_pages, embeds=None):
         cfg = self.config
         eps = cfg.rms_norm_eps
+        x0 = params["embed_tokens"]["weight"][input_ids]
         if embeds is not None:
-            x0 = embeds.astype(self.dtype)
-        else:
-            x0 = params["embed_tokens"]["weight"][input_ids]
-            x0 = (x0.astype(jnp.float32) * math.sqrt(cfg.hidden_size)
-                  ).astype(self.dtype)
+            # multimodal injection BEFORE the sqrt(h) multiplier
+            # (engine/vlm.py convention; reference gemma3n_vlm.rs:269
+            # merges post-scale with pre-scaled projections — same result)
+            mask, override = embeds
+            x0 = jnp.where(mask[:, None], override.astype(x0.dtype), x0)
+        x0 = (x0.astype(jnp.float32) * math.sqrt(cfg.hidden_size)
+              ).astype(self.dtype)
         t = x0.shape[0]
 
         # per-layer inputs: [T, L, pli], each slice RMS-normed
@@ -350,8 +353,97 @@ class Gemma3nForCausalLM(Gemma3ForCausalLM):
             lp[rest[0]]["weight"] = jnp.asarray(a.T, self.dtype)
 
 
+from .vision import SiglipVisionTower, _dense  # noqa: E402
+from .vlm_breadth import VlmBase, _rms_norm as _plain_rms  # noqa: E402
+
+
+class Gemma3nForConditionalGeneration(VlmBase):
+    """Gemma3n VLM (reference models/gemma3n_vlm.rs): SigLIP vision tower
+    + a multimodal embedder (soft_embedding_norm → embedding_projection →
+    embedding_post_projection_norm, gemma3n_vlm.rs:166-206) into the
+    AltUp language model. The audio path accepts pre-encoded embeddings
+    through the same embedder shape (`embed_audio`), matching the
+    reference's preprocessing-only audio tower (gemma3n_vlm.rs:145-163)."""
+
+    def _build(self, ex: dict):
+        self._make_text_model(ex.get("text_config", {}),
+                              "Gemma3nForCausalLM")
+        self.vision = SiglipVisionTower(
+            dict(ex.get("vision_config", {})), dtype=self.dtype
+        )
+        self.image_token_index = int(
+            ex.get("image_token_index", ex.get("image_token_id", 262145))
+        )
+        self.tokens_per_image = int(
+            ex.get("vision_soft_tokens_per_image", self.vision.num_patches)
+        )
+        ac = ex.get("audio_config") or {}
+        self.audio_hidden = int(ac.get("hidden_size", 1536))
+
+    def _embedder(self, rng, scale, d_in, d_out):
+        return {
+            "soft_embedding_norm": jnp.ones((d_in,), self.dtype),
+            "embedding_projection": {
+                "weight": self._w(rng, (d_in, d_out), scale),
+                "bias": jnp.zeros((d_out,), self.dtype),
+            },
+            "embedding_post_projection_norm": jnp.ones((d_out,), self.dtype),
+        }
+
+    def _init_projector(self, rng, scale):
+        ht = self.text_config.hidden_size
+        return {
+            "embed_vision": self._embedder(
+                rng, scale, self.vision.hidden_size, ht),
+            "embed_audio": self._embedder(rng, scale, self.audio_hidden, ht),
+        }
+
+    def _route_weight(self, name: str):
+        if name.startswith(("language_model.", "model.language_model.")):
+            return "lm", name.split("language_model.", 1)[1]
+        if name.startswith("lm_head."):
+            return "lm", name
+        if "vision_tower." in name:
+            return "vision", name.split("vision_tower.", 1)[1]
+        if name.startswith(("embed_vision.", "embed_audio.",
+                            "model.embed_vision.", "model.embed_audio.")):
+            return "proj", name.removeprefix("model.")
+        return None  # audio_tower.* — preprocessing-only
+
+    def _load_projector(self, raw):
+        proj = self._init_projector(None, 0.0)
+        for name, arr in raw:
+            parts = name.split(".")
+            a = np.asarray(arr)
+            node = proj[parts[0]]
+            if parts[1] == "embedding_projection":
+                node["embedding_projection"][parts[2]] = jnp.asarray(
+                    a.T if parts[2] == "weight" else a, self.dtype
+                )
+            else:
+                node[parts[1]] = jnp.asarray(a, self.dtype)
+        return proj
+
+    def _apply_embedder(self, p, x):
+        x = _plain_rms(x, p["soft_embedding_norm"])
+        x = _dense(x, p["embedding_projection"])
+        return _plain_rms(x, p["embedding_post_projection_norm"])
+
+    def encode_images(self, params, pixel_values):
+        feats = self.vision(params["vision_tower"], pixel_values)
+        x = self._apply_embedder(params["projector"]["embed_vision"], feats)
+        return x.reshape(-1, x.shape[-1])
+
+    def encode_audio(self, params, audio_embeds):
+        x = self._apply_embedder(
+            params["projector"]["embed_audio"], audio_embeds
+        )
+        return x.reshape(-1, x.shape[-1])
+
+
 def register_gemma3n(registry: dict) -> None:
     registry.update({
         "Gemma3nForCausalLM": Gemma3nForCausalLM,
         "Gemma3nTextModel": Gemma3nForCausalLM,
+        "Gemma3nForConditionalGeneration": Gemma3nForConditionalGeneration,
     })
