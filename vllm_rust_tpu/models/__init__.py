@@ -258,6 +258,12 @@ def _populate():
         from .gemma3n import register_gemma3n
 
         register_gemma3n(_REGISTRY)
+        from .breadth6 import register_breadth6
+
+        register_breadth6(_REGISTRY)
+        from .encoder_breadth import register_encoder_breadth
+
+        register_encoder_breadth(_REGISTRY)
     except ImportError:
         pass
     _register_aliases()
@@ -336,6 +342,10 @@ def _register_aliases():
         "TeleChatForCausalLM": "LlamaForCausalLM",
         "TeleChat2ForCausalLM": "LlamaForCausalLM",
         "IQuestCoderForCausalLM": "LlamaForCausalLM",
+        # reference registry groups classification aliases with the LM
+        # factory (registry.rs:142, :418)
+        "GPT2ForSequenceClassification": "GPT2LMHeadModel",
+        "JambaForSequenceClassification": "JambaForCausalLM",
     }
     for alias, target in alias_to_target.items():
         if target in _REGISTRY and alias not in _REGISTRY:
