@@ -171,3 +171,48 @@ def test_classification_aliases():
               "LlamaBidirectionalForSequenceClassification",
               "SnowflakeGteNewModel"):
         assert a in archs, a
+
+
+def test_clip_dual_encoder():
+    cfg = ModelConfig.from_dict(dict(
+        architectures=["CLIPModel"], model_type="clip", vocab_size=96,
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=64, eos_token_id=1,
+        text_config=dict(vocab_size=96, hidden_size=32,
+                         num_attention_heads=4, num_hidden_layers=2,
+                         intermediate_size=48, max_position_embeddings=16,
+                         projection_dim=24),
+        vision_config=dict(hidden_size=16, intermediate_size=32,
+                           num_hidden_layers=1, num_attention_heads=2,
+                           image_size=28, patch_size=14),
+    ))
+    m, r = _runner(cfg)
+    out = r.embed([[1, 2, 3], [4, 5]], pooling="last")
+    assert out.shape == (2, 24)  # projection_dim
+    params = m.init_params(jax.random.PRNGKey(0))
+    pix = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 28, 28))
+    img = m.encode_images(params, pix)
+    assert img.shape == (2, 24)  # shared projection space
+
+
+def test_siglip_dual_encoder():
+    cfg = ModelConfig.from_dict(dict(
+        architectures=["SiglipModel"], model_type="siglip", vocab_size=96,
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=64, eos_token_id=1,
+        text_config=dict(vocab_size=96, hidden_size=32,
+                         num_attention_heads=4, num_hidden_layers=2,
+                         intermediate_size=48, max_position_embeddings=16,
+                         projection_size=24),
+        vision_config=dict(hidden_size=16, intermediate_size=32,
+                           num_hidden_layers=1, num_attention_heads=2,
+                           image_size=28, patch_size=14),
+    ))
+    m, r = _runner(cfg)
+    assert m.siglip
+    out = r.embed([[1, 2, 3]], pooling="last")
+    assert out.shape == (1, 24)
+    params = m.init_params(jax.random.PRNGKey(0))
+    pix = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 28, 28))
+    img = m.encode_images(params, pix)
+    assert img.shape == (1, 16)  # mean-pooled vision hidden (siglip.rs)

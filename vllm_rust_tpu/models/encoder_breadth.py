@@ -689,6 +689,190 @@ class VoyageQwen3BidirectionalEmbedModel(LlamaBidirectionalModel):
     qk_norm = True
 
 
+# -- CLIP / SigLIP dual encoders --------------------------------------------------
+
+
+class CLIPEmbeddingModel:
+    """CLIP dual-encoder embeddings (reference models/clip.rs): pre-norm
+    bidirectional text transformer (token + learned position embeddings,
+    erf-GELU MLP) pooled at the last token and projected by
+    `text_projection`; `encode_images` runs the CLIP vision tower and
+    projects the CLS token by `visual_projection`. Text and image
+    embeddings share the projection space."""
+
+    siglip = False
+
+    def __init__(self, config: ModelConfig, dtype: Any = jnp.float32):
+        from .vision import CLIPVisionTower, SiglipVisionTower
+
+        self.config = config
+        self.dtype = dtype
+        ex = config.extra
+        tc = dict(ex.get("text_config") or {})
+        vc = dict(ex.get("vision_config") or {})
+        self.vocab_size = int(tc.get("vocab_size", 32000 if self.siglip
+                                     else 49408))
+        self.hidden = int(tc.get("hidden_size", 768))
+        self.num_heads = int(tc.get("num_attention_heads",
+                                    12 if self.siglip else 8))
+        self.num_layers = int(tc.get("num_hidden_layers", 12))
+        self.inter = int(tc.get("intermediate_size", 3072))
+        self.max_pos = int(tc.get("max_position_embeddings",
+                                  64 if self.siglip else 77))
+        self.eps = float(tc.get("layer_norm_eps", 1e-6))
+        self.proj = int(tc.get("projection_size" if self.siglip
+                               else "projection_dim", self.hidden))
+        self.num_labels = 0
+        tower_cls = SiglipVisionTower if self.siglip else CLIPVisionTower
+        self.vision = tower_cls(vc, dtype=dtype)
+
+    @property
+    def kv_head_info(self) -> list:
+        return []
+
+    def init_params(self, rng=None, scale: float = 0.02):
+        d = self.dtype
+        h = self.hidden
+        n_keys = self.num_layers * 6 + 6
+        keys = iter(jax.random.split(rng, n_keys) if rng is not None
+                    else [None] * n_keys)
+
+        def w(key, shape):
+            if key is None:
+                return jnp.zeros(shape, d)
+            return (scale * jax.random.normal(key, shape, jnp.float32)
+                    ).astype(d)
+
+        def dense(key, din, dout, bias=True):
+            p = {"weight": w(key, (din, dout))}
+            if bias:
+                p["bias"] = jnp.zeros((dout,), d)
+            return p
+
+        def ln():
+            return {"weight": jnp.ones((h,), d), "bias": jnp.zeros((h,), d)}
+
+        layers = []
+        for _ in range(self.num_layers):
+            layers.append({
+                "q_proj": dense(next(keys), h, h),
+                "k_proj": dense(next(keys), h, h),
+                "v_proj": dense(next(keys), h, h),
+                "out_proj": dense(next(keys), h, h),
+                "layer_norm1": ln(),
+                "layer_norm2": ln(),
+                "fc1": dense(next(keys), h, self.inter),
+                "fc2": dense(next(keys), self.inter, h),
+            })
+        params = {
+            "token_embedding": w(next(keys), (self.vocab_size, h)),
+            "position_embedding": w(next(keys), (self.max_pos, h)),
+            "layers": layers,
+            "final_layer_norm": ln(),
+            "vision_tower": self.vision.init_params(rng, scale),
+        }
+        if self.siglip:
+            params["head"] = dense(next(keys), h, self.proj)  # with bias
+        else:
+            params["text_projection"] = dense(next(keys), h, self.proj,
+                                              bias=False)
+            params["visual_projection"] = dense(
+                next(keys), self.vision.hidden_size, self.proj, bias=False)
+        return params
+
+    def encode(self, params, input_ids, token_type_ids, cu_lens):
+        t = input_ids.shape[0]
+        seq_of, local, real = _segments(cu_lens, t)
+        x = (params["token_embedding"][input_ids]
+             + params["position_embedding"][
+                 jnp.clip(local, 0, self.max_pos - 1)])
+        nh = self.num_heads
+        hd = self.hidden // nh
+        mask = (seq_of[:, None] == seq_of[None, :]) & real[:, None] \
+            & real[None, :]
+        bias = jnp.where(mask, 0.0, -1e10)
+        for lp in params["layers"]:
+            h_in = _layer_norm(x, lp["layer_norm1"], self.eps)
+            q = _dense(h_in, lp["q_proj"]).reshape(t, nh, hd)
+            k = _dense(h_in, lp["k_proj"]).reshape(t, nh, hd)
+            v = _dense(h_in, lp["v_proj"]).reshape(t, nh, hd)
+            scores = jnp.einsum("ihd,jhd->hij", q, k) * (hd**-0.5)
+            probs = jax.nn.softmax(scores + bias[None], axis=-1)
+            ctx = jnp.einsum("hij,jhd->ihd", probs, v).reshape(t, -1)
+            x = x + _dense(ctx, lp["out_proj"])
+            h_in = _layer_norm(x, lp["layer_norm2"], self.eps)
+            x = x + _dense(
+                jax.nn.gelu(_dense(h_in, lp["fc1"]), approximate=False),
+                lp["fc2"])
+        return _layer_norm(x, params["final_layer_norm"], self.eps)
+
+    def pool(self, params, hidden, cu_lens, pooling: str = "last"):
+        # last-token (EOS) pool, then project into the shared space
+        # (clip.rs:14, siglip.rs head projection)
+        pooled = hidden[jnp.maximum(cu_lens[1:] - 1, 0)]
+        proj = params["head"] if self.siglip else params["text_projection"]
+        return _dense(pooled, proj).astype(jnp.float32)
+
+    def classify_logits(self, params, hidden, cu_lens):
+        raise NotImplementedError("CLIP/SigLIP have no classifier head")
+
+    def encode_images(self, params, pixel_values):
+        feats = self.vision(params["vision_tower"], pixel_values)
+        if self.siglip:
+            return feats.mean(axis=1).astype(jnp.float32)  # [B, H_v]
+        cls = feats[:, 0]
+        return _dense(cls, params["visual_projection"]).astype(jnp.float32)
+
+    def load_weights(self, weights: Iterable[tuple[str, np.ndarray]]):
+        params = self.init_params(rng=None)
+        vis_stream = []
+        for name, arr in weights:
+            a = np.asarray(arr)
+            if name.startswith("vision_model."):
+                vis_stream.append((name, arr))
+                continue
+            if name == "text_projection.weight":
+                params["text_projection"]["weight"] = jnp.asarray(
+                    a.T, self.dtype)
+                continue
+            if name == "visual_projection.weight":
+                params["visual_projection"]["weight"] = jnp.asarray(
+                    a.T, self.dtype)
+                continue
+            n = name.removeprefix("text_model.")
+            parts = n.split(".")
+            if n.startswith("embeddings.token_embedding"):
+                params["token_embedding"] = jnp.asarray(a, self.dtype)
+            elif n.startswith("embeddings.position_embedding"):
+                params["position_embedding"] = jnp.asarray(a, self.dtype)
+            elif n.startswith("final_layer_norm."):
+                params["final_layer_norm"][parts[-1]] = jnp.asarray(
+                    a, self.dtype)
+            elif n.startswith("head."):
+                params["head"][parts[-1]] = jnp.asarray(
+                    a.T if parts[-1] == "weight" else a, self.dtype)
+            elif n.startswith("encoder.layers."):
+                lp = params["layers"][int(parts[2])]
+                sub = parts[3]
+                if sub in ("self_attn", "mlp"):
+                    leaf = parts[5]
+                    lp[parts[4]][leaf] = jnp.asarray(
+                        a.T if leaf == "weight" else a, self.dtype)
+                else:
+                    lp[sub][parts[4]] = jnp.asarray(a, self.dtype)
+        if vis_stream:
+            params["vision_tower"] = self.vision.load_weights(vis_stream)
+        return params
+
+
+class SiglipEmbeddingModel(CLIPEmbeddingModel):
+    """SigLIP dual encoder (reference models/siglip.rs): same layout
+    with a biased `head` text projection and mean-pooled vision
+    features."""
+
+    siglip = True
+
+
 def register_encoder_breadth(registry: dict) -> None:
     registry.update({
         "GteNewModel": GteNewModel,
@@ -706,4 +890,8 @@ def register_encoder_breadth(registry: dict) -> None:
             LlamaBidirectionalModel,
         "VoyageQwen3BidirectionalEmbedModel":
             VoyageQwen3BidirectionalEmbedModel,
+        "CLIPModel": CLIPEmbeddingModel,
+        "CLIPEmbeddingModel": CLIPEmbeddingModel,
+        "SiglipModel": SiglipEmbeddingModel,
+        "SiglipEmbeddingModel": SiglipEmbeddingModel,
     })
