@@ -264,6 +264,9 @@ def _populate():
         from .encoder_breadth import register_encoder_breadth
 
         register_encoder_breadth(_REGISTRY)
+        from .vlm_breadth3 import register_vlm_breadth3
+
+        register_vlm_breadth3(_REGISTRY)
     except ImportError:
         pass
     _register_aliases()
@@ -346,6 +349,13 @@ def _register_aliases():
         # factory (registry.rs:142, :418)
         "GPT2ForSequenceClassification": "GPT2LMHeadModel",
         "JambaForSequenceClassification": "JambaForCausalLM",
+        # LLaVA-OneVision group (registry.rs:915-921)
+        "LlavaNextVideoForConditionalGeneration":
+            "LlavaOnevisionForConditionalGeneration",
+        "RForConditionalGeneration":
+            "LlavaOnevisionForConditionalGeneration",
+        "BeeForConditionalGeneration":
+            "LlavaOnevisionForConditionalGeneration",
     }
     for alias, target in alias_to_target.items():
         if target in _REGISTRY and alias not in _REGISTRY:

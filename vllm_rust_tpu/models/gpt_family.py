@@ -251,9 +251,14 @@ class LNTransformer:
 
     # -- forward ------------------------------------------------------------
 
-    def __call__(self, params, input_ids, md, kv_pages):
+    def __call__(self, params, input_ids, md, kv_pages, embeds=None):
         cfg = self.config
         x = params["embed_tokens"]["weight"][input_ids]
+        if embeds is not None:
+            # multimodal injection (mask [T], override [T, H]) — same
+            # convention as llama.embed (engine/vlm.py)
+            mask, override = embeds
+            x = jnp.where(mask[:, None], override.astype(x.dtype), x)
         if self.position == "learned":
             x = x + params["pos_embed"]["weight"][
                 md.positions + self.learned_pos_offset

@@ -279,13 +279,16 @@ class Qwen2VLVisionTower:
     2-D rope attention, spatial merger (reference models/qwen2_vl.rs
     vision encoder). Qwen2.5 variant uses RMSNorm + SwiGLU blocks."""
 
-    def __init__(self, cfg: dict, dtype: Any = jnp.float32, v25: bool = False):
+    def __init__(self, cfg: dict, dtype: Any = jnp.float32, v25: bool = False,
+                 v3: bool = False):
         self.cfg = cfg
         self.dtype = dtype
         self.v25 = v25
-        if v25:
-            # Qwen2.5-VL: hidden_size = ViT width, out_hidden_size = LM width
-            self.hidden_size = int(cfg.get("hidden_size", 1280))
+        self.v3 = v3
+        if v25 or v3:
+            # Qwen2.5/3-VL: hidden_size = ViT width, out_hidden_size = LM width
+            self.hidden_size = int(cfg.get("hidden_size",
+                                           cfg.get("embed_dim", 1280)))
             self.out_hidden = int(cfg.get("out_hidden_size", 3584))
         else:
             # Qwen2-VL: embed_dim = ViT width, hidden_size = LM width
@@ -339,7 +342,11 @@ class Qwen2VLVisionTower:
                 "proj": dense(next(keys), h, h),
                 "norm2": norm(),
             }
-            if self.v25:
+            if self.v3:
+                # Qwen3-VL: SiLU MLP, linear_fc naming (qwen3_vl.rs:321-344)
+                lp["fc1"] = dense(next(keys), h, inter)
+                lp["fc2"] = dense(next(keys), inter, h)
+            elif self.v25:
                 lp["gate_proj"] = dense(next(keys), h, inter)
                 lp["up_proj"] = dense(next(keys), h, inter)
                 lp["down_proj"] = dense(next(keys), inter, h)
@@ -365,6 +372,12 @@ class Qwen2VLVisionTower:
             return _rms_norm(x, p["weight"])
         return _layer_norm(x, p, 1e-6)
 
+    @property
+    def _rope_frac(self) -> float:
+        # Qwen3-VL rotates only the first half of head_dim
+        # (qwen3_vl.rs:456-463 partial_rotary_factor=0.5)
+        return 0.5 if self.v3 else 1.0
+
     def __call__(self, params, pixel_values: jax.Array) -> jax.Array:
         """pixel_values [B, 3, H, W] -> merged features [B, merged, out]."""
         b = pixel_values.shape[0]
@@ -374,9 +387,10 @@ class Qwen2VLVisionTower:
         x = x.reshape(b, g * g, ps * ps * 3)
         # temporal patch: a still image repeats the frame
         x = jnp.concatenate([x] * self.temporal_patch_size, -1)
-        x = x @ params["patch_embed"]["weight"]
+        x = _dense(x, params["patch_embed"])
 
-        cos, sin = _rope_2d(g, self.head_dim)
+        rd = int(self.head_dim * self._rope_frac)
+        cos, sin = _rope_2d(g, rd)
         cos = cos.astype(jnp.float32)
         sin = sin.astype(jnp.float32)
         nh, hd = self.num_heads, self.head_dim
@@ -386,15 +400,27 @@ class Qwen2VLVisionTower:
             h = self._norm(x, lp["norm1"])
             qkv = _dense(h, lp["qkv"]).reshape(b, t, 3, nh, hd)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-            q = _apply_rope_half(q.astype(jnp.float32), cos, sin)
-            k = _apply_rope_half(k.astype(jnp.float32), cos, sin)
+            q = q.astype(jnp.float32)
+            k = k.astype(jnp.float32)
+            if rd < hd:
+                q = jnp.concatenate(
+                    [_apply_rope_half(q[..., :rd], cos, sin), q[..., rd:]],
+                    -1)
+                k = jnp.concatenate(
+                    [_apply_rope_half(k[..., :rd], cos, sin), k[..., rd:]],
+                    -1)
+            else:
+                q = _apply_rope_half(q, cos, sin)
+                k = _apply_rope_half(k, cos, sin)
             scores = jnp.einsum("bihd,bjhd->bhij", q, k) * (hd**-0.5)
             probs = jax.nn.softmax(scores, axis=-1)
             ctx = jnp.einsum("bhij,bjhd->bihd", probs, v.astype(jnp.float32))
             x = res + _dense(ctx.reshape(b, t, -1).astype(x.dtype), lp["proj"])
             res = x
             h = self._norm(x, lp["norm2"])
-            if self.v25:
+            if self.v3:
+                x = res + _dense(jax.nn.silu(_dense(h, lp["fc1"])), lp["fc2"])
+            elif self.v25:
                 gate = jax.nn.silu(_dense(h, lp["gate_proj"]))
                 x = res + _dense(gate * _dense(h, lp["up_proj"]), lp["down_proj"])
             else:
@@ -413,8 +439,27 @@ class Qwen2VLVisionTower:
     def load_weights(self, weights: Iterable[tuple[str, np.ndarray]]):
         params = self.init_params(rng=None)
         for name, arr in weights:
+            # Qwen3-VL naming: mlp.linear_fc1/2, merger.norm/linear_fc1/2
+            name = (name.replace(".linear_fc1.", ".fc1." if ".mlp." in name
+                                 else ".linear_fc1.")
+                    .replace(".linear_fc2.", ".fc2." if ".mlp." in name
+                             else ".linear_fc2."))
+            name = name.replace("merger.norm.", "merger.ln_q.")
+            name = name.replace("merger.linear_fc1.", "merger.mlp.0.")
+            name = name.replace("merger.linear_fc2.", "merger.mlp.2.")
             a = np.asarray(arr)
-            if name == "patch_embed.proj.weight":
+            if name == "patch_embed.proj.weight" and a.ndim == 2:
+                # Qwen3-VL linear proj [h, C*T*P*P] -> conv layout
+                h = a.shape[0]
+                tp, ps = self.temporal_patch_size, self.patch_size
+                a = a.reshape(h, 3, tp, ps, ps)
+                w = a.transpose(2, 3, 4, 1, 0).reshape(tp, -1, h)
+                params["patch_embed"]["weight"] = jnp.asarray(
+                    w.reshape(-1, h), self.dtype
+                )
+            elif name == "patch_embed.proj.bias":
+                params["patch_embed"]["bias"] = jnp.asarray(a, self.dtype)
+            elif name == "patch_embed.proj.weight":
                 # conv3d [h, 3, tp, ps, ps] -> dense [tp*ps*ps*3, h]
                 # our patch layout is [ps*ps*3] repeated tp times
                 h = a.shape[0]
