@@ -267,6 +267,9 @@ def _populate():
         from .vlm_breadth3 import register_vlm_breadth3
 
         register_vlm_breadth3(_REGISTRY)
+        from .vlm_breadth4 import register_vlm_breadth4
+
+        register_vlm_breadth4(_REGISTRY)
     except ImportError:
         pass
     _register_aliases()
@@ -356,6 +359,25 @@ def _register_aliases():
             "LlavaOnevisionForConditionalGeneration",
         "BeeForConditionalGeneration":
             "LlavaOnevisionForConditionalGeneration",
+        # reference-grouped VLM/encoder aliases (registry.rs
+        # ArchitectureInfo arch_names lists)
+        "BertForTokenClassification": "BertModel",
+        "HF_ColBERT": "ColBERTModel",
+        "H2OVLChatModel": "InternVLChatModel",
+        "SkyworkR1VChatModel": "InternVLChatModel",
+        "Llama4VLForConditionalGeneration": "Llama4ForConditionalGeneration",
+        "MLlama4ForConditionalGeneration": "Llama4ForConditionalGeneration",
+        "ModernBertForTokenClassification": "ModernBertModel",
+        "MiniCPMVForConditionalGeneration": "MiniCPMV",
+        "OpenCUAForConditionalGeneration":
+            "Qwen2_5_VLForConditionalGeneration",
+        "VoxtralRealtimeGeneration": "VoxtralForConditionalGeneration",
+        "InternS1ForConditionalGeneration":
+            "InternVLForConditionalGeneration",
+        # LightOnOCR ships the Mistral3/Pixtral factory
+        # (factories/light_on_ocr.rs new_lighton)
+        "LightOnOCRForConditionalGeneration":
+            "Mistral3ForConditionalGeneration",
     }
     for alias, target in alias_to_target.items():
         if target in _REGISTRY and alias not in _REGISTRY:

@@ -356,9 +356,13 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
 
     # -- forward --------------------------------------------------------------
 
-    def __call__(self, params, input_ids, md, kv_pages):
+    def __call__(self, params, input_ids, md, kv_pages, embeds=None):
         cfg = self.config
         x = params["embed_tokens"]["weight"][input_ids]
+        if embeds is not None:
+            # multimodal injection (DeepSeek-VL2/Kimi-VL wrappers)
+            mask, override = embeds
+            x = jnp.where(mask[:, None], override.astype(x.dtype), x)
         rope_tables = (params["rope_cos"], params["rope_sin"])
         new_kv = []
         for i, lp in enumerate(params["layers"]):

@@ -154,13 +154,9 @@ class Qwen3MoeForCausalLM(LlamaForCausalLM):
         """MoE FFN hook (Glm4Moe overrides with DeepSeek-style routing)."""
         return moe_layer(self.moe_spec, lp_mlp, h, backend=self.moe_backend)
 
-    def __call__(self, params, input_ids, md, kv_pages):
+    def __call__(self, params, input_ids, md, kv_pages, embeds=None):
         cfg = self.config
-        x = params["embed_tokens"]["weight"][input_ids]
-        if self.embedding_multiplier is not None:
-            x = (x.astype(jnp.float32) * self.embedding_multiplier).astype(
-                self.dtype
-            )
+        x = self.embed(params, input_ids, embeds)
         new_kv = []
         for i, lp in enumerate(params["layers"]):
             rope_tables = self.rope_tables_for_layer(params, i)
