@@ -270,6 +270,9 @@ def _populate():
         from .vlm_breadth4 import register_vlm_breadth4
 
         register_vlm_breadth4(_REGISTRY)
+        from .audio_lmm2 import register_audio_lmm2
+
+        register_audio_lmm2(_REGISTRY)
     except ImportError:
         pass
     _register_aliases()
