@@ -1,0 +1,127 @@
+"""VLM breadth 5: GLM-OCR, PaddleOCR-VL, LFM2-VL, Phi-4-MM, BLIP-2."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_rust_tpu.config import ModelConfig
+from vllm_rust_tpu.models import from_config
+
+_VIS = dict(hidden_size=16, intermediate_size=32, num_hidden_layers=2,
+            num_attention_heads=2, image_size=56, patch_size=14)
+
+
+def _text(**over):
+    d = dict(
+        model_type="qwen2", vocab_size=160, hidden_size=32,
+        intermediate_size=48, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=8, max_position_embeddings=128,
+        eos_token_id=1, tie_word_embeddings=True,
+    )
+    d.update(over)
+    return d
+
+
+def _img(m, n, dim=32, size=56):
+    params = m.init_params(jax.random.PRNGKey(0))
+    pix = jax.random.normal(jax.random.PRNGKey(1), (1, 3, size, size))
+    emb = m.encode_images(params, pix)
+    assert emb.shape == (n, dim), emb.shape
+    assert np.isfinite(np.asarray(emb)).all()
+    return params, emb
+
+
+def test_glm_ocr():
+    cfg = ModelConfig.from_dict(dict(
+        architectures=["GlmOcrForConditionalGeneration"],
+        model_type="glm_ocr", vocab_size=160, hidden_size=32,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=128, eos_token_id=1,
+        text_config=_text(model_type="glm4"),
+        vision_config=dict(hidden_size=16, out_hidden_size=32,
+                           intermediate_size=24, depth=2, num_heads=2,
+                           patch_size=14, spatial_merge_size=2,
+                           image_size=56),
+    ))
+    m = from_config(cfg, dtype=jnp.float32)
+    assert m.vision.qk_norm and m.vision.use_bias
+    params = m.init_params(jax.random.PRNGKey(0))
+    lp = params["vision_tower"]["layers"][0]
+    assert "q_norm" in lp and "bias" in lp["qkv"]
+    _img(m, 4)
+
+
+def test_paddleocr_vl():
+    cfg = ModelConfig.from_dict(dict(
+        architectures=["PaddleOCRVLForConditionalGeneration"],
+        model_type="paddleocr_vl", vocab_size=160, hidden_size=32,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=128, eos_token_id=1,
+        text_config=_text(model_type="ernie4_5"),
+        vision_config=dict(_VIS),
+    ))
+    m = from_config(cfg, dtype=jnp.float32)
+    _img(m, 4)
+
+
+def test_lfm2_vl():
+    cfg = ModelConfig.from_dict(dict(
+        architectures=["Lfm2VLForConditionalGeneration"],
+        model_type="lfm2_vl", vocab_size=160, hidden_size=32,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=128, eos_token_id=1,
+        downsample_factor=2, projector_hidden_size=24,
+        text_config=_text(model_type="lfm2", conv_L_cache=3,
+                          layer_types=["full_attention", "conv"],
+                          norm_eps=1e-5, num_heads=4),
+        vision_config=dict(_VIS),
+    ))
+    m = from_config(cfg, dtype=jnp.float32)
+    params = m.init_params(jax.random.PRNGKey(0))
+    pix = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 56, 56))
+    emb = m.encode_images(params, pix)
+    assert emb.shape == (4, 32)
+
+
+def test_phi4mm():
+    cfg = ModelConfig.from_dict(dict(
+        architectures=["Phi4MMForCausalLM"], model_type="phi4mm",
+        vocab_size=160, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, max_position_embeddings=128, eos_token_id=1,
+        tie_word_embeddings=True, image_token_id=2,
+        img_processor=dict(_VIS),
+    ))
+    m = from_config(cfg, dtype=jnp.float32)
+    _img(m, 4)
+
+
+def test_blip2():
+    cfg = ModelConfig.from_dict(dict(
+        architectures=["Blip2ForConditionalGeneration"], model_type="blip-2",
+        vocab_size=160, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=128, eos_token_id=1,
+        num_query_tokens=8,
+        text_config=_text(model_type="llama"),
+        qformer_config=dict(hidden_size=16, num_hidden_layers=2,
+                            num_attention_heads=2, intermediate_size=32,
+                            cross_attention_frequency=2),
+        vision_config=dict(_VIS),
+    ))
+    m = from_config(cfg, dtype=jnp.float32)
+    assert m.tokens_per_image == 8
+    params = m.init_params(jax.random.PRNGKey(0))
+    lp = params["projector"]["layers"]
+    assert "xq" in lp[0] and "xq" not in lp[1]  # cross-attn every 2nd
+    pix = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 56, 56))
+    emb = m.encode_images(params, pix)
+    assert emb.shape == (16, 32)  # 2 images x 8 queries
+
+
+def test_breadth5_aliases():
+    from vllm_rust_tpu.models import supported_architectures
+
+    archs = supported_architectures()
+    for a in ("Lfm2VlForConditionalGeneration", "MiniCPMOForCausalLM",
+              "MiniCPMO"):
+        assert a in archs, a

@@ -273,6 +273,9 @@ def _populate():
         from .audio_lmm2 import register_audio_lmm2
 
         register_audio_lmm2(_REGISTRY)
+        from .vlm_breadth5 import register_vlm_breadth5
+
+        register_vlm_breadth5(_REGISTRY)
     except ImportError:
         pass
     _register_aliases()

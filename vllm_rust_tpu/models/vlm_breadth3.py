@@ -76,6 +76,11 @@ class Glm41VisionTower:
     conv downsample over merge blocks → merger (proj → LayerNorm →
     GELU → SwiGLU)."""
 
+    # GLM-OCR variant (glm_ocr.rs): per-head q/k norms, biased qkv/proj
+    # and biased SwiGLU
+    qk_norm = False
+    use_bias = False
+
     def __init__(self, cfg: dict, dtype: Any = jnp.float32):
         self.cfg = cfg
         self.dtype = dtype
@@ -118,15 +123,23 @@ class Glm41VisionTower:
                     ).astype(d)
 
         layers = []
+        hd = self.head_dim
         for _ in range(self.num_layers):
-            layers.append({
+            lp = {
                 "norm1": jnp.ones((h,), d),
                 "qkv": {"weight": w(next(keys), (h, 3 * h))},
                 "proj": {"weight": w(next(keys), (h, h))},
                 "norm2": jnp.ones((h,), d),
                 "gate_up_proj": {"weight": w(next(keys), (h, 2 * mlp_dim))},
                 "down_proj": {"weight": w(next(keys), (mlp_dim, h))},
-            })
+            }
+            if self.use_bias:
+                for k in ("qkv", "proj", "gate_up_proj", "down_proj"):
+                    lp[k]["bias"] = jnp.zeros(lp[k]["weight"].shape[1], d)
+            if self.qk_norm:
+                lp["q_norm"] = jnp.ones((hd,), d)
+                lp["k_norm"] = jnp.ones((hd,), d)
+            layers.append(lp)
         m = self.merge_size
         return {
             "patch_embed": {
@@ -187,6 +200,9 @@ class Glm41VisionTower:
             qkv = _dense(h, lp["qkv"]).reshape(b, t, 3, nh, hd)
             q, k, v = (qkv[:, :, 0].astype(jnp.float32),
                        qkv[:, :, 1].astype(jnp.float32), qkv[:, :, 2])
+            if self.qk_norm:
+                q = _rms_norm(q, lp["q_norm"], self.eps)
+                k = _rms_norm(k, lp["k_norm"], self.eps)
             q = jnp.concatenate(
                 [_apply_rope_half(q[..., :rd], cos, sin), q[..., rd:]], -1)
             k = jnp.concatenate(
@@ -259,9 +275,14 @@ class Glm41VisionTower:
                 if sub in ("norm1", "norm2"):
                     lp[sub] = jnp.asarray(a, self.dtype)
                 elif sub == "attn":
-                    lp[parts[3]]["weight"] = jnp.asarray(a.T, self.dtype)
+                    if parts[3] in ("q_norm", "k_norm"):
+                        lp[parts[3]] = jnp.asarray(a, self.dtype)
+                    else:
+                        lp[parts[3]][parts[-1]] = jnp.asarray(
+                            a.T if parts[-1] == "weight" else a, self.dtype)
                 elif sub == "mlp":
-                    lp[parts[3]]["weight"] = jnp.asarray(a.T, self.dtype)
+                    lp[parts[3]][parts[-1]] = jnp.asarray(
+                        a.T if parts[-1] == "weight" else a, self.dtype)
         return params
 
 
