@@ -125,3 +125,23 @@ def test_breadth5_aliases():
     for a in ("Lfm2VlForConditionalGeneration", "MiniCPMOForCausalLM",
               "MiniCPMO"):
         assert a in archs, a
+
+
+def test_qwen_vl_v1():
+    cfg = ModelConfig.from_dict(dict(
+        architectures=["QwenVLForConditionalGeneration"], model_type="qwen",
+        vocab_size=160, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        head_dim=8, max_position_embeddings=128, eos_token_id=1,
+        tie_word_embeddings=True, image_start_id=1,
+        visual=dict(width=16, layers=2, heads=2, mlp_width=32,
+                    patch_size=14, image_size=56, output_dim=32,
+                    n_queries=4, pool_heads=2),
+    ))
+    m = from_config(cfg, dtype=jnp.float32)
+    assert m.tokens_per_image == 4
+    params = m.init_params(jax.random.PRNGKey(0))
+    pix = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 56, 56))
+    emb = m.encode_images(params, pix)
+    assert emb.shape == (4, 32)
+    assert np.isfinite(np.asarray(emb)).all()

@@ -389,6 +389,250 @@ class Blip2ForConditionalGeneration(VlmBase):
         return x.reshape(-1, x.shape[-1])
 
 
+# -- Qwen-VL v1 ------------------------------------------------------------------
+
+
+class QwenVLVisionTower:
+    """Legacy Qwen-VL CLIP-style ViT (reference models/qwen_vl.rs):
+    conv patch embed (no bias) + interpolated learnable positions →
+    ln_pre → resblocks (ln_1/attn(in_proj fused)/ln_2/c_fc-gelu-c_proj)
+    → cross-attention resampler (`attn_pool`, n_queries learnable
+    queries + sincos positions) → ln_post → right-multiplied `proj`."""
+
+    def __init__(self, cfg: dict, dtype: Any = jnp.float32):
+        self.dtype = dtype
+        self.width = int(cfg.get("width", cfg.get("hidden_size", 1664)))
+        self.layers = int(cfg.get("layers", cfg.get("num_hidden_layers",
+                                                    4)))
+        self.heads = int(cfg.get("heads", cfg.get("num_attention_heads",
+                                                  16)))
+        ratio = float(cfg.get("mlp_ratio", 4.0))
+        self.mlp_width = int(cfg.get("mlp_width", self.width * ratio))
+        self.patch_size = int(cfg.get("patch_size", 14))
+        self.image_size = int(cfg.get("image_size",
+                                      cfg.get("image_start_size", 448)))
+        self.output_dim = int(cfg.get("output_dim", 4096))
+        self.n_queries = int(cfg.get("n_queries", 256))
+        self.pool_heads = int(cfg.get("pool_heads",
+                                      self.output_dim // 128))
+        self.grid = self.image_size // self.patch_size
+        self.num_patches = self.grid * self.grid
+        self.hidden_size = self.output_dim
+
+    @property
+    def merged_patches(self) -> int:
+        return self.n_queries
+
+    def init_params(self, rng=None, scale: float = 0.02):
+        d = self.dtype
+        w_, od = self.width, self.output_dim
+        n_keys = self.layers * 4 + 8
+        keys = iter(jax.random.split(rng, n_keys) if rng is not None
+                    else [None] * n_keys)
+
+        def w(key, shape):
+            if key is None:
+                return jnp.zeros(shape, d)
+            return (scale * jax.random.normal(key, shape, jnp.float32)
+                    ).astype(d)
+
+        def dense(key, din, dout):
+            return {"weight": w(key, (din, dout)),
+                    "bias": jnp.zeros((dout,), d)}
+
+        def ln(size):
+            return {"weight": jnp.ones((size,), d),
+                    "bias": jnp.zeros((size,), d)}
+
+        layers = []
+        for _ in range(self.layers):
+            layers.append({
+                "ln_1": ln(w_), "ln_2": ln(w_),
+                "in_proj": dense(next(keys), w_, 3 * w_),
+                "out_proj": dense(next(keys), w_, w_),
+                "c_fc": dense(next(keys), w_, self.mlp_width),
+                "c_proj": dense(next(keys), self.mlp_width, w_),
+            })
+        return {
+            "conv1": {"weight": w(next(keys),
+                                  (self.patch_size**2 * 3, w_))},
+            "positional_embedding": w(next(keys), (self.n_queries, w_)),
+            "ln_pre": ln(w_),
+            "layers": layers,
+            "attn_pool": {
+                "query": w(next(keys), (self.n_queries, od)),
+                "pos_embed": w(next(keys), (self.n_queries, od)),
+                "kv_proj": {"weight": w(next(keys), (w_, od))},
+                "ln_q": ln(od), "ln_kv": ln(od),
+                "in_proj": dense(next(keys), od, 3 * od),
+                "out_proj": dense(next(keys), od, od),
+            },
+            "ln_post": ln(od),
+            "proj": w(next(keys), (od, od)),
+        }
+
+    def __call__(self, params, pixel_values: jax.Array) -> jax.Array:
+        b = pixel_values.shape[0]
+        ps, g = self.patch_size, self.grid
+        x = pixel_values.astype(self.dtype).transpose(0, 2, 3, 1)
+        x = x.reshape(b, g, ps, g, ps, 3).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, g * g, ps * ps * 3)
+        x = x @ params["conv1"]["weight"]
+        # interpolate the [n_queries, width] table to the patch grid
+        pe = params["positional_embedding"]
+        pg = int(pe.shape[0] ** 0.5)
+        pe2 = pe.reshape(pg, pg, -1)
+        if pg != g:
+            pe2 = jax.image.resize(pe2.astype(jnp.float32),
+                                   (g, g, pe2.shape[-1]), "bilinear")
+        x = x + pe2.reshape(1, g * g, -1).astype(x.dtype)
+        x = _layer_norm(x, params["ln_pre"], 1e-6)
+
+        nh = self.heads
+        hd = self.width // nh
+        t = x.shape[1]
+        for lp in params["layers"]:
+            res = x
+            h = _layer_norm(x, lp["ln_1"], 1e-6)
+            qkv = _dense(h, lp["in_proj"]).reshape(b, t, 3, nh, hd)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            s = jnp.einsum("bihd,bjhd->bhij", q.astype(jnp.float32),
+                           k.astype(jnp.float32)) * (hd**-0.5)
+            pr = jax.nn.softmax(s, axis=-1)
+            ctx = jnp.einsum("bhij,bjhd->bihd", pr,
+                             v.astype(jnp.float32)).reshape(b, t, -1)
+            x = res + _dense(ctx.astype(x.dtype), lp["out_proj"])
+            res = x
+            h = _layer_norm(x, lp["ln_2"], 1e-6)
+            x = res + _dense(jax.nn.gelu(_dense(h, lp["c_fc"])),
+                             lp["c_proj"])
+
+        # resampler: queries cross-attend to projected patches
+        ap = params["attn_pool"]
+        od = self.output_dim
+        kv = _layer_norm(x @ ap["kv_proj"]["weight"], ap["ln_kv"], 1e-6)
+        # interpolated key positions from the query pos table
+        kp = ap["pos_embed"]
+        kg = int(kp.shape[0] ** 0.5)
+        kp2 = kp.reshape(kg, kg, -1)
+        if kg != g:
+            kp2 = jax.image.resize(kp2.astype(jnp.float32),
+                                   (g, g, kp2.shape[-1]), "bilinear")
+        k_in = kv + kp2.reshape(1, g * g, -1).astype(kv.dtype)
+        q_in = _layer_norm(ap["query"], ap["ln_q"], 1e-6)[None] \
+            + ap["pos_embed"][None]
+        q_in = jnp.broadcast_to(q_in, (b, self.n_queries, od))
+        ph = self.pool_heads
+        phd = od // ph
+        wq, wk, wv = jnp.split(ap["in_proj"]["weight"], 3, axis=1)
+        bq, bk, bv = jnp.split(ap["in_proj"]["bias"], 3)
+        q = (q_in @ wq + bq).reshape(b, -1, ph, phd)
+        k = (k_in @ wk + bk).reshape(b, -1, ph, phd)
+        v = (kv @ wv + bv).reshape(b, -1, ph, phd)
+        s = jnp.einsum("bihd,bjhd->bhij", q.astype(jnp.float32),
+                       k.astype(jnp.float32)) * (phd**-0.5)
+        pr = jax.nn.softmax(s, axis=-1)
+        ctx = jnp.einsum("bhij,bjhd->bihd", pr,
+                         v.astype(jnp.float32)).reshape(b, -1, od)
+        x = _dense(ctx.astype(kv.dtype), ap["out_proj"])
+        x = _layer_norm(x, params["ln_post"], 1e-6)
+        return x @ params["proj"]
+
+    def load_weights(self, weights: Iterable[tuple[str, np.ndarray]]):
+        params = self.init_params(rng=None)
+        for name, arr in weights:
+            a = np.asarray(arr)
+            parts = name.split(".")
+            leaf = parts[-1]
+            if name == "conv1.weight":  # [w, 3, ps, ps] no bias
+                params["conv1"]["weight"] = jnp.asarray(
+                    a.transpose(2, 3, 1, 0).reshape(-1, a.shape[0]),
+                    self.dtype)
+            elif name == "positional_embedding":
+                params["positional_embedding"] = jnp.asarray(a, self.dtype)
+            elif name == "proj":
+                params["proj"] = jnp.asarray(a, self.dtype)
+            elif parts[0] in ("ln_pre", "ln_post"):
+                params[parts[0]][leaf] = jnp.asarray(a, self.dtype)
+            elif parts[0] == "attn_pool":
+                ap = params["attn_pool"]
+                if parts[1] in ("query", "pos_embed"):
+                    ap[parts[1]] = jnp.asarray(a, self.dtype)
+                elif parts[1] == "kv_proj":
+                    ap["kv_proj"]["weight"] = jnp.asarray(a.T, self.dtype)
+                elif parts[1] in ("ln_q", "ln_kv"):
+                    ap[parts[1]][leaf] = jnp.asarray(a, self.dtype)
+                elif parts[1] == "attn":
+                    if leaf == "in_proj_weight":
+                        ap["in_proj"]["weight"] = jnp.asarray(a.T,
+                                                              self.dtype)
+                    elif leaf == "in_proj_bias":
+                        ap["in_proj"]["bias"] = jnp.asarray(a, self.dtype)
+                    else:
+                        ap["out_proj"][leaf] = jnp.asarray(
+                            a.T if leaf == "weight" else a, self.dtype)
+            elif parts[0] == "transformer" and parts[1] == "resblocks":
+                lp = params["layers"][int(parts[2])]
+                sub = parts[3]
+                if sub in ("ln_1", "ln_2"):
+                    lp[sub][leaf] = jnp.asarray(a, self.dtype)
+                elif sub == "attn":
+                    if leaf == "in_proj_weight":
+                        lp["in_proj"]["weight"] = jnp.asarray(a.T,
+                                                              self.dtype)
+                    elif leaf == "in_proj_bias":
+                        lp["in_proj"]["bias"] = jnp.asarray(a, self.dtype)
+                    else:
+                        lp["out_proj"][leaf] = jnp.asarray(
+                            a.T if leaf == "weight" else a, self.dtype)
+                elif sub == "mlp":
+                    lp[parts[4]][leaf] = jnp.asarray(
+                        a.T if leaf == "weight" else a, self.dtype)
+        return params
+
+
+class QwenVLForConditionalGeneration(VlmBase):
+    """Legacy Qwen-VL (reference models/qwen_vl.rs): the CLIP-style
+    visual encoder with the cross-attention resampler feeding the
+    original Qwen-v1 language model (weights under
+    `transformer.visual.*`)."""
+
+    def _build(self, ex: dict):
+        import dataclasses
+
+        from . import from_config
+
+        text_cfg = dict(ex.get("text_config", {}))
+        if text_cfg:
+            self._make_text_model(text_cfg, "QWenLMHeadModel")
+        else:
+            self.text_config = dataclasses.replace(
+                self.config, architectures=["QWenLMHeadModel"]
+            )
+            self.lm = from_config(self.text_config, dtype=self.dtype)
+        self.vision = QwenVLVisionTower(dict(ex.get("visual",
+                                                    ex.get("vision_config",
+                                                           {}))),
+                                        dtype=self.dtype)
+        self.image_token_index = int(ex.get("image_start_id", 151857)) + 1
+        self.tokens_per_image = self.vision.n_queries
+
+    def _init_projector(self, rng, scale):
+        return {}
+
+    def _load_projector(self, raw):
+        return {}
+
+    def _route_weight(self, name: str):
+        if name.startswith("transformer.visual."):
+            return "vision", name.removeprefix("transformer.visual.")
+        return "lm", name
+
+    def encode_images(self, params, pixel_values: jax.Array) -> jax.Array:
+        x = self.vision(params["vision_tower"], pixel_values)
+        return x.reshape(-1, x.shape[-1])
+
+
 def register_vlm_breadth5(registry: dict) -> None:
     from .vlm_breadth2 import MiniCPMVForCausalLM
 
@@ -405,4 +649,6 @@ def register_vlm_breadth5(registry: dict) -> None:
         # runs at Python preprocessing time)
         "MiniCPMOForCausalLM": MiniCPMVForCausalLM,
         "MiniCPMO": MiniCPMVForCausalLM,
+        "QwenVLForConditionalGeneration": QwenVLForConditionalGeneration,
+        "QWenVLForConditionalGeneration": QwenVLForConditionalGeneration,
     })
