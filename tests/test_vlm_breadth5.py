@@ -145,3 +145,80 @@ def test_qwen_vl_v1():
     emb = m.encode_images(params, pix)
     assert emb.shape == (4, 32)
     assert np.isfinite(np.asarray(emb)).all()
+
+
+def test_aria():
+    cfg = ModelConfig.from_dict(dict(
+        architectures=["AriaForConditionalGeneration"], model_type="aria",
+        vocab_size=160, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=128, eos_token_id=1,
+        image_token_index=2,
+        projector_patch_to_query_dict={"16": 4},
+        text_config=_text(model_type="llama", moe_num_experts=4,
+                          moe_topk=2, moe_num_shared_experts=1,
+                          moe_intermediate_size=16),
+        vision_config=dict(_VIS),
+    ))
+    m = from_config(cfg, dtype=jnp.float32)
+    assert m.tokens_per_image == 4
+    assert m.lm.moe_spec.num_experts == 4
+    params = m.init_params(jax.random.PRNGKey(0))
+    assert "q_norm" not in params["language_model"]["layers"][0]["self_attn"]
+    pix = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 56, 56))
+    emb = m.encode_images(params, pix)
+    assert emb.shape == (4, 32)
+    assert np.isfinite(np.asarray(emb)).all()
+
+
+def test_aria_expert_weight_split():
+    import numpy as np
+    from vllm_rust_tpu.models.vlm_breadth6 import AriaTextMoeForCausalLM
+
+    cfg = ModelConfig.from_dict(dict(
+        architectures=["AriaTextMoeForCausalLM"], model_type="aria_moe",
+        **{k: v for k, v in _text(model_type="llama").items()
+           if k != "model_type"},
+        moe_num_experts=2, moe_topk=1, moe_num_shared_experts=1,
+        moe_intermediate_size=16,
+    ))
+    m = from_config(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    h, inter = 32, 16
+    stream = [
+        ("model.layers.0.mlp.experts.fc1.weight",
+         rng.normal(size=(2, 2 * inter, h)).astype(np.float32) * 0.05),
+        ("model.layers.0.mlp.experts.fc2.weight",
+         rng.normal(size=(2, h, inter)).astype(np.float32) * 0.05),
+        ("model.layers.0.mlp.router.weight",
+         rng.normal(size=(2, h)).astype(np.float32) * 0.05),
+        ("model.layers.0.mlp.shared_experts.gate_proj.weight",
+         rng.normal(size=(inter, h)).astype(np.float32) * 0.05),
+    ]
+    params = m.load_weights(stream)
+    mlp = params["layers"][0]["mlp"]
+    assert mlp["experts"]["gate_proj"]["weight"].shape == (2, h, inter)
+    assert mlp["experts"]["down_proj"]["weight"].shape == (2, inter, h)
+    assert mlp["shared_expert"]["gate_proj"]["weight"].shape == (h, inter)
+
+
+def test_step3_vl():
+    cfg = ModelConfig.from_dict(dict(
+        architectures=["Step3VLForConditionalGeneration"],
+        model_type="step3_vl", vocab_size=160, hidden_size=32,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=128, eos_token_id=1, image_token_id=2,
+        text_config=dict(_text(model_type="step3_text"), head_dim=8,
+                         moe_num_experts=2, moe_top_k=1,
+                         moe_intermediate_size=16, share_q_dim=16,
+                         share_expert_dim=16),
+        vision_config=dict(hidden_size=16, intermediate_size=32,
+                           num_hidden_layers=2, num_attention_heads=2,
+                           image_size=56, patch_size=14),
+    ))
+    m = from_config(cfg, dtype=jnp.float32)
+    assert m.tokens_per_image == 4  # grid 4 -> conv1 3 -> conv2 2 -> 4
+    params = m.init_params(jax.random.PRNGKey(0))
+    pix = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 56, 56))
+    emb = m.encode_images(params, pix)
+    assert emb.shape == (4, 32)
+    assert np.isfinite(np.asarray(emb)).all()

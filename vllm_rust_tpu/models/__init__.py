@@ -276,6 +276,9 @@ def _populate():
         from .vlm_breadth5 import register_vlm_breadth5
 
         register_vlm_breadth5(_REGISTRY)
+        from .vlm_breadth6 import register_vlm_breadth6
+
+        register_vlm_breadth6(_REGISTRY)
     except ImportError:
         pass
     _register_aliases()

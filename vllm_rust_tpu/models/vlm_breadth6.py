@@ -1,0 +1,458 @@
+"""VLM breadth 6: Aria, Step3-VL.
+
+Reference: models/{aria.rs, step3_vl.rs}.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..layers.moe import MoESpec
+from .qwen3_moe import Qwen3MoeForCausalLM
+from .vision import SiglipVisionTower, _dense, _layer_norm
+from .vlm_breadth import VlmBase
+
+
+# -- Aria ------------------------------------------------------------------------
+
+
+class AriaTextMoeForCausalLM(Qwen3MoeForCausalLM):
+    """Aria text model (reference aria.rs:447-520): Llama decoder with
+    every MLP replaced by an MoE layer — router [E, h], always-active
+    shared SwiGLU experts, sparse experts with fused fc1 (gate|up) and
+    fc2 weights."""
+
+    def __init__(self, config: ModelConfig, dtype: Any = jnp.bfloat16):
+        ex = config.extra
+        super().__init__(config, dtype)
+        config.qk_norm = False
+        self.attn_specs = tuple(
+            self._make_attn_spec(i) for i in range(config.num_hidden_layers)
+        )
+        inter = config.moe_intermediate_size or config.intermediate_size
+        n_shared = int(ex.get("moe_num_shared_experts", 2))
+        config.shared_expert_intermediate_size = inter * n_shared
+        self.moe_spec = MoESpec(
+            num_experts=int(ex.get("moe_num_experts", 8)),
+            top_k=int(ex.get("moe_topk", 2)),
+            norm_topk_prob=True,
+            scoring="softmax",
+            act="silu",
+            has_shared_expert=n_shared > 0,
+        )
+
+    def init_params(self, rng=None, scale: float = 0.02):
+        params = super().init_params(rng, scale)
+        for lp in params["layers"]:
+            sa = lp["self_attn"]
+            sa.pop("q_norm", None)
+            sa.pop("k_norm", None)
+            lp["mlp"].pop("shared_expert_gate", None)
+        return params
+
+    def load_weights(self, weights):
+        # aria expert naming: experts.fc1 (fused gate|up, [E, 2I, h]) and
+        # experts.fc2 ([E, h, I]); router at mlp.router.weight; shared
+        # experts at mlp.shared_experts.*
+        def gen():
+            for name, arr in weights:
+                if ".mlp.experts.fc1." in name:
+                    a = np.asarray(arr)
+                    g, u = np.split(a, 2, axis=1)  # [E, I, h] each
+                    for j in range(a.shape[0]):
+                        yield (name.replace("experts.fc1",
+                                            f"experts.{j}.gate_proj"), g[j])
+                        yield (name.replace("experts.fc1",
+                                            f"experts.{j}.up_proj"), u[j])
+                elif ".mlp.experts.fc2." in name:
+                    a = np.asarray(arr)
+                    for j in range(a.shape[0]):
+                        yield (name.replace("experts.fc2",
+                                            f"experts.{j}.down_proj"), a[j])
+                else:
+                    yield (name.replace(".mlp.shared_experts.",
+                                        ".mlp.shared_expert."), arr)
+        return super().load_weights(gen())
+
+    def _param_path(self, name: str):
+        parts = name.removeprefix("model.").split(".")
+        if len(parts) >= 5 and parts[2] == "mlp" and \
+                parts[3] == "shared_expert":
+            return (["layers", int(parts[1]), "mlp", "shared_expert",
+                     parts[4], "weight"], True)
+        return super()._param_path(name)
+
+
+class AriaForConditionalGeneration(VlmBase):
+    """Aria (reference models/aria.rs): SigLIP tower (identity
+    post-norm) + cross-attention projector (learnable queries with
+    external q/k/v projections feeding a fused MHA, then LN + MLP) into
+    the Aria Llama-MoE text model."""
+
+    def _build(self, ex: dict):
+        self._make_text_model(
+            dict(ex.get("text_config", {}),
+                 architectures=["AriaTextMoeForCausalLM"]),
+            "AriaTextMoeForCausalLM")
+        self.vision = SiglipVisionTower(dict(ex.get("vision_config", {})),
+                                        dtype=self.dtype)
+        self.vision.post_ln_on_output = False  # aria.rs identity post-norm
+        self.image_token_index = int(ex.get("image_token_index", 9))
+        p2q = ex.get("projector_patch_to_query_dict") or {}
+        self.queries = int(
+            p2q.get(str(self.vision.num_patches),
+                    next(iter(p2q.values()), 128)))
+        self.tokens_per_image = self.queries
+
+    def _init_projector(self, rng, scale):
+        hv = self.vision.hidden_size
+        ht = self.text_config.hidden_size
+        ff = int(self.config.extra.get("vision_feature_hidden",
+                                       4 * hv))
+
+        def w(shape):
+            return self._w(rng, shape, scale)
+
+        def dense(din, dout, bias=True):
+            p = {"weight": w((din, dout))}
+            if bias:
+                p["bias"] = jnp.zeros((dout,), self.dtype)
+            return p
+
+        def ln(size=hv):
+            return {"weight": jnp.ones((size,), self.dtype),
+                    "bias": jnp.zeros((size,), self.dtype)}
+
+        return {
+            "query": w((self.queries, hv)),
+            "cross_q": dense(hv, hv, bias=False),
+            "cross_k": dense(hv, hv, bias=False),
+            "cross_v": dense(hv, hv, bias=False),
+            "mha_in": dense(hv, 3 * hv),
+            "mha_out": dense(hv, hv),
+            "cross_linear": dense(hv, hv),
+            "cross_ln": ln(),
+            "cross_ln_kv": ln(),
+            "post_ln": ln(),
+            "ff_in": dense(hv, ff, bias=False),
+            "ff_out": dense(ff, ht, bias=False),
+        }
+
+    def _route_weight(self, name: str):
+        if "vision_tower." in name:
+            return "vision", name.split("vision_tower.", 1)[1]
+        if name.startswith("multi_modal_projector."):
+            return "proj", name.removeprefix("multi_modal_projector.")
+        if name.startswith(("language_model.", "model.language_model.")):
+            return "lm", "model." + name.split("language_model.", 1)[1]
+        if name.startswith(("model.", "lm_head.")):
+            return "lm", name
+        return None
+
+    def _load_projector(self, raw):
+        proj = self._init_projector(None, 0.0)
+        slot = {
+            "query": "query",
+            "cross_attn.q_proj": "cross_q",
+            "cross_attn.k_proj": "cross_k",
+            "cross_attn.v_proj": "cross_v",
+            "cross_attn.multihead_attn.out_proj": "mha_out",
+            "cross_attn.linear": "cross_linear",
+            "cross_attn.layer_norm": "cross_ln",
+            "cross_attn.layer_norm_kv": "cross_ln_kv",
+            "layer_norm": "post_ln",
+            "feed_forward.linear_in": "ff_in",
+            "feed_forward.linear_out": "ff_out",
+        }
+        for name, arr in raw:
+            a = np.asarray(arr)
+            if name == "query":
+                proj["query"] = jnp.asarray(a, self.dtype)
+                continue
+            if name.startswith("cross_attn.multihead_attn.in_proj"):
+                leaf = "weight" if name.endswith("weight") else "bias"
+                proj["mha_in"][leaf] = jnp.asarray(
+                    a.T if leaf == "weight" else a, self.dtype)
+                continue
+            stem, leaf = name.rsplit(".", 1)
+            dest = slot.get(stem)
+            if dest:
+                proj[dest][leaf] = jnp.asarray(
+                    a.T if leaf == "weight" and a.ndim == 2 else a,
+                    self.dtype)
+        return proj
+
+    def encode_images(self, params, pixel_values: jax.Array) -> jax.Array:
+        feats = self.vision(params["vision_tower"], pixel_values)
+        p = params["projector"]
+        b = feats.shape[0]
+        hv = self.vision.hidden_size
+        nh = max(1, hv // 64)
+        hd = hv // nh
+        q = _dense(_layer_norm(
+            jnp.broadcast_to(p["query"][None], (b, self.queries, hv)),
+            p["cross_ln"], 1e-5), p["cross_q"])
+        kvn = _layer_norm(feats, p["cross_ln_kv"], 1e-5)
+        k = _dense(kvn, p["cross_k"])
+        v = _dense(kvn, p["cross_v"])
+        wq, wk, wv = jnp.split(p["mha_in"]["weight"], 3, axis=1)
+        bq, bk, bv = jnp.split(p["mha_in"]["bias"], 3)
+        q2 = (q @ wq + bq).reshape(b, -1, nh, hd)
+        k2 = (k @ wk + bk).reshape(b, -1, nh, hd)
+        v2 = (v @ wv + bv).reshape(b, -1, nh, hd)
+        s = jnp.einsum("bihd,bjhd->bhij", q2.astype(jnp.float32),
+                       k2.astype(jnp.float32)) * (hd**-0.5)
+        pr = jax.nn.softmax(s, axis=-1)
+        ctx = jnp.einsum("bhij,bjhd->bihd", pr,
+                         v2.astype(jnp.float32)).reshape(b, -1, hv)
+        out = _dense(_dense(ctx.astype(feats.dtype), p["mha_out"]),
+                     p["cross_linear"])
+        out = _layer_norm(out, p["post_ln"], 1e-5)
+        # MLP: linear_in -> gelu -> linear_out (aria.rs AriaProjectorMlp)
+        out = jax.nn.gelu(_dense(out, p["ff_in"]), approximate=False)
+        out = _dense(out, p["ff_out"])
+        return out.reshape(-1, out.shape[-1])
+
+
+# -- Step3-VL --------------------------------------------------------------------
+
+
+class Step3VisionTower:
+    """Step3 ViT (reference step3_vl.rs:161-384): conv patch embed + CLS
+    + learned positions, pre-norm layers with fused qkv_proj/out_proj
+    attention and QuickGELU fc1/fc2 MLP."""
+
+    def __init__(self, cfg: dict, dtype: Any = jnp.float32):
+        self.dtype = dtype
+        self.hidden_size = int(cfg.get("hidden_size", 1792))
+        self.inter = int(cfg.get("intermediate_size",
+                                 self.hidden_size * 4))
+        self.num_layers = int(cfg.get("num_hidden_layers",
+                                      cfg.get("layers", 4)))
+        self.num_heads = int(cfg.get("num_attention_heads",
+                                     cfg.get("heads", 16)))
+        self.patch_size = int(cfg.get("patch_size", 14))
+        self.image_size = int(cfg.get("image_size", 728))
+        self.eps = float(cfg.get("layer_norm_eps", 1e-5))
+        self.grid = self.image_size // self.patch_size
+        self.num_patches = self.grid * self.grid
+        self.head_dim = self.hidden_size // self.num_heads
+
+    def init_params(self, rng=None, scale: float = 0.02):
+        d = self.dtype
+        h = self.hidden_size
+        n_keys = self.num_layers * 4 + 4
+        keys = iter(jax.random.split(rng, n_keys) if rng is not None
+                    else [None] * n_keys)
+
+        def w(key, shape):
+            if key is None:
+                return jnp.zeros(shape, d)
+            return (scale * jax.random.normal(key, shape, jnp.float32)
+                    ).astype(d)
+
+        def dense(key, din, dout):
+            return {"weight": w(key, (din, dout)),
+                    "bias": jnp.zeros((dout,), d)}
+
+        def ln():
+            return {"weight": jnp.ones((h,), d), "bias": jnp.zeros((h,), d)}
+
+        layers = []
+        for _ in range(self.num_layers):
+            layers.append({
+                "layer_norm1": ln(), "layer_norm2": ln(),
+                "qkv_proj": dense(next(keys), h, 3 * h),
+                "out_proj": dense(next(keys), h, h),
+                "fc1": dense(next(keys), h, self.inter),
+                "fc2": dense(next(keys), self.inter, h),
+            })
+        return {
+            "patch_embedding": dense(next(keys),
+                                     self.patch_size**2 * 3, h),
+            "class_embedding": w(next(keys), (h,)),
+            "position_embedding": w(next(keys), (self.num_patches + 1, h)),
+            "layers": layers,
+        }
+
+    def __call__(self, params, pixel_values: jax.Array) -> jax.Array:
+        """[B, 3, H, W] → [B, num_patches, hidden] (CLS dropped)."""
+        b = pixel_values.shape[0]
+        ps, g = self.patch_size, self.grid
+        x = pixel_values.astype(self.dtype).transpose(0, 2, 3, 1)
+        x = x.reshape(b, g, ps, g, ps, 3).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, g * g, ps * ps * 3)
+        x = _dense(x, params["patch_embedding"])
+        cls = jnp.broadcast_to(params["class_embedding"],
+                               (b, 1, self.hidden_size)).astype(x.dtype)
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + params["position_embedding"][None]
+        nh, hd = self.num_heads, self.head_dim
+        t = x.shape[1]
+        for lp in params["layers"]:
+            res = x
+            h = _layer_norm(x, lp["layer_norm1"], self.eps)
+            qkv = _dense(h, lp["qkv_proj"]).reshape(b, t, 3, nh, hd)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            s = jnp.einsum("bihd,bjhd->bhij", q.astype(jnp.float32),
+                           k.astype(jnp.float32)) * (hd**-0.5)
+            pr = jax.nn.softmax(s, axis=-1)
+            ctx = jnp.einsum("bhij,bjhd->bihd", pr,
+                             v.astype(jnp.float32)).reshape(b, t, -1)
+            x = res + _dense(ctx.astype(x.dtype), lp["out_proj"])
+            res = x
+            h = _layer_norm(x, lp["layer_norm2"], self.eps)
+            inner = _dense(h, lp["fc1"])
+            inner = inner * jax.nn.sigmoid(1.702 * inner)  # QuickGELU
+            x = res + _dense(inner, lp["fc2"])
+        return x[:, 1:]  # drop CLS (reference drops CLS + 3 TP pads)
+
+    def load_weights(self, weights: Iterable[tuple[str, np.ndarray]]):
+        params = self.init_params(rng=None)
+        for name, arr in weights:
+            a = np.asarray(arr)
+            parts = name.split(".")
+            leaf = parts[-1]
+            if name.startswith("embeddings.patch_embedding."):
+                if leaf == "weight":
+                    params["patch_embedding"]["weight"] = jnp.asarray(
+                        a.transpose(2, 3, 1, 0).reshape(-1, a.shape[0]),
+                        self.dtype)
+                else:
+                    params["patch_embedding"]["bias"] = jnp.asarray(
+                        a, self.dtype)
+            elif name == "embeddings.class_embedding":
+                params["class_embedding"] = jnp.asarray(
+                    a.reshape(-1), self.dtype)
+            elif name.startswith("embeddings.position_embedding"):
+                params["position_embedding"] = jnp.asarray(a, self.dtype)
+            elif name.startswith("transformer.layers."):
+                lp = params["layers"][int(parts[2])]
+                sub = parts[3]
+                if sub in ("layer_norm1", "layer_norm2"):
+                    lp[sub][leaf] = jnp.asarray(a, self.dtype)
+                elif sub == "self_attn":
+                    lp[parts[4]][leaf] = jnp.asarray(
+                        a.T if leaf == "weight" else a, self.dtype)
+                elif sub == "mlp":
+                    lp[parts[4]][leaf] = jnp.asarray(
+                        a.T if leaf == "weight" else a, self.dtype)
+        return params
+
+
+class Step3VLForConditionalGeneration(VlmBase):
+    """Step3-VL (reference models/step3_vl.rs): Step3 ViT → Conv2d
+    downsampler (kernel 2, stride 1) → Conv2d downsampler2 (kernel 3,
+    stride 2, pad 1) → linear projector → Step3-Text MoE."""
+
+    def _build(self, ex: dict):
+        import dataclasses
+
+        from . import from_config
+
+        text_cfg = dict(ex.get("text_config", {}))
+        if text_cfg:
+            self._make_text_model(text_cfg, "Step3TextForCausalLM")
+        else:
+            self.text_config = dataclasses.replace(
+                self.config, architectures=["Step3TextForCausalLM"]
+            )
+            self.lm = from_config(self.text_config, dtype=self.dtype)
+        self.vision = Step3VisionTower(dict(ex.get("vision_config", {})),
+                                       dtype=self.dtype)
+        self.image_token_index = int(ex.get("image_token_id", 128001))
+        self.ds_hidden = int(ex.get("understand_projector_stride", 0)) or \
+            self.vision.hidden_size * 2
+        g = self.vision.grid
+        self.tokens_per_image = ((g - 1 + 1) // 2) ** 2  # after both convs
+
+    def _init_projector(self, rng, scale):
+        hv = self.vision.hidden_size
+        ht = self.text_config.hidden_size
+        d1 = hv * 2  # step3_vl.rs: 1792 -> 4096-ish (2x)
+        d2 = d1 * 2
+
+        def w(shape):
+            return self._w(rng, shape, scale)
+
+        return {
+            "downsampler1": {"weight": w((2 * 2 * hv, d1)),
+                             "bias": jnp.zeros((d1,), self.dtype)},
+            "downsampler2": {"weight": w((3 * 3 * d1, d2)),
+                             "bias": jnp.zeros((d2,), self.dtype)},
+            "projector": {"weight": w((d2, ht))},
+        }
+
+    def _route_weight(self, name: str):
+        if name.startswith("vision_model."):
+            return "vision", name.removeprefix("vision_model.")
+        if name.startswith(("vit_downsampler.", "vit_downsampler2.",
+                            "vit_large_projector.")):
+            return "proj", name
+        if name.startswith("language_model."):
+            return "lm", name.removeprefix("language_model.")
+        if name.startswith(("model.", "lm_head.")):
+            return "lm", name
+        return None
+
+    def _load_projector(self, raw):
+        proj = self._init_projector(None, 0.0)
+        for name, arr in raw:
+            a = np.asarray(arr)
+            leaf = name.rsplit(".", 1)[1]
+            if name.startswith("vit_downsampler."):
+                if leaf == "weight":  # conv [out, in, 2, 2]
+                    proj["downsampler1"]["weight"] = jnp.asarray(
+                        a.transpose(2, 3, 1, 0).reshape(-1, a.shape[0]),
+                        self.dtype)
+                else:
+                    proj["downsampler1"]["bias"] = jnp.asarray(a, self.dtype)
+            elif name.startswith("vit_downsampler2."):
+                if leaf == "weight":
+                    proj["downsampler2"]["weight"] = jnp.asarray(
+                        a.transpose(2, 3, 1, 0).reshape(-1, a.shape[0]),
+                        self.dtype)
+                else:
+                    proj["downsampler2"]["bias"] = jnp.asarray(a, self.dtype)
+            elif name.startswith("vit_large_projector."):
+                proj["projector"][leaf] = jnp.asarray(
+                    a.T if leaf == "weight" else a, self.dtype)
+        return proj
+
+    def encode_images(self, params, pixel_values: jax.Array) -> jax.Array:
+        feats = self.vision(params["vision_tower"], pixel_values)
+        b, n, hv = feats.shape
+        g = int(n**0.5)
+        p = params["projector"]
+        # conv1: kernel 2, stride 1 -> (g-1)^2 via NHWC lax.conv
+        x = feats.reshape(b, g, g, hv)
+        w1 = p["downsampler1"]["weight"].reshape(2, 2, hv, -1)
+        x = jax.lax.conv_general_dilated(
+            x, w1.astype(x.dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = x + p["downsampler1"]["bias"]
+        d1 = x.shape[-1]
+        # conv2: kernel 3, stride 2, pad 1
+        w2 = p["downsampler2"]["weight"].reshape(3, 3, d1, -1)
+        x = jax.lax.conv_general_dilated(
+            x, w2.astype(x.dtype), (2, 2), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = x + p["downsampler2"]["bias"]
+        gm = x.shape[1]
+        x = x.reshape(b, gm * gm, -1)
+        x = _dense(x, p["projector"])
+        return x.reshape(-1, x.shape[-1])
+
+
+def register_vlm_breadth6(registry: dict) -> None:
+    registry.update({
+        "AriaForConditionalGeneration": AriaForConditionalGeneration,
+        "AriaTextMoeForCausalLM": AriaTextMoeForCausalLM,
+        "Step3VLForConditionalGeneration": Step3VLForConditionalGeneration,
+        "StepVLForConditionalGeneration": Step3VLForConditionalGeneration,
+    })
