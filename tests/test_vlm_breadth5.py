@@ -222,3 +222,55 @@ def test_step3_vl():
     emb = m.encode_images(params, pix)
     assert emb.shape == (4, 32)
     assert np.isfinite(np.asarray(emb)).all()
+
+
+def test_molmo():
+    cfg = ModelConfig.from_dict(dict(
+        architectures=["MolmoForCausalLM"], model_type="molmo",
+        vocab_size=160, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, max_position_embeddings=128, eos_token_id=1,
+        tie_word_embeddings=True, image_token_id=2, model_type2="molmo",
+        vision_config=dict(_VIS, num_attention_heads=2),
+    ))
+    m = from_config(cfg, dtype=jnp.float32)
+    assert m.tokens_per_image == 4
+    params = m.init_params(jax.random.PRNGKey(0))
+    pix = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 56, 56))
+    emb = m.encode_images(params, pix)
+    assert emb.shape == (4, 32)
+    assert np.isfinite(np.asarray(emb)).all()
+
+
+def test_chameleon():
+    from tests.test_model_forward import make_kv_pages, md_single_seq
+
+    cfg = ModelConfig.from_dict(dict(
+        architectures=["ChameleonForConditionalGeneration"],
+        model_type="chameleon", vocab_size=160, hidden_size=32,
+        intermediate_size=48, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=8, max_position_embeddings=128,
+        eos_token_id=1, tie_word_embeddings=True, logit_scale=2.0,
+        swin_norm=False,
+    ))
+    m = from_config(cfg, dtype=jnp.float32)
+    params = m.init_params(jax.random.PRNGKey(0))
+    sa = params["layers"][0]["self_attn"]
+    assert sa["q_norm"].shape == (4, 8)   # per-head-individual weights
+    assert sa["k_norm"].shape == (2, 8)
+    assert "bias" in sa["qkv_proj"] and "bias" in params["layers"][0][
+        "mlp"]["gate_proj"]
+    ids = jnp.arange(8, dtype=jnp.int32)
+    kv = make_kv_pages(m)
+    hid, kv = m(params, ids, md_single_seq(8), kv)
+    lf = m.compute_logits(params, hid[-1:])
+    assert np.isfinite(np.asarray(lf)).all()
+    # incremental decode consistency
+    kv = make_kv_pages(m)
+    hid2, kv = m(params, ids[:5], md_single_seq(5), kv)
+    for pos in range(5, 8):
+        hid2, kv = m(params, ids[pos:pos + 1],
+                     md_single_seq(1, start_pos=pos), kv)
+    np.testing.assert_allclose(
+        np.asarray(lf), np.asarray(m.compute_logits(params, hid2[-1:])),
+        rtol=5e-4, atol=5e-4)

@@ -449,10 +449,168 @@ class Step3VLForConditionalGeneration(VlmBase):
         return x.reshape(-1, x.shape[-1])
 
 
+# -- Molmo -----------------------------------------------------------------------
+
+
+class MolmoForCausalLM(VlmBase):
+    """Molmo (reference models/molmo.rs): CLIP tower at
+    `vision_backbone.*` + 2×2 spatial pooling + `image_projector` MLP
+    into an OLMo-2 text model. The reference's per-pixel attention
+    pooling is approximated with mean pooling at the fixed grid
+    (documented divergence; the Rust reference also reduces the
+    multi-layer VIT_LAYERS extraction to a plain MLP projector)."""
+
+    def _build(self, ex: dict):
+        import dataclasses
+
+        from . import from_config
+        from .vision import CLIPVisionTower
+
+        text_cfg = dict(ex.get("text_config", {}))
+        if text_cfg:
+            self._make_text_model(text_cfg, "Olmo2ForCausalLM")
+        else:
+            self.text_config = dataclasses.replace(
+                self.config, architectures=["Olmo2ForCausalLM"]
+            )
+            self.lm = from_config(self.text_config, dtype=self.dtype)
+        self.vision = CLIPVisionTower(dict(ex.get("vision_config", {})),
+                                      dtype=self.dtype)
+        self.image_token_index = int(ex.get("image_token_id", 152066))
+        g = int(self.vision.num_patches**0.5)
+        self.grid = g
+        self.tokens_per_image = (-(-g // 2)) ** 2
+
+    def _init_projector(self, rng, scale):
+        hv = self.vision.hidden_size
+        ht = self.text_config.hidden_size
+        r1, r2 = (jax.random.split(rng) if rng is not None
+                  else (None, None))
+        return {
+            "linear_1": {"weight": self._w(r1, (hv, ht), scale),
+                         "bias": jnp.zeros((ht,), self.dtype)},
+            "linear_2": {"weight": self._w(r2, (ht, ht), scale),
+                         "bias": jnp.zeros((ht,), self.dtype)},
+        }
+
+    def _route_weight(self, name: str):
+        if name.startswith("vision_backbone."):
+            return "vision", name.removeprefix("vision_backbone.")
+        if name.startswith("image_projector."):
+            n = (name.removeprefix("image_projector.")
+                 .replace("linear.", "linear_1."))
+            return "proj", n
+        if name.startswith(("model.", "lm_head.")):
+            return "lm", name
+        return None
+
+    def encode_images(self, params, pixel_values: jax.Array) -> jax.Array:
+        feats = self.vision(params["vision_tower"], pixel_values,
+                            feature_layer=-2)
+        feats = feats[:, 1:]  # drop CLS
+        b, n, hv = feats.shape
+        g = int(n**0.5)
+        x = feats.reshape(b, g // 2, 2, g // 2, 2, hv).mean(axis=(2, 4))
+        x = x.reshape(b, -1, hv)
+        p = params["projector"]
+        x = jax.nn.gelu(_dense(x, p["linear_1"]), approximate=False)
+        x = _dense(x, p["linear_2"])
+        return x.reshape(-1, x.shape[-1])
+
+
+# -- Chameleon -------------------------------------------------------------------
+
+
+class ChameleonForConditionalGeneration:
+    """Chameleon (reference models/chameleon.rs): a llama decoder with
+    fused biased qkv, per-head-INDIVIDUAL q/k RMSNorm weights (one
+    [head_dim] vector per head, applied before RoPE) and biased MLP.
+    Images arrive as discrete VQ-GAN BPE tokens in `input_ids` (the
+    reference runs its VQVAE at preprocessing time; `model.vqmodel.*`
+    weights are skipped here and images are expected pre-tokenized)."""
+
+    def __new__(cls, config: ModelConfig, dtype: Any = jnp.bfloat16):
+        from .llama import LlamaForCausalLM
+
+        class _Chameleon(LlamaForCausalLM):
+            qkv_bias = True
+
+            def __init__(self, cfg, dt):
+                cfg.qk_norm = True
+                super().__init__(cfg, dt)
+                scale = float(cfg.extra.get("logit_scale", 1.0))
+                if scale and scale != 1.0:
+                    # llama compute_logits divides by logits_scaling
+                    cfg.logits_scaling = 1.0 / scale
+
+            def init_params(self, rng=None, scale: float = 0.02):
+                params = super().init_params(rng, scale)
+                cfg = self.config
+                h, hd = cfg.hidden_size, cfg.head_dim
+                nh, nkv = (cfg.num_attention_heads,
+                           cfg.num_key_value_heads)
+
+                def w(shape):
+                    if rng is None:
+                        return jnp.zeros(shape, self.dtype)
+                    return (scale * jax.random.normal(
+                        jax.random.PRNGKey(23), shape)).astype(self.dtype)
+
+                for lp in params["layers"]:
+                    sa = lp["self_attn"]
+                    for key in ("q_proj", "k_proj", "v_proj"):
+                        sa.pop(key, None)
+                    sa["qkv_proj"] = {
+                        "weight": w((h, (nh + 2 * nkv) * hd)),
+                        "bias": jnp.zeros(((nh + 2 * nkv) * hd,),
+                                          self.dtype),
+                    }
+                    # per-head-individual norm weights [heads, head_dim]
+                    sa["q_norm"] = jnp.ones((nh, hd), self.dtype)
+                    sa["k_norm"] = jnp.ones((nkv, hd), self.dtype)
+                    for key in ("gate_proj", "up_proj", "down_proj"):
+                        lp["mlp"][key]["bias"] = jnp.zeros(
+                            lp["mlp"][key]["weight"].shape[1], self.dtype)
+                return params
+
+            def load_weights(self, weights):
+                cfg = self.config
+                params = self.init_params(rng=None)
+                for name, arr in weights:
+                    if name.startswith("model.vqmodel."):
+                        continue  # VQVAE runs at preprocessing time
+                    n = name.removeprefix("model.")
+                    a = np.asarray(arr)
+                    parts = n.split(".")
+                    if (len(parts) >= 5 and parts[0] == "layers"
+                            and parts[2] == "self_attn"
+                            and parts[3] in ("q_norm", "k_norm")):
+                        # q_norm.{i}.weight — one row per head
+                        sa = params["layers"][int(parts[1])]["self_attn"]
+                        sa[parts[3]] = sa[parts[3]].at[int(parts[4])].set(
+                            jnp.asarray(a, self.dtype))
+                        continue
+                    path = self._param_path(name)
+                    if path is None:
+                        continue
+                    tree_path, transpose = path
+                    node = params
+                    for p in tree_path[:-1]:
+                        node = node[p]
+                    node[tree_path[-1]] = jnp.asarray(
+                        a.T if transpose else a, self.dtype)
+                return params
+
+        return _Chameleon(config, dtype)
+
+
 def register_vlm_breadth6(registry: dict) -> None:
     registry.update({
         "AriaForConditionalGeneration": AriaForConditionalGeneration,
         "AriaTextMoeForCausalLM": AriaTextMoeForCausalLM,
         "Step3VLForConditionalGeneration": Step3VLForConditionalGeneration,
         "StepVLForConditionalGeneration": Step3VLForConditionalGeneration,
+        "MolmoForCausalLM": MolmoForCausalLM,
+        "ChameleonForConditionalGeneration":
+            ChameleonForConditionalGeneration,
     })
