@@ -274,3 +274,43 @@ def test_chameleon():
     np.testing.assert_allclose(
         np.asarray(lf), np.asarray(m.compute_logits(params, hid2[-1:])),
         rtol=5e-4, atol=5e-4)
+
+
+def test_isaac():
+    cfg = ModelConfig.from_dict(dict(
+        architectures=["IsaacForConditionalGeneration"], model_type="isaac",
+        vocab_size=160, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=128, eos_token_id=1,
+        image_token_id=2,
+        text_config=_text(model_type="qwen3"),
+        vision_config=dict(_VIS, pixel_shuffle_scale_factor=2),
+    ))
+    m = from_config(cfg, dtype=jnp.float32)
+    assert m.tokens_per_image == 4
+    params = m.init_params(jax.random.PRNGKey(0))
+    assert "bias" not in params["projector"]["linear_fc1"]
+    pix = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 56, 56))
+    emb = m.encode_images(params, pix)
+    assert emb.shape == (4, 32)
+
+
+def test_hunyuan_vl():
+    cfg = ModelConfig.from_dict(dict(
+        architectures=["HunYuanVLForConditionalGeneration"],
+        model_type="hunyuan_vl", vocab_size=160, hidden_size=32,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=128, eos_token_id=1, image_token_id=2,
+        text_config=_text(model_type="hunyuan"),
+        vision_config=dict(hidden_size=16, out_hidden_size=32,
+                           intermediate_size=32, num_hidden_layers=2,
+                           num_attention_heads=2, patch_size=14,
+                           spatial_merge_size=2, image_size=56),
+    ))
+    m = from_config(cfg, dtype=jnp.float32)
+    # 2x2 merged grid + newline col per row + begin/end = 2*3+2 = 8
+    assert m.tokens_per_image == 8
+    params = m.init_params(jax.random.PRNGKey(0))
+    pix = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 56, 56))
+    emb = m.encode_images(params, pix)
+    assert emb.shape == (8, 32)
+    assert np.isfinite(np.asarray(emb)).all()

@@ -604,6 +604,306 @@ class ChameleonForConditionalGeneration:
         return _Chameleon(config, dtype)
 
 
+# -- Isaac -----------------------------------------------------------------------
+
+
+class IsaacForConditionalGeneration(VlmBase):
+    """Isaac (reference models/isaac.rs): SigLIP2 ViT (linear patch
+    embed, q/k/v/out attention, fc1/fc2 GELU) → pixel shuffle →
+    no-bias linear_fc1 (4× expand) → GELU → linear_fc2 → Qwen3."""
+
+    def _build(self, ex: dict):
+        self._make_text_model(ex.get("text_config", {}),
+                              "Qwen3ForCausalLM")
+        vc = dict(ex.get("vision_config", {}))
+        self.vision = SiglipVisionTower(vc, dtype=self.dtype)
+        self.scale = int(vc.get("pixel_shuffle_scale_factor",
+                                ex.get("pixel_shuffle_scale_factor", 2)))
+        self.image_token_index = int(ex.get("image_token_id", 9))
+        g = int(self.vision.num_patches**0.5)
+        self.grid = g
+        self.tokens_per_image = (g // self.scale) ** 2
+
+    def _init_projector(self, rng, scale):
+        hd = self.vision.hidden_size * self.scale**2
+        ht = self.text_config.hidden_size
+        r1, r2 = (jax.random.split(rng) if rng is not None
+                  else (None, None))
+        return {
+            "linear_fc1": {"weight": self._w(r1, (hd, 4 * hd), scale)},
+            "linear_fc2": {"weight": self._w(r2, (4 * hd, ht), scale)},
+        }
+
+    def _route_weight(self, name: str):
+        n = name.removeprefix("model.")
+        for p in ("vision_embedding.transformer.", "vision_tower."):
+            if n.startswith(p):
+                return "vision", "vision_model." + n.removeprefix(p)
+        if n.startswith("vision_embedding."):
+            return "proj", n.removeprefix("vision_embedding.")
+        if name.startswith(("model.language_model.",)):
+            return "lm", "model." + name.removeprefix(
+                "model.language_model.")
+        if name.startswith(("model.", "lm_head.")):
+            return "lm", name
+        return None
+
+    def encode_images(self, params, pixel_values: jax.Array) -> jax.Array:
+        feats = self.vision(params["vision_tower"], pixel_values)
+        b, n, c = feats.shape
+        g = int(n**0.5)
+        s = self.scale
+        x = feats.reshape(b, g // s, s, g // s, s, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, (g // s) ** 2,
+                                                  s * s * c)
+        p = params["projector"]
+        x = jax.nn.gelu(_dense(x, p["linear_fc1"]), approximate=False)
+        x = _dense(x, p["linear_fc2"])
+        return x.reshape(-1, x.shape[-1])
+
+
+# -- HunYuan-VL ------------------------------------------------------------------
+
+
+class HunYuanVisionTower:
+    """HunYuan-VL ViT (reference models/hunyuan_vision.rs): conv patch
+    embed + bilinear-resized learned positions, pre-norm LayerNorm
+    blocks (fused qkv, no-bias o_proj, dense_h_to_4h/4h_to_h GELU), then
+    the `perceive` merger: RMS → Conv2d(k=s,s=s)→GELU→Conv2d(k=1) →
+    image_newline column per row → linear `mlp` → begin/end tokens →
+    RMS."""
+
+    def __init__(self, cfg: dict, dtype: Any = jnp.float32):
+        self.dtype = dtype
+        self.hidden_size = int(cfg.get("hidden_size", 1152))
+        self.out_hidden = int(cfg.get("out_hidden_size", 4096))
+        self.inter = int(cfg.get("intermediate_size",
+                                 4 * self.hidden_size))
+        self.num_layers = int(cfg.get("num_hidden_layers", 4))
+        self.num_heads = int(cfg.get("num_attention_heads", 16))
+        self.patch_size = int(cfg.get("patch_size", 14))
+        self.merge = int(cfg.get("spatial_merge_size", 2))
+        self.image_size = int(cfg.get("image_size", 448))
+        self.eps = float(cfg.get("norm_eps", 1e-5))
+        self.grid = self.image_size // self.patch_size
+        self.num_patches = self.grid * self.grid
+        self.head_dim = self.hidden_size // self.num_heads
+        self.pos_grid = int(cfg.get("num_position_embeddings",
+                                    self.num_patches) ** 0.5)
+
+    @property
+    def merged_patches(self) -> int:
+        gm = self.grid // self.merge
+        return gm * (gm + 1) + 2  # + newline column + begin/end
+
+    def init_params(self, rng=None, scale: float = 0.02):
+        d = self.dtype
+        h = self.hidden_size
+        n_keys = self.num_layers * 4 + 8
+        keys = iter(jax.random.split(rng, n_keys) if rng is not None
+                    else [None] * n_keys)
+
+        def w(key, shape):
+            if key is None:
+                return jnp.zeros(shape, d)
+            return (scale * jax.random.normal(key, shape, jnp.float32)
+                    ).astype(d)
+
+        def dense(key, din, dout, bias=True):
+            p = {"weight": w(key, (din, dout))}
+            if bias:
+                p["bias"] = jnp.zeros((dout,), d)
+            return p
+
+        def ln(size=h):
+            return {"weight": jnp.ones((size,), d),
+                    "bias": jnp.zeros((size,), d)}
+
+        layers = []
+        for _ in range(self.num_layers):
+            layers.append({
+                "input_layernorm": ln(), "post_attention_layernorm": ln(),
+                "qkv": dense(next(keys), h, 3 * h),
+                "o_proj": dense(next(keys), h, h, bias=False),
+                "dense_h_to_4h": dense(next(keys), h, self.inter),
+                "dense_4h_to_h": dense(next(keys), self.inter, h),
+            })
+        s = self.merge
+        return {
+            "patch_embed": dense(next(keys), self.patch_size**2 * 3, h),
+            "position_embedding": w(next(keys),
+                                    (self.pos_grid**2, h)),
+            "layers": layers,
+            "perceive": {
+                "before_rms": jnp.ones((h,), d),
+                "conv1": dense(next(keys), s * s * h, 2 * h),
+                "conv2": dense(next(keys), 2 * h, 4 * h),
+                "mlp": dense(next(keys), 4 * h, self.out_hidden),
+                "image_newline": w(next(keys), (4 * h,)),
+                "image_begin": w(next(keys), (self.out_hidden,)),
+                "image_end": w(next(keys), (self.out_hidden,)),
+                "after_rms": jnp.ones((self.out_hidden,), d),
+            },
+        }
+
+    def __call__(self, params, pixel_values: jax.Array) -> jax.Array:
+        from .vlm_breadth import _rms_norm
+
+        b = pixel_values.shape[0]
+        ps, g = self.patch_size, self.grid
+        x = pixel_values.astype(self.dtype).transpose(0, 2, 3, 1)
+        x = x.reshape(b, g, ps, g, ps, 3).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, g * g, ps * ps * 3)
+        x = _dense(x, params["patch_embed"])
+        pe = params["position_embedding"].reshape(self.pos_grid,
+                                                  self.pos_grid, -1)
+        if self.pos_grid != g:
+            pe = jax.image.resize(pe.astype(jnp.float32),
+                                  (g, g, pe.shape[-1]), "bilinear")
+        x = x + pe.reshape(1, g * g, -1).astype(x.dtype)
+
+        nh, hd = self.num_heads, self.head_dim
+        t = x.shape[1]
+        for lp in params["layers"]:
+            res = x
+            h = _layer_norm(x, lp["input_layernorm"], self.eps)
+            qkv = _dense(h, lp["qkv"]).reshape(b, t, 3, nh, hd)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            s = jnp.einsum("bihd,bjhd->bhij", q.astype(jnp.float32),
+                           k.astype(jnp.float32)) * (hd**-0.5)
+            pr = jax.nn.softmax(s, axis=-1)
+            ctx = jnp.einsum("bhij,bjhd->bihd", pr,
+                             v.astype(jnp.float32)).reshape(b, t, -1)
+            x = res + _dense(ctx.astype(x.dtype), lp["o_proj"])
+            res = x
+            h = _layer_norm(x, lp["post_attention_layernorm"], self.eps)
+            x = res + _dense(
+                jax.nn.gelu(_dense(h, lp["dense_h_to_4h"]),
+                            approximate=False),
+                lp["dense_4h_to_h"])
+
+        pv = params["perceive"]
+        x = _rms_norm(x, pv["before_rms"], self.eps)
+        m = self.merge
+        h_ = self.hidden_size
+        gm = g // m
+        x = x.reshape(b, gm, m, gm, m, h_).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, gm * gm, m * m * h_)
+        x = jax.nn.gelu(_dense(x, pv["conv1"]), approximate=False)
+        x = _dense(x, pv["conv2"])  # [b, gm*gm, 4h]
+        # append the newline separator to every row (hunyuan_vision.rs)
+        x = x.reshape(b, gm, gm, -1)
+        nl = jnp.broadcast_to(pv["image_newline"],
+                              (b, gm, 1, x.shape[-1])).astype(x.dtype)
+        x = jnp.concatenate([x, nl], axis=2).reshape(b, gm * (gm + 1), -1)
+        x = _dense(x, pv["mlp"])
+        x = _rms_norm(x, pv["after_rms"], self.eps)
+        begin = jnp.broadcast_to(pv["image_begin"],
+                                 (b, 1, self.out_hidden)).astype(x.dtype)
+        end = jnp.broadcast_to(pv["image_end"],
+                               (b, 1, self.out_hidden)).astype(x.dtype)
+        return jnp.concatenate([begin, x, end], axis=1)
+
+    def load_weights(self, weights: Iterable[tuple[str, np.ndarray]]):
+        params = self.init_params(rng=None)
+        for name, arr in weights:
+            a = np.asarray(arr)
+            parts = name.split(".")
+            leaf = parts[-1]
+            if name.startswith("embeddings.patch_embed") or \
+                    name.startswith("embeddings.proj"):
+                if leaf == "weight" and a.ndim == 4:
+                    params["patch_embed"]["weight"] = jnp.asarray(
+                        a.transpose(2, 3, 1, 0).reshape(-1, a.shape[0]),
+                        self.dtype)
+                else:
+                    params["patch_embed"][leaf] = jnp.asarray(a, self.dtype)
+            elif "position_embedding" in name:
+                params["position_embedding"] = jnp.asarray(
+                    a.reshape(-1, a.shape[-1]), self.dtype)
+            elif name.startswith("layers."):
+                lp = params["layers"][int(parts[1])]
+                sub = parts[2]
+                if sub in ("input_layernorm", "post_attention_layernorm"):
+                    lp[sub][leaf] = jnp.asarray(a, self.dtype)
+                elif sub in ("self_attn", "attn"):
+                    slot = "qkv" if parts[3] in ("qkv", "qkv_proj") \
+                        else "o_proj"
+                    lp[slot][leaf] = jnp.asarray(
+                        a.T if leaf == "weight" else a, self.dtype)
+                elif sub == "mlp":
+                    lp[parts[3]][leaf] = jnp.asarray(
+                        a.T if leaf == "weight" else a, self.dtype)
+            elif name.startswith("perceive."):
+                pv = params["perceive"]
+                if parts[1] in ("before_rms", "after_rms"):
+                    pv[parts[1]] = jnp.asarray(a, self.dtype)
+                elif parts[1] in ("image_newline", "image_begin",
+                                  "image_end"):
+                    pv[parts[1]] = jnp.asarray(a.reshape(-1), self.dtype)
+                elif parts[1] == "proj":
+                    slot = "conv1" if parts[2] == "0" else "conv2"
+                    if leaf == "weight":  # conv [out, in, k, k]
+                        pv[slot]["weight"] = jnp.asarray(
+                            a.transpose(2, 3, 1, 0).reshape(-1, a.shape[0]),
+                            self.dtype)
+                    else:
+                        pv[slot]["bias"] = jnp.asarray(a, self.dtype)
+                elif parts[1] == "mlp":
+                    pv["mlp"][leaf] = jnp.asarray(
+                        a.T if leaf == "weight" else a, self.dtype)
+        return params
+
+
+class HunYuanVLForConditionalGeneration(VlmBase):
+    """HunYuan-VL (reference models/hunyuan_vision.rs): HunYuan ViT +
+    perceive merger into the HunYuan dense/MoE text model (MoE when
+    the config carries expert counts)."""
+
+    def _build(self, ex: dict):
+        import dataclasses
+
+        from . import from_config
+
+        text_cfg = dict(ex.get("text_config", {}))
+        arch = ("HunYuanMoEV1ForCausalLM"
+                if (text_cfg.get("num_experts")
+                    or ex.get("num_experts")
+                    or text_cfg.get("moe_topk") or ex.get("moe_topk"))
+                else "HunYuanDenseV1ForCausalLM")
+        if text_cfg:
+            self._make_text_model(text_cfg, arch)
+        else:
+            self.text_config = dataclasses.replace(
+                self.config, architectures=[arch]
+            )
+            self.lm = from_config(self.text_config, dtype=self.dtype)
+        self.vision = HunYuanVisionTower(dict(ex.get("vision_config", {})),
+                                         dtype=self.dtype)
+        self.image_token_index = int(ex.get("image_token_id", 127962))
+        self.tokens_per_image = self.vision.merged_patches
+
+    def _init_projector(self, rng, scale):
+        return {}
+
+    def _load_projector(self, raw):
+        return {}
+
+    def _route_weight(self, name: str):
+        for p in ("visual.", "model.visual."):
+            if name.startswith(p):
+                return "vision", name.removeprefix(p)
+        if name.startswith("language_model."):
+            return "lm", name.removeprefix("language_model.")
+        if name.startswith(("model.", "lm_head.")):
+            return "lm", name
+        return None
+
+    def encode_images(self, params, pixel_values: jax.Array) -> jax.Array:
+        x = self.vision(params["vision_tower"], pixel_values)
+        return x.reshape(-1, x.shape[-1])
+
+
 def register_vlm_breadth6(registry: dict) -> None:
     registry.update({
         "AriaForConditionalGeneration": AriaForConditionalGeneration,
@@ -613,4 +913,7 @@ def register_vlm_breadth6(registry: dict) -> None:
         "MolmoForCausalLM": MolmoForCausalLM,
         "ChameleonForConditionalGeneration":
             ChameleonForConditionalGeneration,
+        "IsaacForConditionalGeneration": IsaacForConditionalGeneration,
+        "HunYuanVLForConditionalGeneration":
+            HunYuanVLForConditionalGeneration,
     })
