@@ -279,6 +279,9 @@ def _populate():
         from .vlm_breadth6 import register_vlm_breadth6
 
         register_vlm_breadth6(_REGISTRY)
+        from .gemma4 import register_gemma4
+
+        register_gemma4(_REGISTRY)
     except ImportError:
         pass
     _register_aliases()
@@ -313,6 +316,7 @@ SPECULATOR_ARCHS: dict[str, str] = {
     "Eagle3Qwen3vlForCausalLM": "eagle3",
     "EagleDeepseekV3ForCausalLM": "eagle",
     "EagleMistralLarge3ForCausalLM": "eagle",
+    "Eagle3MistralLarge3ForCausalLM": "eagle3",
     "ExaoneMoeMTP": "mtp",
     "Step3p5MTP": "mtp",
     "Glm4MoeLiteMTPModel": "mtp",
