@@ -282,6 +282,17 @@ def _populate():
         from .gemma4 import register_gemma4
 
         register_gemma4(_REGISTRY)
+        from .vlm_breadth7 import register_vlm_breadth7
+
+        register_vlm_breadth7(_REGISTRY)
+        from .audio_lmm3 import register_audio_lmm3
+
+        register_audio_lmm3(_REGISTRY)
+        from .nemotron_parse import NemotronParseForConditionalGeneration
+
+        _REGISTRY["NemotronParseForConditionalGeneration"] = (
+            NemotronParseForConditionalGeneration
+        )
     except ImportError:
         pass
     _register_aliases()
@@ -391,6 +402,13 @@ def _register_aliases():
         # (factories/light_on_ocr.rs new_lighton)
         "LightOnOCRForConditionalGeneration":
             "Mistral3ForConditionalGeneration",
+        # *ForEmbedding aliases the reference registers next to the base
+        # embedding models (factories/e5_mistral.rs, gte_new.rs,
+        # modern_bert.rs, voyage.rs)
+        "E5MistralForEmbedding": "E5MistralModel",
+        "GteNewForEmbedding": "GteNewModel",
+        "ModernBertForEmbedding": "ModernBertModel",
+        "VoyageForEmbedding": "VoyageQwen3BidirectionalEmbedModel",
     }
     for alias, target in alias_to_target.items():
         if target in _REGISTRY and alias not in _REGISTRY:
