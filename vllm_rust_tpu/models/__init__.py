@@ -218,7 +218,11 @@ def _populate():
     except ImportError:
         pass
     try:
-        from .qwen3_moe import MixtralForCausalLM, Qwen3MoeForCausalLM
+        from .qwen3_moe import (
+            MixtralForCausalLM,
+            Qwen2MoeForCausalLM,
+            Qwen3MoeForCausalLM,
+        )
 
         from .gpt_oss import GptOssForCausalLM
 
@@ -230,7 +234,7 @@ def _populate():
 
         register_moe_breadth2(_REGISTRY)
         _REGISTRY["Qwen3MoeForCausalLM"] = Qwen3MoeForCausalLM
-        _REGISTRY["Qwen2MoeForCausalLM"] = Qwen3MoeForCausalLM
+        _REGISTRY["Qwen2MoeForCausalLM"] = Qwen2MoeForCausalLM
         _REGISTRY["MixtralForCausalLM"] = MixtralForCausalLM
         from .qwen3_next import Qwen3NextForCausalLM
 

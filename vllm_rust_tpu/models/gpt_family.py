@@ -94,12 +94,15 @@ class LNTransformer:
     @property
     def norm_eps(self) -> float:
         x = self.config.extra
+        # non-RMS families default to torch nn.LayerNorm eps (1e-5) when the
+        # HF config carries no eps key (OPT, OLMo-1) — verified vs HF numerics
+        default = 1e-5 if self.norm_kind != "rms" else self.config.rms_norm_eps
         return float(
             x.get("layer_norm_eps")
             or x.get("layer_norm_epsilon")
+            or x.get("norm_epsilon")
             or x.get("norm_eps")
-            or x.get("layer_norm_eps", None)
-            or self.config.rms_norm_eps
+            or default
         )
 
     def _norm(self, x, p):
@@ -667,6 +670,9 @@ class GPTBigCodeForCausalLM(LNTransformer):
         (".attn.c_proj.", ".self_attn.o_proj."),
         (".mlp.c_fc.", ".mlp.fc_in."),
         (".mlp.c_proj.", ".mlp.fc_out."),
+        # split c_attn outputs arrive as ".attn.{q,k,v}_proj." — must come
+        # after the specific .attn.* renames above
+        (".attn.", ".self_attn."),
     )
 
     def __init__(self, config: ModelConfig, dtype: Any = jnp.bfloat16):
@@ -689,7 +695,7 @@ class GPTBigCodeForCausalLM(LNTransformer):
         super().__init__(config, dtype)
 
     def _preprocess(self, weights):
-        return _qkv_splitter(self, "attn.c_attn.", split_qkv_sequential)(
+        return _qkv_splitter(self, "c_attn.", split_qkv_sequential)(
             weights
         )
 

@@ -188,6 +188,29 @@ class LlamaForCausalLM:
                 return ["layers", idx, *rest[:-1]], False
         return None
 
+    def _split_fused(self, weights):
+        """Split fused qkv_proj / gate_up_proj checkpoint tensors into the
+        canonical per-projection names (Phi-3, GLM-4, InternLM2 layouts)."""
+        cfg = self.config
+        nh, nkv, hd = (
+            cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim,
+        )
+        for name, arr in weights:
+            a = np.asarray(arr)
+            if ".self_attn.qkv_proj." in name:
+                base, leaf = name.rsplit("qkv_proj.", 1)
+                q, k, v = np.split(a, [nh * hd, (nh + nkv) * hd], axis=0)
+                yield base + "q_proj." + leaf, q
+                yield base + "k_proj." + leaf, k
+                yield base + "v_proj." + leaf, v
+            elif ".mlp.gate_up_proj." in name:
+                base, leaf = name.rsplit("gate_up_proj.", 1)
+                g, u = np.split(a, 2, axis=0)
+                yield base + "gate_proj." + leaf, g
+                yield base + "up_proj." + leaf, u
+            else:
+                yield name, a
+
     def load_weights(self, weights: Iterable[tuple[str, np.ndarray]]):
         """Build the param tree from an (name, array) stream.
 
@@ -196,7 +219,7 @@ class LlamaForCausalLM:
         [in, out]."""
         params = self.init_params(rng=None)
         seen = set()
-        for name, arr in weights:
+        for name, arr in self._split_fused(weights):
             path = self._param_path(name)
             if path is None:
                 continue
@@ -258,22 +281,28 @@ class LlamaForCausalLM:
             attn_out = rms_norm(
                 attn_out, lp["post_self_attn_layernorm"], cfg.rms_norm_eps
             )
+        if self.extra_ffn_norms:
+            # Gemma2/3 sandwich norms: post_attention_layernorm normalizes
+            # the attention OUTPUT before the residual add, and
+            # pre_feedforward_layernorm is the MLP pre-norm (HF
+            # Gemma2DecoderLayer order; verified vs transformers numerics).
+            attn_out = rms_norm(
+                attn_out,
+                lp["post_attention_layernorm"],
+                cfg.rms_norm_eps,
+                weight_offset=self.norm_offset,
+            )
         x = residual + attn_out * self.residual_multiplier
 
         residual = x
         h = rms_norm(
             x,
-            lp["post_attention_layernorm"],
+            lp["pre_feedforward_layernorm"]
+            if self.extra_ffn_norms
+            else lp["post_attention_layernorm"],
             cfg.rms_norm_eps,
             weight_offset=self.norm_offset,
         )
-        if self.extra_ffn_norms:
-            h = rms_norm(
-                h,
-                lp["pre_feedforward_layernorm"],
-                cfg.rms_norm_eps,
-                weight_offset=self.norm_offset,
-            )
         ffn = self._ffn(lp["mlp"], h)
         if self.extra_ffn_norms:
             ffn = rms_norm(

@@ -14,8 +14,9 @@ from .llama import LlamaForCausalLM, Qwen2ForCausalLM
 
 
 class Glm4ForCausalLM(Qwen2ForCausalLM):
-    """GLM-4 (reference models/glm4.rs): qkv bias, partial rotary 0.5,
-    post-self-attn / post-mlp sublayer norms."""
+    """GLM-4 (reference models/glm4.rs): qkv bias, partial rotary 0.5
+    with INTERLEAVED (rotate-every-two) pairs, post-self-attn / post-mlp
+    sublayer norms (verified vs HF numerics)."""
 
     post_sublayer_norms = True
 
@@ -23,6 +24,11 @@ class Glm4ForCausalLM(Qwen2ForCausalLM):
         if config.partial_rotary_factor == 1.0:
             config.partial_rotary_factor = 0.5
         super().__init__(config, dtype)
+        from dataclasses import replace
+
+        self.attn_specs = tuple(
+            replace(s, interleaved_rope=True) for s in self.attn_specs
+        )
 
 
 class GraniteForCausalLM(LlamaForCausalLM):
@@ -32,7 +38,12 @@ class GraniteForCausalLM(LlamaForCausalLM):
     def __init__(self, config: ModelConfig, dtype: Any = jnp.bfloat16):
         super().__init__(config, dtype)
         x = config.extra
-        self.embedding_multiplier = x.get("embedding_multiplier")
+        # embedding_multiplier / logits_scaling are first-class ModelConfig
+        # fields (never land in extra); residual/attention multipliers are
+        # extra-only (verified vs HF Granite numerics)
+        self.embedding_multiplier = config.embedding_multiplier or x.get(
+            "embedding_multiplier"
+        )
         self.residual_multiplier = x.get("residual_multiplier", 1.0)
         att_mult = x.get("attention_multiplier")
         if att_mult:

@@ -29,44 +29,8 @@ class Phi3ForCausalLM(LlamaForCausalLM):
             config.rope_scaling = None
         super().__init__(config, dtype)
 
-    def _param_path(self, name: str):
-        n = name.removeprefix("model.")
-        parts = n.split(".")
-        if parts[0] == "layers" and len(parts) >= 4:
-            idx = int(parts[1])
-            if parts[2] == "self_attn" and parts[3] == "qkv_proj":
-                return ["layers", idx, "self_attn", "qkv_proj_fused"], True
-            if parts[2] == "mlp" and parts[3] == "gate_up_proj":
-                return ["layers", idx, "mlp", "gate_up_fused"], True
-        return super()._param_path(name)
-
-    def load_weights(self, weights):
-        """Split Phi-3's fused qkv / gate_up tensors into our layout."""
-        cfg = self.config
-        nh, nkv, hd = (
-            cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim,
-        )
-        split_weights = []
-        for name, arr in weights:
-            a = np.asarray(arr)
-            if name.endswith("self_attn.qkv_proj.weight"):
-                base = name[: -len("qkv_proj.weight")]
-                q, k, v = np.split(a, [nh * hd, (nh + nkv) * hd], axis=0)
-                split_weights += [
-                    (base + "q_proj.weight", q),
-                    (base + "k_proj.weight", k),
-                    (base + "v_proj.weight", v),
-                ]
-            elif name.endswith("mlp.gate_up_proj.weight"):
-                base = name[: -len("gate_up_proj.weight")]
-                g, u = np.split(a, 2, axis=0)
-                split_weights += [
-                    (base + "gate_proj.weight", g),
-                    (base + "up_proj.weight", u),
-                ]
-            else:
-                split_weights.append((name, a))
-        return super().load_weights(split_weights)
+    # fused qkv_proj / gate_up_proj checkpoint tensors are split by the
+    # base class (LlamaForCausalLM._split_fused)
 
 
 class GPT2LMHeadModel(LlamaForCausalLM):

@@ -31,9 +31,10 @@ from .llama import LlamaForCausalLM
 class Qwen3MoeForCausalLM(LlamaForCausalLM):
     moe_backend = "auto"
     supports_pp = False  # custom __call__ (MoE layers) — no stage hooks yet
+    use_qk_norm = True
 
     def __init__(self, config: ModelConfig, dtype: Any = jnp.bfloat16):
-        config.qk_norm = True
+        config.qk_norm = self.use_qk_norm
         super().__init__(config, dtype)
         self.moe_spec = MoESpec(
             num_experts=config.num_experts or 8,
@@ -187,6 +188,14 @@ class Qwen3MoeForCausalLM(LlamaForCausalLM):
 
         x = self._norm(x, params["norm"])
         return x, new_kv
+
+
+class Qwen2MoeForCausalLM(Qwen3MoeForCausalLM):
+    """Qwen1.5/2-MoE (reference models/qwen2_moe.rs): no qk-norm, qkv
+    bias, sigmoid-gated shared expert (verified vs HF numerics)."""
+
+    use_qk_norm = False
+    qkv_bias = True
 
 
 class MixtralForCausalLM(Qwen3MoeForCausalLM):
