@@ -22,10 +22,21 @@ PAGES_PER_SEQ = 16
 
 
 def make_kv_pages(model, dtype=jnp.float32):
-    pages = []
-    for nkv, hd in model.kv_head_info:
-        pages.append(jnp.zeros((NUM_PAGES, PAGE_SIZE, 2 * nkv, hd), dtype))
-    return pages
+    """Device pools for any model kind (attention / SSM / MLA / hybrid) via
+    the production KVCacheManager spec path."""
+    info = model.kv_head_info
+    if all(isinstance(e, tuple) for e in info):
+        return [
+            jnp.zeros((NUM_PAGES, PAGE_SIZE, 2 * nkv, hd), dtype)
+            for nkv, hd in info
+        ]
+    from vllm_rust_tpu.config import CacheConfig
+    from vllm_rust_tpu.kv_cache.manager import KVCacheManager
+
+    kvm = KVCacheManager(
+        CacheConfig(num_pages=NUM_PAGES, page_size=PAGE_SIZE), info
+    )
+    return kvm.create_device_pools(dtype, num_slots=4)
 
 
 def md_prefill(num_tokens: int, s_pad: int = 4) -> AttentionMetadata:
@@ -44,6 +55,7 @@ def md_prefill(num_tokens: int, s_pad: int = 4) -> AttentionMetadata:
         num_seqs=jnp.array([1], jnp.int32),
         positions=jnp.arange(t, dtype=jnp.int32),
         logits_indices=jnp.zeros((s_pad,), jnp.int32).at[0].set(t - 1),
+        slot_ids=jnp.arange(s_pad, dtype=jnp.int32),
     )
 
 

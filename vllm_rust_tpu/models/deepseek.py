@@ -46,6 +46,9 @@ class MLASpec:
     v_head_dim: int
     sm_scale: float
     rms_eps: float
+    # DeepSeek rope pairs are INTERLEAVED (HF V2 complex-mul rope / V3
+    # rope_interleave=True; verified vs HF numerics)
+    rope_interleave: bool = True
 
     @property
     def cache_dim(self) -> int:
@@ -84,7 +87,8 @@ def mla_attention(
 
     cos, sin = rope_tables
     q_pe, k_pe = apply_rope(
-        q_pe, k_pe, md.positions, cos, sin, rotary_dim=d_r
+        q_pe, k_pe, md.positions, cos, sin, rotary_dim=d_r,
+        interleaved=spec.rope_interleave,
     )
 
     # -- absorption: q_nope @ W_uk  -> latent space ---------------------------
@@ -124,7 +128,12 @@ def deepseek_moe_ffn(cfg, spec, params, x):
         scores = jax.nn.sigmoid(router_logits)
     else:
         scores = jax.nn.softmax(router_logits, axis=-1)
-    if cfg.n_group and cfg.topk_group:
+    # topk_method governs whether the group restriction applies: V2's
+    # "greedy" is a plain top-k even when n_group is configured
+    # (HF DeepseekV2MoEGate; verified vs HF numerics)
+    topk_method = cfg.extra.get("topk_method")
+    use_groups = bool(cfg.n_group and cfg.topk_group) and topk_method != "greedy"
+    if use_groups:
         bias = params.get("e_score_correction_bias")
         topv, topi = grouped_topk(
             scores, bias, spec.top_k, cfg.n_group, cfg.topk_group
@@ -188,6 +197,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             v_head_dim=config.v_head_dim or 128,
             sm_scale=self._mla_scale(config),
             rms_eps=config.rms_norm_eps,
+            rope_interleave=bool(config.extra.get("rope_interleave", True)),
         )
         super().__init__(config, dtype)
         self.rotary = RotarySpec(
@@ -337,11 +347,14 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
 
     def _param_path(self, name: str):
         n = name.removeprefix("model.")
+        n = n.replace(".mlp.shared_experts.", ".mlp.shared_expert.")
         parts = n.split(".")
         if parts[0] == "layers" and len(parts) >= 4:
             idx = int(parts[1])
             rest = parts[2:]
             if rest[0] == "mlp" and rest[1] == "gate":
+                if rest[-1] == "e_score_correction_bias":
+                    return ["layers", idx, "mlp", "e_score_correction_bias"], False
                 return ["layers", idx, "mlp", "router", "weight"], True
             if rest[-1] == "weight" and (
                 rest[-2].endswith("_proj") or rest[-2] == "kv_a_proj_with_mqa"
@@ -350,6 +363,33 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             if rest[-1] == "weight":
                 return ["layers", idx, *rest[:-1]], False
         return super()._param_path(name)
+
+    def load_weights(self, weights):
+        """Stack per-expert HF tensors (model.layers.L.mlp.experts.J.*)
+        into [E, in, out] grouped-matmul weights; everything else rides
+        the base-class path."""
+        expert_parts: dict[tuple[int, str, int], np.ndarray] = {}
+
+        def stream():
+            for name, arr in weights:
+                if ".mlp.experts." in name:
+                    parts = name.split(".")
+                    li = int(parts[parts.index("layers") + 1])
+                    ji = int(parts[parts.index("experts") + 1])
+                    expert_parts[(li, parts[-2], ji)] = np.asarray(arr).T
+                    continue
+                yield name, arr
+
+        params = super().load_weights(stream())
+        e = self.moe_spec.num_experts
+        by_layer: dict[tuple[int, str], list] = {}
+        for (li, pname, ji), a in expert_parts.items():
+            by_layer.setdefault((li, pname), [None] * e)[ji] = a
+        for (li, pname), lst in by_layer.items():
+            params["layers"][li]["mlp"]["experts"][pname] = {
+                "weight": jnp.asarray(np.stack(lst, axis=0), self.dtype)
+            }
+        return params
 
     def _moe(self, spec, params, x):
         return deepseek_moe_ffn(self.config, spec, params, x)

@@ -228,7 +228,18 @@ class PhiMoEForCausalLM(Qwen3MoeForCausalLM):
 
 class Ernie4_5ForCausalLM(LlamaForCausalLM):
     """Baidu ERNIE 4.5 dense (reference models/ernie45.rs): Llama-shaped
-    with its own config names."""
+    with its own config names and GPT-J-style INTERLEAVED rope
+    (HF Ernie4_5 rotate_half stacks even/odd pairs; verified vs HF
+    numerics)."""
+
+    def __init__(self, config: ModelConfig, dtype: Any = jnp.bfloat16):
+        super().__init__(config, dtype)
+        import dataclasses
+
+        self.attn_specs = tuple(
+            dataclasses.replace(s, interleaved_rope=True)
+            for s in self.attn_specs
+        )
 
 
 class Ernie4_5_MoeForCausalLM(Qwen3MoeForCausalLM):
@@ -264,6 +275,13 @@ class Ernie4_5_MoeForCausalLM(Qwen3MoeForCausalLM):
             scoring="sigmoid",
             act=config.hidden_act,
             has_shared_expert=bool(n_shared),
+        )
+        # same interleaved rope as the dense ERNIE (shared HF modeling file)
+        import dataclasses
+
+        self.attn_specs = tuple(
+            dataclasses.replace(s, interleaved_rope=True)
+            for s in self.attn_specs
         )
 
     def is_moe_layer(self, layer_idx: int) -> bool:
