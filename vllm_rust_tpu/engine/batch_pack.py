@@ -20,6 +20,9 @@ from ..ops.attn_metadata import AttentionMetadata
 from ..sampling.sampler import SamplerInputs
 
 
+BIAS_SLOTS = 16  # per-seq sparse logit-bias / banned-token slots
+
+
 @dataclass(frozen=True)
 class PackLayout:
     """Static offsets for a (T, S, P) batch shape."""
@@ -34,19 +37,24 @@ class PackLayout:
 
     @property
     def seq_base(self) -> int:
-        return 2 + 5 * self.t
+        return 2 + 6 * self.t
 
     @property
     def page_base(self) -> int:
         return self.seq_base + 9 * self.s + 1
 
     @property
-    def float_base(self) -> int:
+    def bias_id_base(self) -> int:
         return self.page_base + self.s * self.p
 
     @property
+    def float_base(self) -> int:
+        return self.bias_id_base + self.s * BIAS_SLOTS
+
+    @property
     def total(self) -> int:
-        return self.float_base + 6 * self.s
+        # floats: 6 per-seq knobs + typical_p + BIAS_SLOTS bias values
+        return self.float_base + (7 + BIAS_SLOTS) * self.s
 
 
 class HostBatch:
@@ -63,6 +71,8 @@ class HostBatch:
         self.positions = self.buf[tb + 2 * t : tb + 3 * t]
         self.slot_mapping = self.buf[tb + 3 * t : tb + 4 * t]
         self.lora_idx = self.buf[tb + 4 * t : tb + 5 * t]
+        # prompt-logprob target token per position (-1 = not requested)
+        self.lp_targets = self.buf[tb + 5 * t : tb + 6 * t]
         self.kv_lens = self.buf[sb : sb + s]
         self.logits_indices = self.buf[sb + s : sb + 2 * s]
         self.slot_ids = self.buf[sb + 2 * s : sb + 3 * s]
@@ -73,6 +83,10 @@ class HostBatch:
         self.rng_pos = self.buf[sb + 7 * s : sb + 8 * s]
         self.cu_q_lens = self.buf[sb + 8 * s : sb + 9 * s + 1]
         self.page_indices = self.buf[pb : pb + s * p].reshape(s, p)
+        bb = L.bias_id_base
+        self.bias_ids = self.buf[bb : bb + s * BIAS_SLOTS].reshape(
+            s, BIAS_SLOTS
+        )
         floats = self.buf[fb:].view(np.float32)
         self.temperature = floats[0:s]
         self.top_p = floats[s : 2 * s]
@@ -80,14 +94,21 @@ class HostBatch:
         self.repetition_penalty = floats[3 * s : 4 * s]
         self.presence_penalty = floats[4 * s : 5 * s]
         self.frequency_penalty = floats[5 * s : 6 * s]
+        self.typical_p = floats[6 * s : 7 * s]
+        self.bias_vals = floats[7 * s : (7 + BIAS_SLOTS) * s].reshape(
+            s, BIAS_SLOTS
+        )
 
     def reset(self):
         self.buf.fill(0)
         self.feedback_src.fill(-1)
         self.lora_idx.fill(-1)
+        self.lp_targets.fill(-1)
+        self.bias_ids.fill(-1)
         self.temperature.fill(1.0)
         self.top_p.fill(1.0)
         self.repetition_penalty.fill(1.0)
+        self.typical_p.fill(1.0)
 
 
 def unpack_device(meta, layout: PackLayout, p_eff: int | None = None):
@@ -120,6 +141,7 @@ def unpack_device(meta, layout: PackLayout, p_eff: int | None = None):
         logits_indices=meta[sb + s : sb + 2 * s],
         slot_ids=meta[sb + 2 * s : sb + 3 * s],
     )
+    bb = layout.bias_id_base
     si = SamplerInputs(
         temperature=floats[0:s],
         top_k=meta[sb + 5 * s : sb + 6 * s],
@@ -131,10 +153,19 @@ def unpack_device(meta, layout: PackLayout, p_eff: int | None = None):
         seed=meta[sb + 6 * s : sb + 7 * s].astype(jnp.uint32),
         position=meta[sb + 7 * s : sb + 8 * s],
         ban_eos=meta[sb + 4 * s : sb + 5 * s] > 0,
+        typical_p=floats[6 * s : 7 * s],
+        bias_ids=meta[bb : bb + s * BIAS_SLOTS].reshape(s, BIAS_SLOTS),
+        bias_vals=floats[7 * s : (7 + BIAS_SLOTS) * s].reshape(
+            s, BIAS_SLOTS
+        ),
     )
     input_ids = meta[tb : tb + t]
     feedback_src = meta[tb + t : tb + 2 * t]
     lora_idx = meta[tb + 4 * t : tb + 5 * t]
+    lp_targets = meta[tb + 5 * t : tb + 6 * t]
     slot_ids = meta[sb + 2 * s : sb + 3 * s]
     sample_mask = meta[sb + 3 * s : sb + 4 * s] > 0
-    return ring_slot, input_ids, feedback_src, md, si, slot_ids, sample_mask, lora_idx
+    return (
+        ring_slot, input_ids, feedback_src, md, si, slot_ids, sample_mask,
+        lora_idx, lp_targets,
+    )

@@ -64,6 +64,8 @@ class StepRecord:
     entries: list[tuple[Sequence, int, int]]
     # grammar steps must resolve before the next dispatch (DFA advance)
     sync: bool = False
+    # this step wrote the ring's top-logprob columns
+    has_toplp: bool = False
 
 
 class LLMEngine:
@@ -126,7 +128,10 @@ class LLMEngine:
         if tokenizer is not None and getattr(tokenizer, "eos_token_id", None) is not None:
             eos_ids.add(tokenizer.eos_token_id)
         self.eos_ids = tuple(sorted(eos_ids))
-        self.step_fn = StepFunction(model, self.eos_ids)
+        self.top_logprobs_k = 8  # device top-k width for top_logprobs
+        self.step_fn = StepFunction(
+            model, self.eos_ids, top_logprobs_k=self.top_logprobs_k
+        )
 
         self.num_slots = config.scheduler.max_num_seqs
         self._free_slots = list(range(self.num_slots))
@@ -135,9 +140,13 @@ class LLMEngine:
         )
         self.requests: dict[str, Sequence] = {}
 
-        # token-ring pipeline state
+        # token-ring pipeline state; ring rows carry
+        # [tokens S | logprobs S | top ids S*K | top lps S*K]
         self.fetch_interval = max(2, config.fetch_interval)
-        ring_shape = (self.fetch_interval, 2 * self.num_slots)
+        ring_shape = (
+            self.fetch_interval,
+            (2 + 2 * self.top_logprobs_k) * self.num_slots,
+        )
         self._ring_write = jnp.zeros(ring_shape, jnp.int32)
         self._ring_prev = jnp.zeros(ring_shape, jnp.int32)
         self._ring_spare = jnp.zeros(ring_shape, jnp.int32)
@@ -184,6 +193,26 @@ class LLMEngine:
         if params.constraint is not None:
             seq.constraint = self._get_constraint(params.constraint)
             seq.constraint_state = seq.constraint.initial_state()
+        if params.bad_words:
+            # normalize to token-id lists once (strings need a tokenizer)
+            norm = []
+            for w in params.bad_words:
+                if isinstance(w, str):
+                    if self.tokenizer is None:
+                        raise ValueError("bad_words strings require a tokenizer")
+                    ids = self.tokenizer.encode(w)
+                else:
+                    ids = list(w)
+                if ids:
+                    norm.append([int(x) for x in ids])
+            params.bad_words = norm
+        if params.allowed_token_ids:
+            # whitelist rides the grammar-bitmask path (ADR 0020 analogue)
+            words = np.zeros((self._mask_words,), np.uint32)
+            for tid in params.allowed_token_ids:
+                if 0 <= tid < self.config.model.vocab_size:
+                    words[tid // 32] |= np.uint32(1 << (tid % 32))
+            seq.allowed_mask = words.view(np.int32)
         if params.lora_name is not None:
             if self.lora is None:
                 raise ValueError("LoRA is not enabled on this engine")
@@ -282,7 +311,16 @@ class LLMEngine:
         use_penalties = False
         use_top_filters = False
         use_lora = False
-        use_grammar = any(s.seq.constraint is not None for s in scheduled)
+        use_bias = False
+        use_typical = False
+        use_toplp = False
+        use_badwords = False
+        use_grammar = any(
+            s.seq.constraint is not None or s.seq.allowed_mask is not None
+            for s in scheduled
+        )
+        use_prompt_lps = False
+        plp_jobs: list[tuple[Sequence, int, int, int]] = []
         if use_grammar:
             # unconstrained rows: all-ones (padded vocab tail stays 0-free
             # via the bitmask width); constrained rows fill below
@@ -340,18 +378,39 @@ class LLMEngine:
             hb.seeds[i] = self._seq_seed(seq)
             hb.rng_pos[i] = end
             hb.ban_eos[i] = seq.num_generated < p.min_tokens
+            hb.typical_p[i] = p.typical_p
             use_penalties |= p.uses_penalties
             use_top_filters |= (not p.greedy) and (
                 p.top_k > 0 or p.top_p < 1.0 or p.min_p > 0.0
             )
+            use_typical |= p.typical_p < 1.0
+            use_toplp |= bool(p.top_logprobs)
+            if p.logit_bias or p.bad_words:
+                use_bias = True
+                use_badwords |= bool(p.bad_words)
+                self._fill_bias_slots(hb, i, seq)
             if seq.constraint is not None:
                 assert not seq.pending, (
                     "constrained sequence scheduled with unresolved tokens"
                 )
                 grammar_mask[i] = seq.constraint.mask(seq.constraint_state)
+                if seq.allowed_mask is not None:
+                    grammar_mask[i] &= seq.allowed_mask
+            elif seq.allowed_mask is not None:
+                grammar_mask[i] = seq.allowed_mask
             if seq.lora_slot >= 0:
                 hb.lora_idx[offset : offset + n] = seq.lora_slot
                 use_lora = True
+            if p.prompt_logprobs and start < seq.num_prompt_tokens:
+                # echo logprobs for this prefill chunk's positions
+                # (dedupe below keeps only the ORIGINAL prefill's values
+                # across recompute-preemption — contract #4)
+                use_prompt_lps = True
+                for j in range(n):
+                    nxt = start + j + 1
+                    if nxt < seq.num_prompt_tokens:
+                        hb.lp_targets[offset + j] = seq.prompt_token_ids[nxt]
+                plp_jobs.append((seq, offset, start, n))
             offset += n
 
             # advance state optimistically (async scheduling)
@@ -365,7 +424,7 @@ class LLMEngine:
 
         hb.cu_q_lens[len(scheduled) + 1 :] = hb.cu_q_lens[len(scheduled)]
 
-        self.kv_pages, self.token_counts, self._ring_write = self.step_fn(
+        step_out = self.step_fn(
             self.params,
             self.kv_pages,
             # single h2d transfer; copy because jnp.asarray may alias the
@@ -382,13 +441,66 @@ class LLMEngine:
             use_grammar=use_grammar,
             use_lora=use_lora,
             decode_only=all(s.num_tokens == 1 for s in scheduled),
+            use_bias=use_bias,
+            use_typical=use_typical,
+            use_top_logprobs=use_toplp,
+            use_prompt_logprobs=use_prompt_lps,
         )
+        if use_prompt_lps:
+            self.kv_pages, self.token_counts, self._ring_write, plp_dev = (
+                step_out
+            )
+            plp = np.asarray(plp_dev)  # sync fetch — echo is a slow path
+            for seq, off, start, n in plp_jobs:
+                if seq.prompt_logprobs_acc is None:
+                    # position 0 has no conditional logprob
+                    seq.prompt_logprobs_acc = [None]
+                acc = seq.prompt_logprobs_acc
+                for j in range(n):
+                    nxt = start + j + 1
+                    if nxt < seq.num_prompt_tokens and len(acc) <= nxt:
+                        while len(acc) < nxt:
+                            acc.append(None)
+                        acc.append(float(plp[off + j]))
+        else:
+            self.kv_pages, self.token_counts, self._ring_write = step_out
         rec = StepRecord(
             cycle_id=self._cycle_id, ring_slot=ring_slot, entries=entries
         )
-        rec.sync = use_grammar
+        # grammar DFA advance and bad-word suffix matching both need the
+        # sampled token resolved before the next dispatch
+        rec.sync = use_grammar or use_badwords
+        rec.has_toplp = use_toplp
         self._cycle_pos += 1
         return rec
+
+    def _fill_bias_slots(self, hb: HostBatch, i: int, seq: Sequence) -> None:
+        """Pack user logit_bias entries plus this step's bad-word bans
+        into the per-seq sparse bias slots (reference
+        logits_processor.rs LogitBias + BadWords)."""
+        p = seq.params
+        entries: list[tuple[int, float]] = []
+        for tid, val in p.logit_bias.items():
+            entries.append((int(tid), float(val)))
+        # a bad word [w0..wn] bans wn when the generated tail == w0..w(n-1)
+        gen = seq.generated_token_ids[: seq.num_generated]
+        for w in p.bad_words:
+            if len(w) == 1:
+                entries.append((w[0], -1e9))
+            else:
+                prefix = w[:-1]
+                if len(gen) >= len(prefix) and gen[-len(prefix):] == prefix:
+                    entries.append((w[-1], -1e9))
+        b = hb.bias_ids.shape[1]
+        if len(entries) > b:
+            logger.warning(
+                "request %s: %d bias/ban entries exceed %d slots; clipping",
+                seq.request_id, len(entries), b,
+            )
+            entries = entries[:b]
+        for j, (tid, val) in enumerate(entries):
+            hb.bias_ids[i, j] = tid
+            hb.bias_vals[i, j] = val
 
     def _get_constraint(self, spec: dict):
         """Compile-once constraint cache (reference grammar/compiler.rs
@@ -456,9 +568,14 @@ class LLMEngine:
         self, record: StepRecord, ring_h: np.ndarray
     ) -> list[RequestOutput]:
         s = self.num_slots
+        k = self.top_logprobs_k
         row_data = ring_h[record.ring_slot]
         tokens = row_data[:s]
-        logprobs = row_data[s:].view(np.float32)
+        logprobs = row_data[s : 2 * s].view(np.float32)
+        top_ids = top_lps = None
+        if record.has_toplp:
+            top_ids = row_data[2 * s : (2 + k) * s].reshape(s, k)
+            top_lps = row_data[(2 + k) * s :].view(np.float32).reshape(s, k)
 
         outputs: list[RequestOutput] = []
         for seq, row, gen_idx in record.entries:
@@ -490,6 +607,26 @@ class LLMEngine:
             )
             seq.output_text += emit_text
 
+            if seq.params.logprobs is not None:
+                if seq.logprobs_acc is None:
+                    seq.logprobs_acc = []
+                while len(seq.logprobs_acc) <= gen_idx:
+                    seq.logprobs_acc.append(None)
+                seq.logprobs_acc[gen_idx] = float(logprobs[row])
+
+            step_toplp = None
+            if seq.params.top_logprobs and top_ids is not None:
+                n = min(int(seq.params.top_logprobs), self.top_logprobs_k)
+                step_toplp = [
+                    (int(top_ids[row, j]), float(top_lps[row, j]))
+                    for j in range(n)
+                ]
+                if seq.top_logprobs_acc is None:
+                    seq.top_logprobs_acc = []
+                while len(seq.top_logprobs_acc) <= gen_idx:
+                    seq.top_logprobs_acc.append(None)
+                seq.top_logprobs_acc[gen_idx] = step_toplp
+
             outputs.append(
                 RequestOutput(
                     request_id=seq.request_id,
@@ -502,6 +639,10 @@ class LLMEngine:
                     token_ids=list(seq.generated_token_ids[: gen_idx + 1]),
                     logprobs=[float(logprobs[row])]
                     if seq.params.logprobs is not None
+                    else None,
+                    top_logprobs=[step_toplp] if step_toplp is not None else None,
+                    prompt_logprobs=seq.prompt_logprobs_acc
+                    if finish is not None
                     else None,
                 )
             )

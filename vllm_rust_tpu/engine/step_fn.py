@@ -23,12 +23,19 @@ from .batch_pack import PackLayout, unpack_device
 
 
 class StepFunction:
-    def __init__(self, model, eos_ids: tuple[int, ...] = ()):
+    def __init__(
+        self, model, eos_ids: tuple[int, ...] = (), top_logprobs_k: int = 8
+    ):
         self.model = model
         self.eos_ids = eos_ids
+        self.top_logprobs_k = top_logprobs_k
         self._jit = jax.jit(
             self._step,
-            static_argnames=("layout", "p_bucket", "use_penalties", "use_top_filters", "use_grammar", "use_lora", "decode_only"),
+            static_argnames=(
+                "layout", "p_bucket", "use_penalties", "use_top_filters",
+                "use_grammar", "use_lora", "decode_only", "use_bias",
+                "use_typical", "use_top_logprobs", "use_prompt_logprobs",
+            ),
             donate_argnames=("kv_pages", "token_counts", "ring"),
         )
 
@@ -49,6 +56,10 @@ class StepFunction:
         use_grammar: bool,
         use_lora: bool,
         decode_only: bool,
+        use_bias: bool,
+        use_typical: bool,
+        use_top_logprobs: bool,
+        use_prompt_logprobs: bool,
     ):
         (
             ring_slot,
@@ -59,6 +70,7 @@ class StepFunction:
             slot_ids,
             sample_mask,
             lora_idx,
+            lp_targets,
         ) = unpack_device(meta, layout, p_bucket)
         s = slot_ids.shape[0]
         k = ring.shape[0]
@@ -86,8 +98,33 @@ class StepFunction:
         sel = hidden[md.logits_indices]  # [S, H]
         logits = self.model.compute_logits(params, sel)  # [S, V] f32
 
+        prompt_lps = None
+        if use_prompt_logprobs:
+            # echo / prompt logprobs (reference contract #4: only on the
+            # original prefill): logprob of each position's NEXT prompt
+            # token. Chunked over the token axis to bound the [chunk, V]
+            # logits materialization for huge vocabularies.
+            t = hidden.shape[0]
+            chunk = min(128, t)
+
+            def one_chunk(args):
+                h_c, tgt_c = args
+                lg = self.model.compute_logits(params, h_c)
+                lp = jax.nn.log_softmax(lg, axis=-1)
+                safe = jnp.clip(tgt_c, 0, lg.shape[-1] - 1)
+                out = jnp.take_along_axis(lp, safe[:, None], axis=-1)[:, 0]
+                return jnp.where(tgt_c >= 0, out, 0.0)
+
+            prompt_lps = jax.lax.map(
+                one_chunk,
+                (
+                    hidden.reshape(t // chunk, chunk, -1),
+                    lp_targets.reshape(t // chunk, chunk),
+                ),
+            ).reshape(t)
+
         counts = token_counts[slot_ids] if use_penalties else None
-        tokens, logprobs = sample_tokens(
+        res = sample_tokens(
             logits,
             sampler_inputs,
             counts,
@@ -95,7 +132,11 @@ class StepFunction:
             use_penalties=use_penalties,
             use_top_filters=use_top_filters,
             grammar_mask=grammar_mask if use_grammar else None,
+            use_bias=use_bias,
+            use_typical=use_typical,
+            top_logprobs_k=self.top_logprobs_k if use_top_logprobs else 0,
         )
+        tokens, logprobs = res[0], res[1]
         if use_penalties:
             token_counts = token_counts.at[slot_ids, tokens].add(
                 sample_mask.astype(jnp.int32), mode="drop"
@@ -103,7 +144,24 @@ class StepFunction:
         row = jnp.concatenate(
             [tokens, jax.lax.bitcast_convert_type(logprobs, jnp.int32)]
         )
-        ring = ring.at[ring_slot].set(row)
+        if use_top_logprobs:
+            top_ids, top_lps = res[2], res[3]
+            row = jnp.concatenate(
+                [
+                    row,
+                    top_ids.reshape(-1),
+                    jax.lax.bitcast_convert_type(
+                        top_lps, jnp.int32
+                    ).reshape(-1),
+                ]
+            )
+            ring = ring.at[ring_slot].set(row)
+        else:
+            # top-logprob columns keep stale values — only read on steps
+            # that set use_top_logprobs
+            ring = ring.at[ring_slot, : row.shape[0]].set(row)
+        if use_prompt_logprobs:
+            return kv_pages, token_counts, ring, prompt_lps
         return kv_pages, token_counts, ring
 
     def __call__(
@@ -116,6 +174,10 @@ class StepFunction:
         use_grammar: bool = False,
         use_lora: bool = False,
         decode_only: bool = False,
+        use_bias: bool = False,
+        use_typical: bool = False,
+        use_top_logprobs: bool = False,
+        use_prompt_logprobs: bool = False,
     ):
         return self._jit(
             *args,
@@ -126,4 +188,8 @@ class StepFunction:
             use_grammar=use_grammar,
             use_lora=use_lora,
             decode_only=decode_only,
+            use_bias=use_bias,
+            use_typical=use_typical,
+            use_top_logprobs=use_top_logprobs,
+            use_prompt_logprobs=use_prompt_logprobs,
         )

@@ -157,20 +157,15 @@ def ragged_paged_attention_op(
 ) -> jax.Array:
     if backend == "auto":
         if on_tpu():
-            backend = "decode" if _DECODE_ONLY.get() else "jax"
+            backend = "decode" if _DECODE_ONLY.get() else "pallas"
         else:
             backend = "ref"
-    if sinks is not None and backend == "jax":
-        # the stock ragged kernel has no sink support and returns no LSE
-        # to correct with; mixed prefill+decode steps take the reference
-        # path (decode-only steps keep the fast in-house kernel)
-        backend = "ref"
-    if alibi_slopes is not None and backend in ("jax", "pallas"):
-        # ALiBi lives in the ref path (mixed steps) and the in-house
-        # decode kernel (pure-decode steps)
-        backend = "ref"
-    if alibi_sqrt and alibi_slopes is not None:
-        backend = "ref"  # sqrt-ALiBi (Step1) only in the reference path
+    if backend == "jax" and (sinks is not None or alibi_slopes is not None):
+        # the stock ragged kernel supports neither; the in-house kernel
+        # handles both (incl. sqrt-ALiBi)
+        backend = "pallas"
+    if backend == "decode" and alibi_sqrt:
+        backend = "pallas"  # decode kernel has linear ALiBi only
     if backend == "ref":
         return _ref_ragged_paged_attention(
             q,
@@ -234,10 +229,13 @@ def ragged_paged_attention_op(
             md.page_indices,
             md.cu_q_lens,
             md.num_seqs,
+            sinks,
+            alibi_slopes,
             sm_scale=sm_scale,
             sliding_window=sliding_window,
             soft_cap=soft_cap,
             k_scale=k_scale,
             v_scale=v_scale,
+            alibi_sqrt=alibi_sqrt,
         )
     raise ValueError(f"unknown attention backend: {backend}")

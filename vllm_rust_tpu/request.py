@@ -45,7 +45,23 @@ class SamplingParams:
     stop_token_ids: list[int] = field(default_factory=list)
     ignore_eos: bool = False
     logprobs: int | None = None
+    # number of top-token logprobs to return per step (OpenAI
+    # top_logprobs; reference sampling/mod.rs logprobs payload)
+    top_logprobs: int | None = None
+    # prompt logprobs / echo (reference engine/helpers.rs:860-890
+    # contract #4: computed only on the ORIGINAL prefill)
+    prompt_logprobs: bool = False
+    echo: bool = False
     logit_bias: dict[int, float] = field(default_factory=dict)
+    # typical-p (locally typical) sampling; 1.0 = off
+    typical_p: float = 1.0
+    # ban these token sequences from being generated (token-id lists;
+    # strings are tokenized at admission — reference
+    # logits_processor.rs BadWords)
+    bad_words: list = field(default_factory=list)
+    # restrict sampling to this token-id whitelist (reference
+    # logits_processor.rs AllowedTokenIds)
+    allowed_token_ids: list[int] = field(default_factory=list)
     # structured output: {"choice": [...]} | {"regex": str} |
     # {"json_schema": {...}} | {"json_object": True} (grammar/constraint.py)
     constraint: dict | None = None
@@ -105,6 +121,14 @@ class Sequence:
     lora_slot: int = -1
     # swap-mode preemption: KV pages live in host memory awaiting resume
     swapped: bool = False
+    # allowed_token_ids compiled to a packed bitmask [ceil(V/32)] i32
+    allowed_mask: object | None = None
+    # accumulated top-logprob candidates per emitted token
+    top_logprobs_acc: list | None = None
+    # accumulated chosen-token logprobs (params.logprobs requests)
+    logprobs_acc: list | None = None
+    # prompt logprobs collected during the original prefill (contract #4)
+    prompt_logprobs_acc: list | None = None
 
     @property
     def num_prompt_tokens(self) -> int:
@@ -154,3 +178,7 @@ class RequestOutput:
     output_text: str = ""  # cumulative
     token_ids: list[int] = field(default_factory=list)  # cumulative generated
     logprobs: list[float] | None = None
+    # per emitted token: list of (token_id, logprob) candidates, best-first
+    top_logprobs: list[list[tuple[int, float]]] | None = None
+    # prompt-position logprobs (echo): [None, lp(tok1|tok0), ...]
+    prompt_logprobs: list | None = None

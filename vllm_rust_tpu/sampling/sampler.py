@@ -38,6 +38,13 @@ class SamplerInputs:
     seed: jax.Array  # [S] u32 per-request seed
     position: jax.Array  # [S] i32 sampling position (for stateless RNG)
     ban_eos: jax.Array  # [S] bool — min_tokens not yet reached
+    # typical-p sampling (reference sampling/mod.rs typical_p): 1.0 => off
+    typical_p: jax.Array | None = None  # [S] f32
+    # sparse per-seq logit bias / per-step banned tokens (reference
+    # logits_processor.rs LogitBias + BadWords — bad-word bans arrive as
+    # bias entries with a -inf-like value). id -1 => empty slot.
+    bias_ids: jax.Array | None = None  # [S, B] i32
+    bias_vals: jax.Array | None = None  # [S, B] f32
 
 
 def apply_penalties(
@@ -76,6 +83,41 @@ def _top_filters(scaled: jax.Array, inputs: SamplerInputs) -> jax.Array:
     return out.at[jnp.arange(s)[:, None], sorted_idx].set(masked_sorted)
 
 
+def _typical_filter(scaled: jax.Array, typical_p: jax.Array) -> jax.Array:
+    """Typical-p (locally typical) sampling: keep the tokens whose
+    surprisal is closest to the distribution's entropy until their
+    cumulative probability reaches typical_p (reference
+    sampling/mod.rs typical sampling)."""
+    s, v = scaled.shape
+    logp = jax.nn.log_softmax(scaled, axis=-1)
+    p = jnp.exp(logp)
+    entropy = -jnp.sum(p * logp, axis=-1, keepdims=True)  # [S, 1]
+    dev = jnp.abs(-logp - entropy)  # [S, V] surprisal deviation
+    order = jnp.argsort(dev, axis=-1)  # ascending deviation
+    p_sorted = jnp.take_along_axis(p, order, axis=-1)
+    cum = jnp.cumsum(p_sorted, axis=-1)
+    keep_sorted = (cum - p_sorted) < typical_p[:, None]  # first always kept
+    keep = (
+        jnp.zeros((s, v), bool)
+        .at[jnp.arange(s)[:, None], order]
+        .set(keep_sorted)
+    )
+    keep |= typical_p[:, None] >= 1.0  # off => keep everything
+    return jnp.where(keep, scaled, NEG_INF)
+
+
+def apply_logit_bias(
+    logits: jax.Array,  # [S, V]
+    bias_ids: jax.Array,  # [S, B] i32, -1 = empty
+    bias_vals: jax.Array,  # [S, B] f32
+) -> jax.Array:
+    s = logits.shape[0]
+    rows = jnp.broadcast_to(jnp.arange(s)[:, None], bias_ids.shape)
+    vals = jnp.where(bias_ids >= 0, bias_vals, 0.0)
+    ids = jnp.maximum(bias_ids, 0)
+    return logits.at[rows, ids].add(vals)
+
+
 def apply_grammar_mask(logits: jax.Array, mask_words: jax.Array) -> jax.Array:
     """In-place grammar bitmask (reference ADR 0020 apply_grammar_bitmask
     CUDA kernel): mask_words [S, ceil(V/32)] packed int32; bit set =
@@ -97,11 +139,18 @@ def sample_tokens(
     use_penalties: bool,
     use_top_filters: bool,
     grammar_mask: jax.Array | None = None,  # [S, ceil(V/32)] i32
-) -> tuple[jax.Array, jax.Array]:
-    """Returns (sampled token ids [S] i32, chosen logprobs [S] f32)."""
+    use_bias: bool = False,
+    use_typical: bool = False,
+    top_logprobs_k: int = 0,  # 0 => no top-logprob output
+):
+    """Returns (tokens [S] i32, chosen logprobs [S] f32) and, when
+    ``top_logprobs_k > 0``, additionally (top ids [S, K] i32,
+    top logprobs [S, K] f32)."""
     s, v = logits.shape
     if use_penalties and token_counts is not None:
         logits = apply_penalties(logits, token_counts, inputs)
+    if use_bias and inputs.bias_ids is not None:
+        logits = apply_logit_bias(logits, inputs.bias_ids, inputs.bias_vals)
     if grammar_mask is not None:
         logits = apply_grammar_mask(logits, grammar_mask)
 
@@ -116,6 +165,8 @@ def sample_tokens(
 
     temp = jnp.maximum(inputs.temperature, 1e-6)[:, None]
     scaled = logits / temp
+    if use_typical and inputs.typical_p is not None:
+        scaled = _typical_filter(scaled, inputs.typical_p)
     if use_top_filters:
         scaled = _top_filters(scaled, inputs)
 
@@ -133,4 +184,7 @@ def sample_tokens(
     chosen_lp = jnp.take_along_axis(
         logprobs_all, tokens[:, None], axis=-1
     ).squeeze(-1)
+    if top_logprobs_k > 0:
+        top_lp, top_ids = jax.lax.top_k(logprobs_all, top_logprobs_k)
+        return tokens, chosen_lp, top_ids.astype(jnp.int32), top_lp
     return tokens, chosen_lp

@@ -210,6 +210,76 @@ class Server:
             {"adapters": eng.lora.list() if eng.lora else []}
         )
 
+    # -- logprobs payloads -----------------------------------------------------
+
+    def _tok_str(self, tid: int) -> str:
+        try:
+            return self.tokenizer.decode([tid])
+        except Exception:
+            return f"<{tid}>"
+
+    def _completion_logprobs(self, seq, out, echo: bool) -> dict | None:
+        """Legacy completions logprobs block (reference
+        api/completions.rs logprobs payload): tokens / token_logprobs /
+        top_logprobs / text_offset, optionally echoing the prompt."""
+        if seq is None or seq.params.logprobs is None:
+            return None
+        tokens: list[str] = []
+        token_lps: list[float | None] = []
+        tops: list[dict | None] = []
+        if echo and seq.prompt_logprobs_acc is not None:
+            plps = seq.prompt_logprobs_acc
+            for i, tid in enumerate(seq.prompt_token_ids):
+                tokens.append(self._tok_str(tid))
+                token_lps.append(plps[i] if i < len(plps) else None)
+                tops.append(None)
+        gen_lps = seq.logprobs_acc or []
+        gen_tops = seq.top_logprobs_acc or []
+        for i, tid in enumerate(out.token_ids):
+            tokens.append(self._tok_str(tid))
+            token_lps.append(gen_lps[i] if i < len(gen_lps) else None)
+            cand = gen_tops[i] if i < len(gen_tops) else None
+            tops.append(
+                {self._tok_str(t): lp for t, lp in cand} if cand else None
+            )
+        offsets = []
+        off = 0
+        for t in tokens:
+            offsets.append(off)
+            off += len(t)
+        return {
+            "tokens": tokens,
+            "token_logprobs": token_lps,
+            "top_logprobs": tops,
+            "text_offset": offsets,
+        }
+
+    def _chat_logprobs(self, seq, out) -> dict | None:
+        """Chat-style logprobs block: content list of token entries."""
+        if seq is None or seq.params.logprobs is None:
+            return None
+        gen_lps = seq.logprobs_acc or []
+        gen_tops = seq.top_logprobs_acc or []
+        content = []
+        for i, tid in enumerate(out.token_ids):
+            text = self._tok_str(tid)
+            entry = {
+                "token": text,
+                "logprob": gen_lps[i] if i < len(gen_lps) else None,
+                "bytes": list(text.encode("utf-8")),
+            }
+            cand = gen_tops[i] if i < len(gen_tops) else None
+            entry["top_logprobs"] = [
+                {
+                    "token": self._tok_str(t),
+                    "logprob": lp,
+                    "bytes": list(self._tok_str(t).encode("utf-8")),
+                }
+                for t, lp in (cand or [])
+            ]
+            content.append(entry)
+        return {"content": content}
+
     # -- completions -----------------------------------------------------------
 
     async def completions(self, request):
@@ -244,7 +314,7 @@ class Server:
                     "index": i,
                     "text": text,
                     "finish_reason": FINISH_MAP.get(out.finish_reason, "stop"),
-                    "logprobs": None,
+                    "logprobs": self._completion_logprobs(seq, out, req.echo),
                 }
             )
             prompt_tokens += n_prompt
@@ -372,7 +442,7 @@ class Server:
                 "index": 0,
                 "message": message,
                 "finish_reason": finish,
-                "logprobs": None,
+                "logprobs": self._chat_logprobs(seq, out),
             }
         ]
         return web.json_response(

@@ -45,6 +45,10 @@ class CompletionRequest(BaseModel):
     min_tokens: int = 0
     ignore_eos: bool = False
     stop_token_ids: list[int] | None = None
+    logit_bias: dict[str, float] | None = None
+    typical_p: float = 1.0
+    bad_words: list[str] | None = None
+    allowed_token_ids: list[int] | None = None
     user: str | None = None
 
     @field_validator("max_tokens")
@@ -72,7 +76,15 @@ class CompletionRequest(BaseModel):
             stop=stops,
             stop_token_ids=self.stop_token_ids or [],
             ignore_eos=self.ignore_eos,
-            logprobs=self.logprobs,
+            # completions-style logprobs=N means chosen + N alternatives
+            logprobs=1 if self.logprobs is not None else None,
+            top_logprobs=self.logprobs,
+            prompt_logprobs=self.echo and self.logprobs is not None,
+            echo=self.echo,
+            logit_bias={int(k): v for k, v in (self.logit_bias or {}).items()},
+            typical_p=self.typical_p,
+            bad_words=list(self.bad_words or []),
+            allowed_token_ids=list(self.allowed_token_ids or []),
         )
 
 
@@ -117,6 +129,10 @@ class ChatCompletionRequest(BaseModel):
     response_format: dict | None = None
     chat_template: str | None = None
     chat_template_kwargs: dict = Field(default_factory=dict)
+    logit_bias: dict[str, float] | None = None
+    typical_p: float = 1.0
+    bad_words: list[str] | None = None
+    allowed_token_ids: list[int] | None = None
     user: str | None = None
 
     def _constraint(self) -> dict | None:
@@ -154,6 +170,11 @@ class ChatCompletionRequest(BaseModel):
             stop_token_ids=self.stop_token_ids or [],
             ignore_eos=self.ignore_eos,
             logprobs=1 if self.logprobs else None,
+            top_logprobs=self.top_logprobs,
+            logit_bias={int(k): v for k, v in (self.logit_bias or {}).items()},
+            typical_p=self.typical_p,
+            bad_words=list(self.bad_words or []),
+            allowed_token_ids=list(self.allowed_token_ids or []),
         )
 
 

@@ -92,6 +92,7 @@ class SpecStepFunction:
             slot_ids,
             sample_mask,
             _lora_idx,
+            _lp_targets,
         ) = unpack_device(meta, layout)  # full page width (sync path)
         s = slot_ids.shape[0]
 
