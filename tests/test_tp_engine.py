@@ -50,11 +50,55 @@ def test_tp_engine_matches_single_device():
     assert len(qw.sharding.device_set) == 4
 
 
+def make_dp_engine(tp=2, dp=2):
+    from vllm_rust_tpu.engine.dp import DataParallelLLMEngine
+
+    mc = tiny_llama_config(
+        hidden_size=64, num_attention_heads=4, num_key_value_heads=4,
+        intermediate_size=128,
+    )
+    cfg = EngineConfig(
+        model=mc,
+        cache=CacheConfig(num_pages=32, page_size=16),
+        scheduler=SchedulerConfig(max_num_seqs=4, max_tokens_per_step=64),
+        max_model_len=128,
+        token_buckets=(16, 32, 64),
+        tensor_parallel_size=tp,
+        data_parallel_size=dp,
+    )
+    model = from_config(mc, dtype=jnp.float32)
+    params = model.init_params(jax.random.PRNGKey(0))
+    return DataParallelLLMEngine(model, params, cfg)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
-def test_dp_tp_engine():
+def test_dp_routes_requests_and_matches_single_engine():
+    """Real DP (reference data_parallel.rs:137,178): replicas on
+    DISJOINT submeshes each process their own request set; outputs must
+    still equal the single-engine greedy outputs."""
     sp = SamplingParams(max_tokens=6, temperature=0.0, ignore_eos=True)
-    base = [o.token_ids for o in make_engine().generate([[5, 6]], sp)]
-    both = make_engine(tp=4, dp=2)
-    assert both.mesh.devices.shape == (2, 4)
-    out = [o.token_ids for o in both.generate([[5, 6]], sp)]
+    prompts = [[5, 6], [9, 8, 7], [1, 2, 3, 4], [6, 6]]
+    base = [o.token_ids for o in make_engine().generate(
+        prompts, [sp] * len(prompts))]
+    dpe = make_dp_engine(tp=2, dp=2)
+    # disjoint device sets per replica
+    d0 = set(dpe.engines[0].mesh.devices.flat)
+    d1 = set(dpe.engines[1].mesh.devices.flat)
+    assert not (d0 & d1)
+    out = [o.token_ids for o in dpe.generate(prompts, [sp] * len(prompts))]
     assert out == base
+    # both replicas actually processed requests (routing is real)
+    per = [s["prompt_tokens"] for s in dpe.stats["per_replica"]]
+    assert all(p > 0 for p in per), per
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_dp_least_loaded_routing():
+    dpe = make_dp_engine(tp=2, dp=2)
+    sp = SamplingParams(max_tokens=2, temperature=0.0, ignore_eos=True)
+    for i in range(6):
+        dpe.add_request(f"r{i}", [1 + i, 2, 3], sp)
+    counts = [len(e.requests) for e in dpe.engines]
+    assert counts == [3, 3], counts
+    while dpe.has_unfinished:
+        dpe.step()

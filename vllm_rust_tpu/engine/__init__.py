@@ -10,4 +10,12 @@ design collapses the reference's strategy/graph/pool machinery into:
 
 from .engine import LLMEngine
 
-__all__ = ["LLMEngine"]
+__all__ = ["LLMEngine", "DataParallelLLMEngine"]
+
+
+def __getattr__(name):
+    if name == "DataParallelLLMEngine":
+        from .dp import DataParallelLLMEngine
+
+        return DataParallelLLMEngine
+    raise AttributeError(name)

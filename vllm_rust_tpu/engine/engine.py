@@ -75,22 +75,27 @@ class LLMEngine:
         params,
         config: EngineConfig,
         tokenizer=None,
+        devices=None,
     ):
         self.model = model
         self.params = params
         self.config = config
         self.tokenizer = tokenizer
 
-        # SPMD: shard params/KV over a dp×tp mesh (reference distributed/
+        # SPMD: shard params/KV over a tp mesh (reference distributed/
         # parallel_layers.rs + engine/tensor_parallel.rs lockstep loop —
-        # all of which dissolves into NamedSharding + XLA collectives)
+        # all of which dissolves into NamedSharding + XLA collectives).
+        # ``devices``: explicit submesh for this engine — the DP router
+        # (engine/dp.py) places each replica on a disjoint device set,
+        # replacing the reference's rank-lockstep DP
+        # (distributed/data_parallel.rs) with independent engines.
         self.mesh = None
         kv_sharding = None
-        if config.tensor_parallel_size * config.data_parallel_size > 1:
+        if config.tensor_parallel_size > 1 or devices is not None:
             from ..parallel.mesh import kv_pages_sharding, make_mesh, shard_params
 
             self.mesh = make_mesh(
-                tp=config.tensor_parallel_size, dp=config.data_parallel_size
+                tp=config.tensor_parallel_size, dp=1, devices=devices
             )
             self.params = params = shard_params(params, self.mesh)
             kv_sharding = kv_pages_sharding(self.mesh)
@@ -135,8 +140,21 @@ class LLMEngine:
 
         self.num_slots = config.scheduler.max_num_seqs
         self._free_slots = list(range(self.num_slots))
-        self.token_counts = jnp.zeros(
-            (self.num_slots, config.model.vocab_size), jnp.int32
+
+        def _place(x):
+            """Commit per-engine device state to this engine's submesh so
+            DP replicas (engine/dp.py) keep ALL their state on their own
+            disjoint devices."""
+            if self.mesh is None:
+                return x
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            return jax.device_put(
+                x, NamedSharding(self.mesh, PartitionSpec())
+            )
+
+        self.token_counts = _place(
+            jnp.zeros((self.num_slots, config.model.vocab_size), jnp.int32)
         )
         self.requests: dict[str, Sequence] = {}
 
@@ -147,9 +165,10 @@ class LLMEngine:
             self.fetch_interval,
             (2 + 2 * self.top_logprobs_k) * self.num_slots,
         )
-        self._ring_write = jnp.zeros(ring_shape, jnp.int32)
-        self._ring_prev = jnp.zeros(ring_shape, jnp.int32)
-        self._ring_spare = jnp.zeros(ring_shape, jnp.int32)
+        self._ring_write = _place(jnp.zeros(ring_shape, jnp.int32))
+        self._ring_prev = _place(jnp.zeros(ring_shape, jnp.int32))
+        self._ring_spare = _place(jnp.zeros(ring_shape, jnp.int32))
+        self._place = _place
         self._cycle_id = 0
         self._cycle_pos = 0
         self._in_flight: deque[StepRecord] = deque()
@@ -160,7 +179,7 @@ class LLMEngine:
         self._constraints: dict = {}
         self.lora = None  # LoraManager (enable_lora())
         self._mask_words = (config.model.vocab_size + 31) // 32
-        self._dummy_mask = jnp.zeros((1, 1), jnp.int32)
+        self._dummy_mask = _place(jnp.zeros((1, 1), jnp.int32))
         self.stats = {
             "num_steps": 0,
             "num_preemptions": 0,

@@ -109,6 +109,12 @@ class LLM:
                 m, params, cfg, tokenizer=tokenizer, proposer=proposer,
                 acceptance_method=speculative.acceptance_method,
             )
+        elif cfg.data_parallel_size > 1:
+            from .engine.dp import DataParallelLLMEngine
+
+            self.engine = DataParallelLLMEngine(
+                m, params, cfg, tokenizer=tokenizer
+            )
         else:
             self.engine = LLMEngine(m, params, cfg, tokenizer=tokenizer)
         self.tokenizer = tokenizer
