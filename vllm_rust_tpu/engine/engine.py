@@ -521,22 +521,54 @@ class LLMEngine:
             hb.bias_ids[i, j] = tid
             hb.bias_vals[i, j] = val
 
+    # grammar-compile deadline (reference ADR 0023, grammar/compiler.rs:
+    # async compile with single-flight cache + deadline + watchdog after
+    # the 2026-06-10 runaway-compile incident)
+    GRAMMAR_COMPILE_DEADLINE_S = 15.0
+
     def _get_constraint(self, spec: dict):
-        """Compile-once constraint cache (reference grammar/compiler.rs
-        single-flight compile cache)."""
+        """Single-flight compile cache with a deadline: identical specs
+        share one compilation; a compile that exceeds the deadline fails
+        the REQUEST (not the engine) and is remembered as poisoned."""
+        import concurrent.futures
         import json as _json
 
         from ..grammar import Constraint
 
         key = _json.dumps(spec, sort_keys=True)
-        c = self._constraints.get(key)
-        if c is None:
-            if self.tokenizer is None:
-                raise ValueError("structured output requires a tokenizer")
-            c = Constraint.from_spec(
-                spec, self.tokenizer, self.config.model.vocab_size, self.eos_ids
+        cached = self._constraints.get(key)
+        if isinstance(cached, Exception):
+            raise ValueError(f"grammar compile failed: {cached}")
+        if cached is not None and not isinstance(
+            cached, concurrent.futures.Future
+        ):
+            return cached
+        if self.tokenizer is None:
+            raise ValueError("structured output requires a tokenizer")
+        fut = cached
+        if fut is None:
+            if not hasattr(self, "_grammar_pool"):
+                self._grammar_pool = concurrent.futures.ThreadPoolExecutor(
+                    max_workers=2, thread_name_prefix="grammar-compile"
+                )
+            fut = self._grammar_pool.submit(
+                Constraint.from_spec,
+                spec, self.tokenizer, self.config.model.vocab_size,
+                self.eos_ids,
             )
-            self._constraints[key] = c
+            self._constraints[key] = fut
+        try:
+            c = fut.result(timeout=self.GRAMMAR_COMPILE_DEADLINE_S)
+        except concurrent.futures.TimeoutError:
+            err = TimeoutError(
+                f"grammar compile exceeded {self.GRAMMAR_COMPILE_DEADLINE_S}s"
+            )
+            self._constraints[key] = err
+            raise ValueError(str(err)) from None
+        except Exception as e:
+            self._constraints[key] = e
+            raise ValueError(f"grammar compile failed: {e}") from None
+        self._constraints[key] = c
         return c
 
     def _page_bucket(self, scheduled) -> int:

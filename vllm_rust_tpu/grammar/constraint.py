@@ -61,6 +61,10 @@ class Constraint:
             pattern = spec["regex"]
         elif "json_schema" in spec:
             pattern = schema_to_regex(spec["json_schema"])
+        elif "ebnf" in spec or "grammar" in spec:
+            from .ebnf import ebnf_to_regex
+
+            pattern = ebnf_to_regex(spec.get("ebnf") or spec.get("grammar"))
         elif spec.get("json_object"):
             pattern = json_object_regex()
         else:

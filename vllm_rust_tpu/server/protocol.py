@@ -146,6 +146,19 @@ class ChatCompletionRequest(BaseModel):
             js = rf.get("json_schema", {})
             schema = js.get("schema", js)
             return {"json_schema": schema}
+        if kind in ("grammar", "ebnf"):
+            # vLLM-style EBNF grammar response format
+            g = rf.get("grammar") or rf.get("ebnf")
+            if isinstance(g, dict):
+                g = g.get("definition") or g.get("grammar")
+            return {"ebnf": g}
+        if kind == "regex":
+            r = rf.get("regex")
+            if isinstance(r, dict):
+                r = r.get("pattern")
+            return {"regex": r}
+        if kind == "choice":
+            return {"choice": rf.get("choice")}
         if kind in (None, "text"):
             return None
         raise ValueError(f"unsupported response_format type {kind!r}")
