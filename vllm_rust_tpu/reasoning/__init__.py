@@ -33,6 +33,11 @@ class TagReasoningParser:
             reasoning = text[:close]
             content = text[close + len(self.close_tag) :]
             return reasoning.strip(), content.lstrip("\n")
+        if start < 0 and self.implicit_open and close < 0:
+            # generation starts INSIDE the think block (R1 template) and
+            # the close tag has not arrived: everything is reasoning —
+            # keeps streaming and final parses consistent
+            return text.strip() or None, ""
         if start < 0:
             return None, text
         if close < 0:  # unterminated think block: everything is reasoning

@@ -475,30 +475,78 @@ class Server:
             ],
         }
         await self._sse_send(resp, first)
+
+        # incremental parsers (reference api/streaming.rs tool-call /
+        # reasoning stream deltas): reasoning splits the raw stream;
+        # its content channel feeds the tool-call streamer
+        reason_stream = tool_stream = None
+        if self.reasoning_parser is not None:
+            from ..tool_parser.streaming import StreamingReasoningParser
+
+            reason_stream = StreamingReasoningParser(self.reasoning_parser)
+        if self.tool_parser is not None and req.tools:
+            from ..tool_parser.streaming import StreamingToolParser
+
+            tool_stream = StreamingToolParser(self.tool_parser)
+
+        def process(new_text: str, final: bool) -> list[dict]:
+            """raw text delta -> OpenAI chat deltas."""
+            if reason_stream is None and tool_stream is None:
+                return [{"content": new_text}] if new_text else []
+            deltas: list[dict] = []
+            if reason_stream is not None:
+                parts = (
+                    reason_stream.push(new_text)
+                    if not final
+                    else reason_stream.finish()
+                )
+            else:
+                parts = [{"content": new_text}] if new_text else []
+                if final:
+                    parts = parts or [{"content": ""}]
+            for part in parts:
+                if "reasoning_content" in part:
+                    deltas.append(part)
+                else:
+                    c = part.get("content", "")
+                    if tool_stream is not None:
+                        deltas.extend(tool_stream.push(c))
+                    elif c:
+                        deltas.append({"content": c})
+            if final and tool_stream is not None:
+                deltas.extend(tool_stream.finish())
+            return deltas
+
+        async def send(delta: dict, finish: str | None):
+            await self._sse_send(
+                resp,
+                {
+                    "id": rid,
+                    "object": "chat.completion.chunk",
+                    "created": created,
+                    "model": model,
+                    "choices": [
+                        {"index": 0, "delta": delta, "finish_reason": finish}
+                    ],
+                },
+            )
+
         n_tokens = 0
+        finish_reason = None
         async for out in self.engine.generate_stream(
             prompt, params, rid, images=images
         ):
             n_tokens += 1
-            delta: dict[str, Any] = {}
-            if out.new_text:
-                delta["content"] = out.new_text
-            chunk = {
-                "id": rid,
-                "object": "chat.completion.chunk",
-                "created": created,
-                "model": model,
-                "choices": [
-                    {
-                        "index": 0,
-                        "delta": delta,
-                        "finish_reason": FINISH_MAP.get(out.finish_reason)
-                        if out.finished
-                        else None,
-                    }
-                ],
-            }
-            await self._sse_send(resp, chunk)
+            if out.finished:
+                finish_reason = FINISH_MAP.get(out.finish_reason)
+            for delta in process(out.new_text or "", final=False):
+                await send(delta, None)
+        # flush held-back text / trailing call arguments
+        for delta in process("", final=True):
+            await send(delta, None)
+        if tool_stream is not None and tool_stream.has_calls:
+            finish_reason = "tool_calls"
+        await send({}, finish_reason or "stop")
         if req.stream_options and req.stream_options.get("include_usage"):
             seq = self.engine.engine.requests.get(rid)
             await self._sse_send(
