@@ -109,16 +109,38 @@ class LLMEngine:
             # swap-in restores KV pages but not recurrent state; only
             # recompute preemption rebuilds SSM state correctly
             raise ValueError("SSM models require preemption_mode='recompute'")
-        self.kv = KVCacheManager(
-            config.cache,
-            model.kv_head_info,
-            enable_prefix_caching=config.enable_prefix_caching,
-        )
-        self.kv_pages = self.kv.create_device_pools(
-            model.dtype,
-            sharding=kv_sharding,
-            num_slots=config.scheduler.max_num_seqs,
-        )
+        # OOM graceful degradation (reference ADR 0022): if the configured
+        # pool does not fit, boot with progressively smaller pools and
+        # serve degraded rather than crash
+        self.degraded_kv = False
+        num_pages = config.cache.num_pages
+        while True:
+            try:
+                self.kv = KVCacheManager(
+                    config.cache,
+                    model.kv_head_info,
+                    enable_prefix_caching=config.enable_prefix_caching,
+                )
+                self.kv_pages = self.kv.create_device_pools(
+                    model.dtype,
+                    sharding=kv_sharding,
+                    num_slots=config.scheduler.max_num_seqs,
+                )
+                jax.block_until_ready(jax.tree_util.tree_leaves(self.kv_pages))
+                break
+            except (RuntimeError, jax.errors.JaxRuntimeError) as e:
+                if "RESOURCE_EXHAUSTED" not in str(e) and "Out of memory" not in str(e):
+                    raise
+                if num_pages <= 16:
+                    raise
+                num_pages = max(16, num_pages // 4)
+                logger.warning(
+                    "KV pool allocation OOM; degrading to %d pages "
+                    "(tiny-pool boot, ADR 0022) — throughput will suffer",
+                    num_pages,
+                )
+                config.cache.num_pages = num_pages
+                self.degraded_kv = True
         if config.cache.kv_dtype != "auto":
             # quantized KV: model passes static scales into the attention
             # write/read paths (pinned for the cache lifetime, contract #10)

@@ -68,10 +68,30 @@ class LLM:
 
         if num_pages is None:
             if kv_cache_memory_bytes is None:
-                # modest default: enough for max_num_seqs full-length seqs,
-                # capped at 4 GiB worth of pages
+                # ADR 0024: profile the device (params resident + one
+                # largest-bucket forward) and give the remaining HBM to KV;
+                # backends without memory stats fall back to a 4 GiB default
+                from .kv_cache.sizing import profile_kv_budget
+                from .utils import cdiv
+
+                budget = None
+                try:
+                    budget = profile_kv_budget(
+                        m, params,
+                        max_tokens_per_step=max_tokens_per_step,
+                        max_num_seqs=max_num_seqs,
+                        pages_per_seq=cdiv(max_model_len, page_size),
+                        page_size=page_size,
+                    )
+                except Exception as e:  # profiling must never block boot
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "profiled KV sizing failed (%s); using default", e
+                    )
                 cache = CacheConfig.from_memory_budget(
-                    4 << 30, model_cfg, page_size=page_size, kv_dtype=kv_cache_dtype
+                    budget if budget else 4 << 30,
+                    model_cfg, page_size=page_size, kv_dtype=kv_cache_dtype,
                 )
             else:
                 cache = CacheConfig.from_memory_budget(

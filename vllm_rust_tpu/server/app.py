@@ -48,10 +48,43 @@ def _error(status: int, message: str, err_type: str = "invalid_request_error"):
     )
 
 
+class RateLimiter:
+    """Global concurrency + requests-per-second limiter (reference
+    api/middleware.rs global rate limiter). Token bucket for rate,
+    counter for concurrency; 429 on either limit."""
+
+    def __init__(self, max_concurrent: int = 0, rps: float = 0.0,
+                 burst: int = 0):
+        self.max_concurrent = max_concurrent  # 0 = unlimited
+        self.rps = rps  # 0 = unlimited
+        self.burst = burst or max(int(rps * 2), 1)
+        self.tokens = float(self.burst)
+        self.last = time.monotonic()
+        self.inflight = 0
+
+    def try_acquire(self) -> bool:
+        if self.max_concurrent and self.inflight >= self.max_concurrent:
+            return False
+        if self.rps:
+            now = time.monotonic()
+            self.tokens = min(
+                self.burst, self.tokens + (now - self.last) * self.rps
+            )
+            self.last = now
+            if self.tokens < 1.0:
+                return False
+            self.tokens -= 1.0
+        self.inflight += 1
+        return True
+
+    def release(self) -> None:
+        self.inflight = max(0, self.inflight - 1)
+
+
 @web.middleware
 async def request_middleware(request: web.Request, handler):
-    """Request-id + API-key auth + uniform error envelope (reference:
-    api/middleware.rs:27-290)."""
+    """Request-id + API-key auth + rate limit + uniform error envelope
+    (reference: api/middleware.rs:27-290)."""
     request["request_id"] = request.headers.get(
         "x-request-id", f"rid-{uuid.uuid4().hex[:16]}"
     )
@@ -61,6 +94,20 @@ async def request_middleware(request: web.Request, handler):
         # engine swap in flight: reject instead of queueing against a
         # dying engine (reference api/middleware.rs:208 restart rejection)
         return _error(503, "server is restarting", "unavailable_error")
+    if request.app.get("draining") and not request.path.startswith(
+        ("/health", "/ping", "/admin")
+    ):
+        # graceful shutdown in progress (reference shutdown.rs): stop
+        # admitting, let in-flight requests finish
+        return _error(503, "server is shutting down", "unavailable_error")
+    limiter: RateLimiter | None = request.app.get("rate_limiter")
+    limited = False
+    if limiter is not None and request.path.startswith("/v1"):
+        if not limiter.try_acquire():
+            return _error(
+                429, "rate limit exceeded, retry later", "rate_limit_error"
+            )
+        limited = True
     api_key = request.app.get("api_key")
     if api_key and request.path.startswith("/v1"):
         auth = request.headers.get("authorization", "")
@@ -78,6 +125,9 @@ async def request_middleware(request: web.Request, handler):
     except Exception:
         logger.exception("handler error [%s]", request["request_id"])
         return _error(500, "internal server error", "internal_error")
+    finally:
+        if limited:
+            limiter.release()
     resp.headers.setdefault("x-request-id", request["request_id"])
     return resp
 
@@ -888,6 +938,8 @@ def build_app(
     reasoning_parser: str | None = None,
     encoder=None,
     engine_factory=None,
+    max_concurrent_requests: int = 0,
+    requests_per_second: float = 0.0,
 ) -> web.Application:
     s = Server(
         engine,
@@ -903,6 +955,11 @@ def build_app(
     app["server"] = s
     app["engine_factory"] = engine_factory
     app["restarting"] = False
+    app["draining"] = False
+    if max_concurrent_requests or requests_per_second:
+        app["rate_limiter"] = RateLimiter(
+            max_concurrent_requests, requests_per_second
+        )
     app.add_routes(
         [
             web.get("/health", s.health),
@@ -974,6 +1031,18 @@ def run_server(args=None) -> None:
     parser.add_argument("--speculative-method", default=None)
     parser.add_argument("--draft-model", default=None)
     parser.add_argument("--num-draft-tokens", type=int, default=4)
+    parser.add_argument(
+        "--max-concurrent-requests", type=int, default=0,
+        help="global in-flight /v1 request cap (0 = unlimited)",
+    )
+    parser.add_argument(
+        "--requests-per-second", type=float, default=0.0,
+        help="global /v1 request rate limit (0 = unlimited)",
+    )
+    parser.add_argument(
+        "--shutdown-timeout", type=float, default=30.0,
+        help="graceful-shutdown drain timeout in seconds",
+    )
     ns = parser.parse_args(args)
 
     from ..entrypoints import LLM, Encoder, is_encoder_model
@@ -1018,14 +1087,44 @@ def run_server(args=None) -> None:
             tool_parser=ns.tool_call_parser,
             reasoning_parser=ns.reasoning_parser,
             encoder=encoder,
+            max_concurrent_requests=ns.max_concurrent_requests,
+            requests_per_second=ns.requests_per_second,
         )
         runner = web.AppRunner(app)
         await runner.setup()
         site = web.TCPSite(runner, ns.host, ns.port)
         await site.start()
         logger.info("serving on %s:%d", ns.host, ns.port)
-        while True:
-            await asyncio.sleep(3600)
+
+        # graceful shutdown (reference shutdown.rs): on SIGTERM/SIGINT
+        # stop admitting, drain in-flight work up to the timeout
+        import signal
+
+        stop = asyncio.Event()
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            loop.add_signal_handler(sig, stop.set)
+        await stop.wait()
+        await graceful_shutdown(app, aeng, runner, ns.shutdown_timeout)
 
     logging.basicConfig(level=logging.INFO)
     asyncio.run(main())
+
+
+async def graceful_shutdown(app, aeng, runner, timeout: float) -> None:
+    """Drain: reject new requests, wait for the engine to finish
+    in-flight work (bounded), then tear down (reference shutdown.rs)."""
+    logger.info("graceful shutdown: draining (timeout %.0fs)", timeout)
+    app["draining"] = True
+    deadline = time.monotonic() + timeout
+    eng = getattr(aeng, "engine", None) if aeng is not None else None
+    while time.monotonic() < deadline:
+        busy = bool(eng is not None and eng.has_unfinished)
+        limiter = app.get("rate_limiter")
+        inflight = limiter.inflight if limiter is not None else 0
+        if not busy and inflight == 0:
+            break
+        await asyncio.sleep(0.2)
+    if aeng is not None:
+        aeng.shutdown()
+    await runner.cleanup()
+    logger.info("shutdown complete")
