@@ -198,6 +198,10 @@ class AsyncLLMEngine:
         s["num_running"] = len(self.engine.scheduler.running)
         s["free_kv_pages"] = self.engine.kv.num_free_pages
         s["total_kv_pages"] = self.engine.kv.pool.total_usable
+        # speculative acceptance stats (reference SpecDecodingStats,
+        # engine/types.rs:322-390) — exported via /metrics
+        if hasattr(self.engine, "acceptance_rate"):
+            s["spec_acceptance_rate"] = round(self.engine.acceptance_rate, 4)
         return s
 
     def shutdown(self) -> None:

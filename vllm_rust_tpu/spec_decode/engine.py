@@ -61,11 +61,16 @@ class SpecLLMEngine(LLMEngine):
         )
         self._has_heads = head_fn is not None or aux is not None
         self._has_aux = aux is not None
+        # tree verification (reference tree_attention.rs): proposers that
+        # expose propose_paths get multi-branch verification via extra
+        # batch rows on scratch pages (greedy, unconstrained seqs only)
+        self.tree_mode = bool(getattr(proposer, "proposes_trees", False))
+        self.MAX_COPY_PAIRS = 16
         # decode steps claim a K+1 token window (penalty-free requests;
         # clamped near max_model_len). Penalized requests fall back to
         # width 1: penalty counts would change within the window.
         def _width(seq):
-            if seq.params.uses_penalties or seq.constraint is not None:
+            if seq.params.uses_penalties:
                 return 1
             return max(
                 1,
@@ -75,14 +80,8 @@ class SpecLLMEngine(LLMEngine):
         self.scheduler.decode_width = _width
         self.stats["draft_tokens"] = 0
         self.stats["accepted_tokens"] = 0
+        self.stats["tree_alt_rows"] = 0
 
-    def add_request(self, request_id, prompt, params=None, priority=0):
-        if params is not None and params.constraint is not None:
-            raise NotImplementedError(
-                "structured output with speculative decoding is not yet "
-                "supported — disable speculation for constrained requests"
-            )
-        return super().add_request(request_id, prompt, params, priority)
 
     # -- synchronous spec stepping --------------------------------------------
 
@@ -132,10 +131,35 @@ class SpecLLMEngine(LLMEngine):
 
         proposed = self._propose_all(scheduled)
 
-        total_tokens = sum(s.num_tokens for s in scheduled)
+        # plan alternate tree paths (row/token budget permitting)
+        alt_plan: list[tuple[int, list[int]]] = []  # (scheduled idx, path)
+        if self.tree_mode:
+            rows_left = s_pad - len(scheduled)
+            pairs_left = self.MAX_COPY_PAIRS
+            for i, sch in enumerate(scheduled):
+                seq, n = sch.seq, sch.num_tokens
+                if (
+                    n <= 1
+                    or seq.num_computed_tokens != seq.total_len - 1
+                    or seq.constraint is not None
+                    or not seq.params.greedy
+                    or seq.params.uses_penalties
+                ):
+                    continue
+                for path in self.proposer.propose_paths(seq)[1:]:
+                    path = [t for t in path[: n - 1]]
+                    if not path or rows_left <= 0 or pairs_left <= 0:
+                        break
+                    alt_plan.append((i, path))
+                    rows_left -= 1
+                    pairs_left -= 1
+
+        total_tokens = sum(s.num_tokens for s in scheduled) + sum(
+            scheduled[i].num_tokens for i, _ in alt_plan
+        )
         t_pad = pick_bucket(total_tokens, cfg.token_buckets)
         hb = self._host_batch(t_pad)
-        hb.header[1] = len(scheduled)
+        hb.header[1] = len(scheduled) + len(alt_plan)
 
         gather_idx = np.zeros((s_pad, k1), np.int32)
         drafts = np.full((s_pad, self.k), -1, np.int32)
@@ -143,7 +167,15 @@ class SpecLLMEngine(LLMEngine):
         next_hint = np.full(s_pad, -1, np.int32)
         use_penalties = False
         use_top_filters = False
+        use_grammar = any(s.seq.constraint is not None for s in scheduled)
+        grammar_masks = None
+        if use_grammar:
+            # per-position masks; unconstrained rows/positions all-ones
+            grammar_masks = np.full(
+                (s_pad, k1, self._mask_words), -1, np.int32
+            )
         entries = []  # (seq, row, start, n, n_drafts, is_final_chunk, is_decode)
+        row_env: dict[int, tuple] = {}  # i -> (start, n, table) for alt rows
 
         offset = 0
         for i, sch in enumerate(scheduled):
@@ -158,6 +190,23 @@ class SpecLLMEngine(LLMEngine):
             if is_decode and n > 1:
                 # fill the window with drafts (pad -1 → never accepted)
                 d = proposed.get(i, [])
+                if seq.constraint is not None:
+                    # truncate the draft chain at the first grammar-dead
+                    # token; masks follow the host-advanced DFA states
+                    c, st = seq.constraint, seq.constraint_state
+                    grammar_masks[i, 0] = c.mask(st)
+                    kept = []
+                    for j, dj in enumerate(d):
+                        nxt = (
+                            st if dj in self.eos_ids
+                            else c.advance(st, int(dj))
+                        )
+                        if nxt == c.dfa.DEAD:
+                            break
+                        kept.append(dj)
+                        st = nxt
+                        grammar_masks[i, j + 1] = c.mask(st)
+                    d = kept
                 drafts[i, : len(d)] = d
                 n_drafts = n - 1
                 chunk = [seq.all_token_ids[start]] + [
@@ -168,6 +217,10 @@ class SpecLLMEngine(LLMEngine):
             else:
                 n_drafts = 0
                 chunk = seq.all_token_ids[start : start + n]
+                if seq.constraint is not None:
+                    grammar_masks[i, 0] = seq.constraint.mask(
+                        seq.constraint_state
+                    )
             end = start + n
 
             hb.input_ids[offset : offset + n] = chunk
@@ -208,8 +261,69 @@ class SpecLLMEngine(LLMEngine):
                 p.top_k > 0 or p.top_p < 1.0 or p.min_p > 0.0
             )
             entries.append((seq, i, start, n, n_drafts, is_final_chunk, is_decode))
+            row_env[i] = (start, n, table)
             offset += n
-        hb.cu_q_lens[len(scheduled) + 1 :] = hb.cu_q_lens[len(scheduled)]
+        # ---- alternate tree-path rows (scratch-page writes) ----------
+        copy_pairs = np.zeros((self.MAX_COPY_PAIRS, 2), np.int32)
+        tree_alt: dict[int, list[tuple[int, int]]] = {}  # i -> [(row, nd)]
+        scratch_allocated: list[int] = []
+        ps = cfg.cache.page_size
+        r = len(scheduled)
+        n_pairs = 0
+        kept_plan = []
+        for i, path in alt_plan:
+            seq = scheduled[i].seq
+            start, n, table = row_env[i]
+            end = start + n
+            first_pg, last_pg = start // ps, (end - 1) // ps
+            need = last_pg - first_pg + 1
+            if self.kv.pool.num_free < need:
+                continue  # no scratch room: this path is skipped
+            spages = self.kv.pool.allocate(need)
+            scratch_allocated.extend(spages)
+            kept_plan.append((i, path, r))
+
+            chunk = [seq.all_token_ids[start]] + [int(t) for t in path]
+            chunk += [0] * (n - len(chunk))
+            hb.input_ids[offset : offset + n] = chunk
+            hb.positions[offset : offset + n] = np.arange(start, end)
+            pages_row = np.array(hb.page_indices[i], np.int32)
+            for k_, pg in enumerate(range(first_pg, last_pg + 1)):
+                pages_row[pg] = spages[k_]
+            hb.page_indices[r, : len(pages_row)] = pages_row
+            hb.slot_mapping[offset : offset + n] = [
+                pages_row[p_ // ps] * ps + p_ % ps for p_ in range(start, end)
+            ]
+            if start % ps != 0:
+                # boundary page holds committed tokens: copy it into the
+                # scratch page so attention sees them
+                copy_pairs[n_pairs] = (table.pages[first_pg], spages[0])
+                n_pairs += 1
+            hb.kv_lens[r] = end
+            hb.cu_q_lens[r + 1] = hb.cu_q_lens[r] + n
+            hb.logits_indices[r] = offset + n - 1
+            hb.slot_ids[r] = seq.slot
+            hb.sample_mask[r] = 0  # counts updated by the primary row only
+            gather_idx[r] = offset + np.arange(k1).clip(0, n - 1)
+            nd = len(path)
+            drafts[r, :nd] = path
+            p = seq.params
+            hb.temperature[r] = p.temperature
+            hb.top_k[r] = p.top_k
+            hb.top_p[r] = p.top_p
+            hb.min_p[r] = p.min_p
+            hb.seeds[r] = self._seq_seed(seq)
+            hb.rng_pos[r] = seq.total_len
+            hb.ban_eos[r] = seq.num_generated < p.min_tokens
+            ban_rem[r] = max(0, p.min_tokens - seq.num_generated)
+            tree_alt.setdefault(i, []).append((r, nd))
+            self.stats["draft_tokens"] += nd
+            self.stats["tree_alt_rows"] += 1
+            offset += n
+            r += 1
+        use_tree = bool(kept_plan)
+        hb.header[1] = r
+        hb.cu_q_lens[r + 1 :] = hb.cu_q_lens[r]
 
         aux_kv = self.proposer.kv_pages if self._has_aux else ()
         mm = self._build_mm(scheduled, t_pad)
@@ -226,11 +340,17 @@ class SpecLLMEngine(LLMEngine):
             aux_kv,
             mm[0] if mm else self._dummy_mask,
             mm[1] if mm else self._dummy_mask[0],
+            jnp.asarray(grammar_masks)
+            if use_grammar
+            else self._dummy_mask[None],
+            jnp.asarray(copy_pairs),
             layout=hb.layout,
             k1=k1,
             use_penalties=use_penalties,
             use_top_filters=use_top_filters,
             use_mm=mm is not None,
+            use_grammar=use_grammar,
+            use_tree=use_tree,
         )
         if self._has_aux:
             self.proposer.kv_pages = aux_kv
@@ -245,20 +365,41 @@ class SpecLLMEngine(LLMEngine):
             packed_h[lp_end:].reshape(s_pad, -1) if self._has_heads else None
         )
 
+        if scratch_allocated:
+            # synchronous engine: the packed result is already fetched,
+            # scratch KV is no longer referenced
+            self.kv.pool.free(scratch_allocated)
+
         self._step_count += 1
         self.stats["num_steps"] += 1
-        return self._process_spec(entries, sampled, acc, logprobs, next_drafts)
+        return self._process_spec(
+            entries, sampled, acc, logprobs, next_drafts, tree_alt
+        )
 
-    def _process_spec(self, entries, sampled, acc, logprobs, next_drafts):
+    def _process_spec(self, entries, sampled, acc, logprobs, next_drafts,
+                      tree_alt=None):
         outputs: list[RequestOutput] = []
         for seq, row, start, n, n_drafts, is_final_chunk, is_decode in entries:
             if not is_final_chunk:
                 seq.num_computed_tokens = start + n
                 continue
             a = int(min(acc[row], n_drafts)) if is_decode else 0
+            alt_won = False
+            if tree_alt and is_decode and row in tree_alt:
+                # pick the path with the longest accepted prefix; ties go
+                # to the primary path (its KV lives in the real pages)
+                for r2, nd2 in tree_alt[row]:
+                    a2 = int(min(acc[r2], nd2))
+                    if a2 > a:
+                        a, row, alt_won = a2, r2, True
             self.stats["accepted_tokens"] += a
             emit = [int(sampled[row, j]) for j in range(a + 1)]
-            if is_decode:
+            if is_decode and alt_won:
+                # winning KV lives in freed scratch pages: roll back and
+                # let the next step recompute the emitted tokens into the
+                # real pages (recompute-preemption semantics, contract #3)
+                seq.num_computed_tokens = start
+            elif is_decode:
                 # KV valid up to last accepted draft + 1 (trim-to-accepted)
                 seq.num_computed_tokens = start + a + 1
             else:
@@ -285,6 +426,10 @@ class SpecLLMEngine(LLMEngine):
                 break
             seq.generated_token_ids.append(tok)
             self.stats["generated_tokens"] += 1
+            if seq.constraint is not None and tok not in self.eos_ids:
+                seq.constraint_state = seq.constraint.advance(
+                    seq.constraint_state, tok
+                )
             new_text = ""
             if self.tokenizer is not None:
                 from ..detokenizer import detokenize_incrementally

@@ -24,35 +24,47 @@ from ..config import ModelConfig
 from ..request import Sequence
 
 
-def medusa_head_fn(head_params, hidden: jax.Array, last_tok=None) -> jax.Array:
-    """Apply every head to hidden [S, H] -> greedy drafts [S, K]."""
+def medusa_head_fn(head_params, hidden: jax.Array, last_tok=None,
+                   width: int = 1) -> jax.Array:
+    """Apply every head to hidden [S, H] -> drafts [S, K*width]
+    (per head, the top-``width`` candidate tokens, best first)."""
     cols = []
     for hp in head_params["heads"]:
         h = hidden
         for blk in hp["blocks"]:
             h = h + jax.nn.silu(h @ blk["weight"] + blk["bias"])
         logits = h @ hp["lm_head"]["weight"]
-        cols.append(jnp.argmax(logits, axis=-1).astype(jnp.int32))
-    return jnp.stack(cols, axis=1)
+        if width == 1:
+            cols.append(jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None])
+        else:
+            _, ids = jax.lax.top_k(logits, width)
+            cols.append(ids.astype(jnp.int32))
+    return jnp.concatenate(cols, axis=1)  # [S, K*width]
 
 
 class MedusaProposer:
-    device_head_fn = staticmethod(medusa_head_fn)
-
     def __init__(
         self,
         config: ModelConfig,
         num_heads: int = 4,
         num_layers_per_head: int = 1,
         dtype: Any = jnp.bfloat16,
+        tree_width: int = 1,
     ):
         self.config = config
         self.num_heads = num_heads
         self.num_layers_per_head = num_layers_per_head
         self.dtype = dtype
         self.max_draft_tokens = num_heads
+        self.tree_width = tree_width
+        self.proposes_trees = tree_width > 1
         self.device_params: dict | None = None
         self._pending: dict[str, list[int]] = {}
+        import functools
+
+        self.device_head_fn = functools.partial(
+            medusa_head_fn, width=tree_width
+        )
 
     # -- params ---------------------------------------------------------------
 
@@ -109,7 +121,32 @@ class MedusaProposer:
     # -- proposer protocol ----------------------------------------------------
 
     def propose(self, seq: Sequence) -> list[int]:
-        return self._pending.get(seq.request_id, [])
+        flat = self._pending.get(seq.request_id, [])
+        if self.tree_width == 1:
+            return flat
+        # top-1 chain: first candidate of each head
+        return [flat[k * self.tree_width] for k in range(len(flat) // self.tree_width)]
+
+    def propose_paths(self, seq: Sequence) -> list[list[int]]:
+        """Deviate-once path set over the per-head top-``width``
+        candidates: the all-top1 chain first, then for each depth j and
+        alternate candidate c, the path [top1..top1(j-1), c] (reference
+        tree_attention.rs from_medusa_candidates, flattened to root
+        paths so verification rides the ragged batch instead of a
+        custom tree mask)."""
+        flat = self._pending.get(seq.request_id, [])
+        w = self.tree_width
+        if not flat or w == 1:
+            return [self.propose(seq)] if flat else []
+        k = len(flat) // w
+        cands = [flat[j * w : (j + 1) * w] for j in range(k)]
+        top1 = [c[0] for c in cands]
+        paths = [top1]
+        for j in range(k):
+            for c in cands[j][1:]:
+                if c != cands[j][0]:
+                    paths.append(top1[:j] + [c])
+        return paths
 
     def store(self, seq: Sequence, drafts: list[int]) -> None:
         self._pending[seq.request_id] = drafts

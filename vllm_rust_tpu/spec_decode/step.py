@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..engine.batch_pack import PackLayout, unpack_device
-from ..sampling.sampler import sample_tokens
+from ..sampling.sampler import apply_grammar_mask, sample_tokens
 
 TYPICAL_THRESHOLD = 0.09  # posterior_threshold (vLLM defaults)
 TYPICAL_ALPHA = 0.3  # posterior_alpha
@@ -58,6 +58,7 @@ class SpecStepFunction:
             self._step,
             static_argnames=(
                 "layout", "k1", "use_penalties", "use_top_filters", "use_mm",
+                "use_grammar", "use_tree",
             ),
             donate_argnames=("kv_pages", "token_counts", "aux_kv"),
         )
@@ -76,12 +77,16 @@ class SpecStepFunction:
         aux_kv,
         mm_buf: jax.Array,  # [num_slots+1, max_mm, H] multimodal embeds
         mm_idx: jax.Array,  # [T] index into the row's mm embeds (-1 none)
+        grammar_masks: jax.Array,  # [S, K1, words] per-position masks
+        copy_pairs: jax.Array,  # [MAXP, 2] (src_page, dst_page) for tree rows
         *,
         layout: PackLayout,
         k1: int,
         use_penalties: bool,
         use_top_filters: bool,
         use_mm: bool = False,
+        use_grammar: bool = False,
+        use_tree: bool = False,
     ):
         (
             _ring_slot,
@@ -112,6 +117,15 @@ class SpecStepFunction:
             slot_of = jnp.where(mm_idx >= 0, slot_ids[seq_of], null_row)
             override = mm_buf[slot_of, jnp.maximum(mm_idx, 0)]
             model_kwargs["embeds"] = (mm_idx >= 0, override)
+        if use_tree:
+            # tree verification (reference tree_attention.rs, re-designed
+            # as root-path batch rows): alternate paths write their window
+            # KV into scratch pages; a window that starts mid-page needs
+            # the committed tokens of that boundary page copied into the
+            # scratch copy first. Null pairs are (0, 0) — a no-op on the
+            # null page.
+            src, dst = copy_pairs[:, 0], copy_pairs[:, 1]
+            kv_pages = [p.at[dst].set(p[src]) for p in kv_pages]
         out = self.model(params, input_ids, md, kv_pages, **model_kwargs)
         if len(out) == 3:
             # EAGLE-3: concatenated aux residual-stream features ride along
@@ -121,6 +135,21 @@ class SpecStepFunction:
             aux_feats = None
         sel = hidden[gather_idx.reshape(-1)]  # [S*K1, H]
         logits = self.model.compute_logits(params, sel).reshape(s, k1, -1)
+
+        if use_grammar:
+            # spec x grammar (reference speculative.rs grammar rollback):
+            # position j's logits are masked with the DFA state reached
+            # after accepting drafts 1..j (host-advanced along the draft
+            # path); a grammar-violating draft then mismatches the masked
+            # sample and is rejected by prefix acceptance — the standard
+            # trim-to-accepted rollback needs no extra machinery
+            logits = jnp.stack(
+                [
+                    apply_grammar_mask(logits[:, j, :], grammar_masks[:, j, :])
+                    for j in range(k1)
+                ],
+                axis=1,
+            )
 
         # position 0 honours the request's full sampling params + penalty
         # counts (identical to the non-spec sampler call for this token)
@@ -231,7 +260,8 @@ class SpecStepFunction:
         return kv_pages, token_counts, aux_kv, packed
 
     def __call__(
-        self, *args, layout, k1, use_penalties, use_top_filters, use_mm=False
+        self, *args, layout, k1, use_penalties, use_top_filters,
+        use_mm=False, use_grammar=False, use_tree=False,
     ):
         return self._jit(
             *args,
@@ -240,4 +270,6 @@ class SpecStepFunction:
             use_penalties=use_penalties,
             use_top_filters=use_top_filters,
             use_mm=use_mm,
+            use_grammar=use_grammar,
+            use_tree=use_tree,
         )
