@@ -62,16 +62,23 @@ class AsyncLLMEngine:
         request_id: str | None = None,
         priority: int = 0,
         images: list | None = None,
+        video: list | None = None,
     ) -> AsyncIterator[RequestOutput]:
         """Yields RequestOutput deltas; the final one has finished=True."""
         request_id = request_id or f"req-{uuid.uuid4().hex[:16]}"
         q: asyncio.Queue = asyncio.Queue()
         self._streams[request_id] = q
         ev = threading.Event()
+        if video:
+            kind, payload = "add_video", (prompt, video)
+        elif images:
+            kind, payload = "add_mm", (prompt, images)
+        else:
+            kind, payload = "add", prompt
         cmd = _Command(
-            kind="add_mm" if images else "add",
+            kind=kind,
             request_id=request_id,
-            prompt=(prompt, images) if images else prompt,
+            prompt=payload,
             params=params,
             priority=priority,
             done=ev,
@@ -100,10 +107,11 @@ class AsyncLLMEngine:
         params: SamplingParams | None = None,
         request_id: str | None = None,
         images: list | None = None,
+        video: list | None = None,
     ) -> RequestOutput:
         last = None
         async for out in self.generate_stream(
-            prompt, params, request_id, images=images
+            prompt, params, request_id, images=images, video=video
         ):
             last = out
         assert last is not None
@@ -257,6 +265,19 @@ class AsyncLLMEngine:
                 pixel = [self.engine.preprocess(im) for im in images]
                 self.engine.add_image_request(
                     cmd.request_id, prompt, pixel, cmd.params
+                )
+            except Exception as e:
+                cmd.error = e
+            finally:
+                if cmd.done:
+                    cmd.done.set()
+        elif cmd.kind == "add_video":
+            try:
+                prompt, frames = cmd.prompt
+                if isinstance(prompt, str):
+                    prompt = self.engine.tokenizer.encode(prompt)
+                self.engine.add_video_request(
+                    cmd.request_id, prompt, frames, cmd.params
                 )
             except Exception as e:
                 cmd.error = e

@@ -46,11 +46,14 @@ class VlmEngine(SpecLLMEngine):
         self._encode_jit = jax.jit(model.encode_images)
         # rid -> (projected embeds [n, H] device, [(span_start, span_len)])
         self._mm: dict[str, tuple[jax.Array, list[tuple[int, int]]]] = {}
-        # encoder cache: image digest -> embeds (reference encoder_cache.rs
-        # budgeted mm-hash cache; refcount-free here since entries are
-        # device arrays shared by construction)
-        self._encoder_cache: dict[str, jax.Array] = {}
-        self.encoder_cache_budget = 64
+        # encoder cache (reference encoder_cache.rs:32-351): LRU over a
+        # BYTE budget with per-entry refcounts — an entry referenced by a
+        # live request is never evicted
+        self._encoder_cache: dict[str, jax.Array] = {}  # insertion = LRU order
+        self._cache_refs: dict[str, int] = {}
+        self._req_keys: dict[str, list[str]] = {}
+        self.encoder_cache_bytes = 256 << 20  # 256 MiB
+        self._cache_used = 0
 
     # -- admission ---------------------------------------------------------------
 
@@ -87,19 +90,101 @@ class VlmEngine(SpecLLMEngine):
             )
         if images:
             embeds = jnp.concatenate(
-                [self._encode_cached(img) for img in images], axis=0
+                [self._encode_cached(img, request_id) for img in images],
+                axis=0,
             )
             self._mm[request_id] = (embeds, spans)
         self.add_request(request_id, expanded, params)
 
-    def _encode_cached(self, img: np.ndarray) -> jax.Array:
+    def add_video_request(
+        self,
+        request_id: str,
+        prompt_ids: list[int],
+        frames,  # list of data-URLs / bytes / HWC arrays, or [F,3,S,S]
+        params: SamplingParams | None = None,
+        *,
+        sampling=None,
+        temporal_encoding: bool = True,
+    ) -> None:
+        """Video input (reference multimodal/video.rs): sample frames,
+        encode each through the vision tower, add temporal position
+        codes, and lay the frames out as consecutive image spans."""
+        import numpy as np_
+
+        from ..multimodal.video import (
+            FrameSampling,
+            add_temporal_encoding,
+            preprocess_video_frames,
+        )
+
+        if isinstance(frames, np_.ndarray) and frames.ndim == 4:
+            batch = frames.astype(np_.float32)
+        else:
+            size = getattr(
+                getattr(self.model, "vision", None), "image_size", None
+            ) or getattr(self.model, "vision_image_size", 224)
+            batch = preprocess_video_frames(
+                list(frames), sampling or FrameSampling(), image_size=size
+            )
+        f = batch.shape[0]
+        if f == 0:
+            raise ValueError("video has no frames after sampling")
+        per_frame = [
+            self._encode_cached(batch[i], request_id) for i in range(f)
+        ]
+        embeds = jnp.stack(per_frame, axis=0)  # [F, T, H]
+        if temporal_encoding:
+            embeds = jnp.asarray(
+                add_temporal_encoding(
+                    np_.asarray(embeds, np_.float32)
+                )
+            )
+        n = embeds.shape[1]
+        # expand ONE video token into F x tokens_per_frame positions
+        img_tok = self.model.image_token_index
+        expanded: list[int] = []
+        spans: list[tuple[int, int]] = []
+        seen = 0
+        for tok in prompt_ids:
+            if tok == img_tok and seen == 0:
+                for _ in range(f):
+                    spans.append((len(expanded), n))
+                    expanded.extend([img_tok] * n)
+                seen = 1
+            else:
+                expanded.append(tok)
+        if seen == 0:
+            raise ValueError("prompt has no video placeholder token")
+        if f * n > self.max_mm_tokens:
+            raise ValueError(
+                f"{f} frames x {n} tokens exceed the {self.max_mm_tokens}-"
+                "token multimodal budget"
+            )
+        self._mm[request_id] = (embeds.reshape(f * n, -1), spans)
+        self.add_request(request_id, expanded, params)
+
+    def _entry_bytes(self, e: jax.Array) -> int:
+        return int(e.size) * e.dtype.itemsize
+
+    def _encode_cached(self, img: np.ndarray, request_id: str | None = None) -> jax.Array:
         key = hashlib.sha256(np.ascontiguousarray(img).tobytes()).hexdigest()
-        e = self._encoder_cache.get(key)
+        e = self._encoder_cache.pop(key, None)
         if e is None:
             e = self._encode_jit(self.params, jnp.asarray(img)[None])
-            if len(self._encoder_cache) >= self.encoder_cache_budget:
-                self._encoder_cache.pop(next(iter(self._encoder_cache)))
-            self._encoder_cache[key] = e
+            self._cache_used += self._entry_bytes(e)
+            # LRU eviction under the byte budget, skipping referenced
+            # entries (reference encoder_cache.rs refcounted free)
+            for k in list(self._encoder_cache):
+                if self._cache_used <= self.encoder_cache_bytes:
+                    break
+                if self._cache_refs.get(k, 0) > 0:
+                    continue
+                dead = self._encoder_cache.pop(k)
+                self._cache_used -= self._entry_bytes(dead)
+        self._encoder_cache[key] = e  # (re)insert at MRU position
+        if request_id is not None:
+            self._cache_refs[key] = self._cache_refs.get(key, 0) + 1
+            self._req_keys.setdefault(request_id, []).append(key)
         return e
 
     # -- engine hooks --------------------------------------------------------------
@@ -141,6 +226,12 @@ class VlmEngine(SpecLLMEngine):
     def _finish(self, seq, reason, stop_reason=None) -> None:
         super()._finish(seq, reason, stop_reason)
         self._mm.pop(seq.request_id, None)
+        for k in self._req_keys.pop(seq.request_id, []):
+            left = self._cache_refs.get(k, 0) - 1
+            if left <= 0:
+                self._cache_refs.pop(k, None)
+            else:
+                self._cache_refs[k] = left
 
     # -- server-facing helpers ------------------------------------------------
 

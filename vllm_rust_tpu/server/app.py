@@ -418,12 +418,15 @@ class Server:
 
     # -- chat ------------------------------------------------------------------
 
-    def _extract_images(self, req) -> list[str]:
-        """Pull image parts out of chat messages (base64 data URLs only —
-        zero-egress environment), replacing each with the image
+    def _extract_images(self, req) -> tuple[list[str], list[list[str]]]:
+        """Pull image/video parts out of chat messages (base64 data URLs
+        only — zero-egress environment), replacing each with the image
         placeholder so the template/tokenizer sees one image token.
-        Reference: multimodal/processor.rs process_content."""
+        Videos arrive as {"type": "video", "frames": [data-url, ...]} or
+        {"type": "video_url", "video_url": {"frames": [...]}}.
+        Reference: multimodal/processor.rs process_content + video.rs."""
         images: list[str] = []
+        videos: list[list[str]] = []
         for m in req.messages:
             c = m.content
             if not isinstance(c, list):
@@ -431,7 +434,19 @@ class Server:
             texts = []
             for part in c:
                 t = part.get("type")
-                if t in ("image_url", "input_image", "image"):
+                if t in ("video", "video_url", "input_video"):
+                    v = (part.get("video_url") or part.get("video")
+                         or part)
+                    frames = v.get("frames") if isinstance(v, dict) else None
+                    if not frames:
+                        raise ValueError(
+                            "video parts must carry a 'frames' list of "
+                            "base64 data-URL images (no codec decoding in "
+                            "this zero-egress deployment)"
+                        )
+                    videos.append(list(frames))
+                    texts.append("<image>")
+                elif t in ("image_url", "input_image", "image"):
                     url = part.get("image_url") or part.get("image") or part.get("data")
                     if isinstance(url, dict):
                         url = url.get("url")
@@ -445,7 +460,7 @@ class Server:
                 elif t == "text":
                     texts.append(part.get("text", ""))
             m.content = "".join(texts)
-        return images
+        return images, videos
 
     def _apply_chat_template(self, req: ChatCompletionRequest) -> str:
         messages = [m.model_dump(exclude_none=True) for m in req.messages]
@@ -461,17 +476,23 @@ class Server:
         if self.engine is None:
             return _error(400, "this server is running an encoder model (embeddings/score/rerank only)")
         req = ChatCompletionRequest(**await request.json())
-        images = self._extract_images(req)
+        images, videos = self._extract_images(req)
+        if videos and images:
+            return _error(400, "mixing image and video parts is unsupported")
+        video = videos[0] if videos else None
         prompt = self._apply_chat_template(req)
         params = req.sampling_params()
         rid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
 
         if req.stream:
             return await self._stream_chat(
-                request, rid, prompt, req, params, images=images
+                request, rid, prompt, req, params, images=images,
+                video=video,
             )
 
-        out = await self.engine.generate(prompt, params, rid, images=images)
+        out = await self.engine.generate(
+            prompt, params, rid, images=images, video=video
+        )
         seq = self.engine.engine.requests.get(rid)
         content = out.output_text
         message: dict[str, Any] = {"role": "assistant", "content": content}
@@ -507,7 +528,7 @@ class Server:
         )
 
     async def _stream_chat(self, request, rid, prompt, req, params,
-                           images=None):
+                           images=None, video=None):
         resp = await self._sse_response(request)
         created = int(time.time())
         model = req.model or self.model_name
@@ -584,7 +605,7 @@ class Server:
         n_tokens = 0
         finish_reason = None
         async for out in self.engine.generate_stream(
-            prompt, params, rid, images=images
+            prompt, params, rid, images=images, video=video
         ):
             n_tokens += 1
             if out.finished:
