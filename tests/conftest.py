@@ -27,3 +27,26 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def cpu_devices():
     return jax.devices("cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: breadth/integration tests (skip with -m 'not slow')"
+    )
+
+
+_SLOW_FILES = (
+    "breadth", "vlm_breadth", "audio_lmm", "encoder_breadth",
+    "moe_breadth", "gemma3n", "gemma4", "qwen3_next", "minimax_kimi",
+    "hybrid_ssm", "misc_archs", "nemotron_parse",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Split fast/slow (reference SURVEY §4 test classification; the full
+    suite exceeds the 9.5-min single-run budget — run the fast tier with
+    `pytest -m "not slow"`)."""
+    for item in items:
+        fname = item.fspath.basename
+        if any(s in fname for s in _SLOW_FILES):
+            item.add_marker(pytest.mark.slow)

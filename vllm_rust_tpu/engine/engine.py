@@ -200,6 +200,10 @@ class LLMEngine:
         self._embed_runners: dict = {}
         self._constraints: dict = {}
         self.lora = None  # LoraManager (enable_lora())
+        self.eplb = None  # EplbState (enable_eplb())
+        self._eplb_counts = None
+        self._eplb_interval = 0
+        self._dummy_eplb = _place(jnp.zeros((1,), jnp.int32))
         self._mask_words = (config.model.vocab_size + 31) // 32
         self._dummy_mask = _place(jnp.zeros((1, 1), jnp.int32))
         self.stats = {
@@ -465,6 +469,7 @@ class LLMEngine:
 
         hb.cu_q_lens[len(scheduled) + 1 :] = hb.cu_q_lens[len(scheduled)]
 
+        use_eplb = self.eplb is not None
         step_out = self.step_fn(
             self.params,
             self.kv_pages,
@@ -475,6 +480,7 @@ class LLMEngine:
             self._ring_write,
             self._ring_prev,
             jnp.asarray(grammar_mask) if use_grammar else self._dummy_mask,
+            self._eplb_counts if use_eplb else self._dummy_eplb,
             layout=hb.layout,
             p_bucket=self._page_bucket(scheduled),
             use_penalties=use_penalties,
@@ -486,7 +492,11 @@ class LLMEngine:
             use_typical=use_typical,
             use_top_logprobs=use_toplp,
             use_prompt_logprobs=use_prompt_lps,
+            use_eplb=use_eplb,
         )
+        step_out = list(step_out)
+        if use_eplb:
+            self._eplb_counts = step_out.pop()
         if use_prompt_lps:
             self.kv_pages, self.token_counts, self._ring_write, plp_dev = (
                 step_out
@@ -505,6 +515,10 @@ class LLMEngine:
                         acc.append(float(plp[off + j]))
         else:
             self.kv_pages, self.token_counts, self._ring_write = step_out
+        if use_eplb:
+            self._eplb_step_count += 1
+            if self._eplb_step_count % self._eplb_interval == 0:
+                self._eplb_refresh()
         rec = StepRecord(
             cycle_id=self._cycle_id, ring_slot=ring_slot, entries=entries
         )
@@ -780,6 +794,75 @@ class LLMEngine:
             self._free_slots.append(seq.slot)
             seq.slot = -1
 
+    # -- EPLB executor (reference moe/eplb_execute.rs) -----------------------
+
+    def enable_eplb(self, num_ranks: int | None = None, interval: int = 128,
+                    slots_per_rank: int | None = None):
+        """Live expert-load balancing: routing counts accumulate on
+        device, are fetched every ``interval`` steps, and a rebalance
+        gathers hot experts into replica slots and swaps the physical
+        expert tables into the live params."""
+        from ..parallel.eplb import EplbState, plan_rebalance
+
+        e = self.config.model.num_experts
+        if not e:
+            raise ValueError("EPLB requires an MoE model")
+        if num_ranks is None:
+            num_ranks = max(self.config.tensor_parallel_size, 1)
+        self.eplb = EplbState(num_experts=e, num_ranks=num_ranks)
+        if slots_per_rank is not None:
+            self.eplb.plan = plan_rebalance(
+                np.ones(e), num_ranks, slots_per_rank
+            )
+        self._eplb_interval = max(2, interval)
+        self._eplb_step_count = 0
+        self._eplb_counts = self._place(jnp.zeros((e,), jnp.int32))
+        # keep the ORIGINAL logical expert weights: every plan gathers
+        # from these, never from a previous physical table
+        self._eplb_logical = [
+            (li, lp["mlp"]["experts"])
+            for li, lp in enumerate(self.params["layers"])
+            if isinstance(lp.get("mlp"), dict) and "experts" in lp["mlp"]
+        ]
+        self.stats["eplb_rebalances"] = 0
+        return self.eplb
+
+    def _eplb_refresh(self) -> None:
+        counts = np.asarray(self._eplb_counts)
+        self._eplb_counts = self._place(
+            jnp.zeros_like(self._eplb_counts)
+        )
+        self.eplb.observe(counts)
+        plan = self.eplb.maybe_rebalance()
+        if plan is not None:
+            self._apply_eplb_plan(plan)
+
+    def _apply_eplb_plan(self, plan) -> None:
+        """Swap the physical expert tables into the live params
+        (one gather per layer — "moving an expert" on TPU)."""
+        from ..parallel.eplb import apply_plan_to_experts
+
+        max_r = max(len(sl) for sl in plan.logical_to_phys)
+        table = np.zeros((len(plan.logical_to_phys), max_r), np.int32)
+        counts = np.zeros((len(plan.logical_to_phys),), np.int32)
+        for logical, slots in enumerate(plan.logical_to_phys):
+            counts[logical] = len(slots)
+            for j in range(max_r):
+                table[logical, j] = slots[j % len(slots)]
+        table_j = self._place(jnp.asarray(table))
+        counts_j = self._place(jnp.asarray(counts))
+        for li, logical_experts in self._eplb_logical:
+            mlp = self.params["layers"][li]["mlp"]
+            mlp["experts"] = apply_plan_to_experts(logical_experts, plan)
+            mlp["eplb_table"] = table_j
+            mlp["eplb_counts"] = counts_j
+        self.stats["eplb_rebalances"] += 1
+        logger.info(
+            "EPLB rebalance #%d applied: imbalance %.2f -> physical table "
+            "%d slots", self.stats["eplb_rebalances"],
+            self.eplb.imbalance(), plan.num_physical,
+        )
+
     def reset_prefix_cache(self) -> int:
         return self.kv.reset_prefix_cache()
 
@@ -791,10 +874,13 @@ class LLMEngine:
             self.lora = LoraManager(self, max_loras=max_loras, max_rank=max_rank)
         return self.lora
 
-    def warmup(self, gen_tokens: int = 2) -> float:
-        """Precompile the step for every token bucket (reference warmup.rs:
-        JIT at batch sizes {1..32} + graph capture; here one generation per
-        bucket warms the XLA compilation cache). Returns seconds spent."""
+    def warmup(self, gen_tokens: int = 2, variants: bool = True) -> float:
+        """Precompile the step for every token bucket plus the sampler
+        feature variants (reference warmup.rs: JIT matrix over batch
+        sizes AND modes). ``variants`` also compiles the penalties /
+        top-filter / grammar / logit-bias step variants at the smallest
+        bucket, so the first such request at serving time does not pay a
+        compile spike. Returns seconds spent."""
         t0 = time.monotonic()
         vocab = self.config.model.vocab_size
         for t in self.config.token_buckets:
@@ -808,9 +894,44 @@ class LLMEngine:
                     max_tokens=gen_tokens, temperature=0.0, ignore_eos=True
                 ),
             )
+        n_variants = 0
+        if variants:
+            n0 = min(self.config.token_buckets[0], 8)
+            prompt = [(i % (vocab - 2)) + 1 for i in range(max(n0 - 4, 1))]
+            variant_params = [
+                # penalties + top filters (stochastic serving default)
+                SamplingParams(
+                    max_tokens=gen_tokens, temperature=0.8, top_p=0.9,
+                    repetition_penalty=1.1, ignore_eos=True, seed=0,
+                ),
+                # logit bias path
+                SamplingParams(
+                    max_tokens=gen_tokens, temperature=0.0,
+                    logit_bias={1: 0.0}, ignore_eos=True,
+                ),
+                # grammar-constrained path (tokenizer required)
+            ]
+            for p in variant_params:
+                try:
+                    self.generate([prompt], [p])
+                    n_variants += 1
+                except Exception as e:  # warmup must never block boot
+                    logger.warning("warmup variant failed: %s", e)
+            if self.tokenizer is not None:
+                try:
+                    self.generate(
+                        [prompt],
+                        [SamplingParams(
+                            max_tokens=gen_tokens, temperature=0.0,
+                            constraint={"choice": ["0", "1"]},
+                        )],
+                    )
+                    n_variants += 1
+                except Exception as e:
+                    logger.warning("warmup grammar variant failed: %s", e)
         dt = time.monotonic() - t0
-        logger.info("warmup compiled %d buckets in %.1fs",
-                    len(self.config.token_buckets), dt)
+        logger.info("warmup compiled %d buckets + %d variants in %.1fs",
+                    len(self.config.token_buckets), n_variants, dt)
         return dt
 
     def beam_search(self, prompt, **kw):

@@ -35,8 +35,10 @@ class StepFunction:
                 "layout", "p_bucket", "use_penalties", "use_top_filters",
                 "use_grammar", "use_lora", "decode_only", "use_bias",
                 "use_typical", "use_top_logprobs", "use_prompt_logprobs",
+                "use_eplb",
             ),
-            donate_argnames=("kv_pages", "token_counts", "ring"),
+            donate_argnames=("kv_pages", "token_counts", "ring",
+                             "eplb_counts"),
         )
 
     def _step(
@@ -48,6 +50,7 @@ class StepFunction:
         ring: jax.Array,  # [K, 2S] i32 — this cycle's output ring (donated)
         prev_ring: jax.Array,  # [K, 2S] i32 — previous cycle's ring (read)
         grammar_mask: jax.Array,  # [S, ceil(V/32)] i32 (dummy [1,1] when off)
+        eplb_counts: jax.Array,  # [E] i32 accumulated expert loads (donated)
         *,
         layout: PackLayout,
         p_bucket: int,
@@ -60,6 +63,7 @@ class StepFunction:
         use_typical: bool,
         use_top_logprobs: bool,
         use_prompt_logprobs: bool,
+        use_eplb: bool,
     ):
         (
             ring_slot,
@@ -94,7 +98,15 @@ class StepFunction:
                 ctx.enter_context(lora_context(lora_idx))
             if decode_only:
                 ctx.enter_context(decode_mode())
+            if use_eplb:
+                # tracing-time sink: every moe_layer call contributes its
+                # routing counts (parallel/eplb.py executor)
+                from ..layers.moe import counts_sink
+
+                sink = ctx.enter_context(counts_sink())
             hidden, kv_pages = self.model(params, input_ids, md, kv_pages)
+        if use_eplb and sink:
+            eplb_counts = eplb_counts + sum(sink)
         sel = hidden[md.logits_indices]  # [S, H]
         logits = self.model.compute_logits(params, sel)  # [S, V] f32
 
@@ -160,9 +172,12 @@ class StepFunction:
             # top-logprob columns keep stale values — only read on steps
             # that set use_top_logprobs
             ring = ring.at[ring_slot, : row.shape[0]].set(row)
+        outs = [kv_pages, token_counts, ring]
         if use_prompt_logprobs:
-            return kv_pages, token_counts, ring, prompt_lps
-        return kv_pages, token_counts, ring
+            outs.append(prompt_lps)
+        if use_eplb:
+            outs.append(eplb_counts)
+        return tuple(outs)
 
     def __call__(
         self,
@@ -178,6 +193,7 @@ class StepFunction:
         use_typical: bool = False,
         use_top_logprobs: bool = False,
         use_prompt_logprobs: bool = False,
+        use_eplb: bool = False,
     ):
         return self._jit(
             *args,
@@ -192,4 +208,5 @@ class StepFunction:
             use_typical=use_typical,
             use_top_logprobs=use_top_logprobs,
             use_prompt_logprobs=use_prompt_logprobs,
+            use_eplb=use_eplb,
         )

@@ -87,16 +87,18 @@ def _expert_stack(params: dict, name: str):
 def _dense_experts(spec: MoESpec, params: dict, x, topv, topi):
     """Per-expert loop (correctness path; fine for few experts/tests)."""
     t, h = x.shape
-    combine = jnp.zeros((t, spec.num_experts), jnp.float32)
-    combine = combine.at[jnp.arange(t)[:, None], topi].set(topv)
-    out = jnp.zeros((t, h), jnp.float32)
     wg = _expert_stack(params, "gate_proj")  # [E, h, I]
     wu = _expert_stack(params, "up_proj")
     wd = _expert_stack(params, "down_proj")  # [E, I, h]
     bg = _expert_bias(params, "gate_proj")  # [E, I] or None
     bu = _expert_bias(params, "up_proj")
     bd = _expert_bias(params, "down_proj")  # [E, h] or None
-    for e in range(spec.num_experts):
+    # physical table may exceed spec.num_experts under EPLB replication
+    num_e = wg.shape[0]
+    combine = jnp.zeros((t, num_e), jnp.float32)
+    combine = combine.at[jnp.arange(t)[:, None], topi].set(topv)
+    out = jnp.zeros((t, h), jnp.float32)
+    for e in range(num_e):
         hg = x @ wg[e] + (bg[e] if bg is not None else 0.0)
         hu = x @ wu[e] + (bu[e] if bu is not None else 0.0)
         y = _moe_inner(spec, hg, hu) @ wd[e]
@@ -116,7 +118,8 @@ def _gmm_experts(spec: MoESpec, params: dict, x, topv, topi):
 
     t, h = x.shape
     k = spec.top_k
-    e = spec.num_experts
+    # physical table may exceed spec.num_experts under EPLB replication
+    e = _expert_stack(params, "gate_proj").shape[0]
 
     def _tile(d: int) -> int:
         for c in (128, 64, 32, 16, 8):
@@ -227,6 +230,32 @@ def _ep_experts(
     return out.astype(x.dtype)
 
 
+# EPLB executor hooks (reference moe/eplb_execute.rs): a tracing-time
+# sink collects per-layer routing counts so the jitted step can return
+# them without touching every model's forward signature; the optional
+# params["eplb_table"]/"eplb_counts" remap logical experts to physical
+# replica slots (parallel/eplb.py replica_router).
+import contextvars as _cv
+
+_COUNTS_SINK: _cv.ContextVar = _cv.ContextVar("moe_counts_sink", default=None)
+
+
+def counts_sink():
+    """Context manager: collect each moe_layer call's expert counts."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        sink: list = []
+        tok = _COUNTS_SINK.set(sink)
+        try:
+            yield sink
+        finally:
+            _COUNTS_SINK.reset(tok)
+
+    return cm()
+
+
 def moe_layer(
     spec: MoESpec, params: dict, x: jax.Array, *, backend: str = "auto"
 ) -> jax.Array:
@@ -236,6 +265,27 @@ def moe_layer(
     ep (expert-parallel all_to_all dispatch)."""
     router_logits = linear(x, params["router"])
     topv, topi = route(spec, router_logits)
+
+    sink = _COUNTS_SINK.get()
+    if sink is not None:
+        e_log = params["router"]["weight"].shape[-1]
+        sink.append(
+            jnp.zeros((e_log,), jnp.int32)
+            .at[topi.reshape(-1)]
+            .add(1, mode="drop")
+        )
+    if "eplb_table" in params:
+        # map logical expert ids onto physical replica slots, striding
+        # replicas by token index for an even split
+        table, counts = params["eplb_table"], params["eplb_counts"]
+        t = topi.shape[0]
+        stride = jnp.arange(t, dtype=jnp.int32).reshape(
+            (t,) + (1,) * (topi.ndim - 1)
+        )
+        rep = jnp.broadcast_to(stride, topi.shape) % jnp.maximum(
+            counts[topi], 1
+        )
+        topi = table[topi, rep]
     if backend == "auto":
         backend = "gmm" if on_tpu() else "dense"
     if backend == "gmm":

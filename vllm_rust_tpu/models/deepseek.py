@@ -149,7 +149,27 @@ def deepseek_moe_ffn(cfg, spec, params, x):
         topv = topv / jnp.maximum(topv.sum(-1, keepdims=True), 1e-20)
     if spec.routed_scaling_factor:
         topv = topv * spec.routed_scaling_factor
+    from ..layers.moe import _COUNTS_SINK
     from ..utils import on_tpu
+
+    sink = _COUNTS_SINK.get()
+    if sink is not None:
+        e_log = params["router"]["weight"].shape[-1]
+        sink.append(
+            jnp.zeros((e_log,), jnp.int32).at[topi.reshape(-1)].add(
+                1, mode="drop"
+            )
+        )
+    if "eplb_table" in params:
+        table, counts = params["eplb_table"], params["eplb_counts"]
+        t_ = topi.shape[0]
+        stride = jnp.arange(t_, dtype=jnp.int32).reshape(
+            (t_,) + (1,) * (topi.ndim - 1)
+        )
+        rep = jnp.broadcast_to(stride, topi.shape) % jnp.maximum(
+            counts[topi], 1
+        )
+        topi = table[topi, rep]
 
     fn = _gmm_experts if on_tpu() else _dense_experts
     out = fn(spec, params, x, topv, topi)
