@@ -207,3 +207,37 @@ def unpack_sign_bitfield(packed: np.ndarray, n: int) -> np.ndarray:
         packed.astype("<u2").view(np.uint8), bitorder="little"
     )[:n]
     return np.where(bits, -1.0, 1.0).astype(np.float32)
+
+
+def dense_to_int8_quant_linear(w: "np.ndarray"):
+    """Requantize a decoded dense weight [K, N] f32 into the fused
+    w8a16 layout (int8 + per-16-group scales) — the DEFAULT serving form
+    for EXL3: half the HBM of bf16, same fused kernel as the GGUF int8
+    repack path, and near-lossless on top of the 3-bit trellis (the
+    int8 grid is ~85x finer than the trellis spacing)."""
+    import jax.numpy as jnp
+
+    from ..ops.pallas.int8_matmul import prepare_tiled_scales_w8
+    from .types import QuantLinear
+
+    k, n = w.shape
+    g = 16
+    assert k % g == 0, (k, g)
+    wg = w.reshape(k // g, g, n)
+    amax = np.abs(wg).max(axis=1)  # [K/16, N]
+    scale = np.maximum(amax / 127.0, 1e-12).astype(np.float32)
+    q = np.clip(np.round(wg / scale[:, None, :]), -127, 127).astype(np.int8)
+    qt = np.ascontiguousarray(q.reshape(k, n))
+    st = np.ascontiguousarray(scale)
+    aux = {}
+    tiled = prepare_tiled_scales_w8(st, None, k)
+    if tiled is not None:
+        aux["s_tiled"] = jnp.asarray(tiled[0])
+        aux["zs_tiled"] = jnp.asarray(tiled[1])
+    return QuantLinear(
+        qweight=jnp.asarray(qt),
+        scales=jnp.asarray(st),
+        zs=None,
+        aux=aux,
+        method="gguf_i8",
+    )

@@ -141,10 +141,29 @@ def load_quantized_weights(
             node = params
             for p in tree_path[:-2]:
                 node = node[p]
-            dest = {"weight": jnp.asarray(w, model.dtype)}
+            import os as _os
+
+            if _os.environ.get("VLLM_TPU_EXL3_DENSE"):
+                # opt-out: materialize dense bf16 (max throughput, 2 bytes
+                # per weight)
+                dest = {"weight": jnp.asarray(w, model.dtype)}
+                if "bias" in parts:
+                    dest["bias"] = jnp.asarray(parts["bias"], model.dtype)
+                node[tree_path[-2]] = dest
+                continue
+            # default: int8 grouped requant — half the HBM of bf16 and
+            # near-lossless on top of the 3-bit trellis (the bf16
+            # materialization destroyed EXL3's memory win)
+            from .exl3 import dense_to_int8_quant_linear
+
+            ql = dense_to_int8_quant_linear(w)
             if "bias" in parts:
-                dest["bias"] = jnp.asarray(parts["bias"], model.dtype)
-            node[tree_path[-2]] = dest
+                import dataclasses as _dc
+
+                ql = _dc.replace(
+                    ql, bias=jnp.asarray(parts["bias"], model.dtype)
+                )
+            node[tree_path[-2]] = ql
             continue
         elif method == "awq":
             from .awq import load_awq_linear
