@@ -65,13 +65,14 @@ def qwen3_small_config():
 
 def quantize_params_awq(model, params, group_size=128):
     """Replace every decoder linear with synthetic 4-bit weights (random
-    int4 + unit-ish scales) — exercises the real AWQ kernel path at the
-    real shapes without a checkpoint."""
+    int4 + unit-ish scales) through the production AWQ packer — exercises
+    the default serving path (int8-group MXU image, ops/int8_group.py) at
+    the real shapes without a checkpoint. The lm_head goes int8_col, as
+    load_model does for quantized checkpoints."""
     import numpy as np
 
-    from vllm_rust_tpu.ops.pallas.quant_matmul import prepare_tiled_scales
-    from vllm_rust_tpu.quantization.awq import repack_k_half
-    from vllm_rust_tpu.quantization.types import QuantLinear
+    from vllm_rust_tpu.quantization.awq import make_w4a16_linear
+    from vllm_rust_tpu.quantization.compressed_tensors import quantize_lm_head
 
     rng = np.random.default_rng(0)
 
@@ -82,28 +83,15 @@ def quantize_params_awq(model, params, group_size=128):
         q = rng.integers(0, 16, size=(k, n), dtype=np.uint8)
         s = np.full((k // g, n), 0.01, np.float32)
         zs = np.full((k // g, n), 0.08, np.float32)
-        aux = {}
-        tiled = prepare_tiled_scales(
-            s.astype(jnp.bfloat16), zs.astype(jnp.bfloat16), k // 2
-        )
-        if tiled is not None:
-            aux = {
-                "s_tiled": jnp.asarray(tiled[0]),
-                "zs_tiled": jnp.asarray(tiled[1]),
-            }
-        return QuantLinear(
-            qweight=jnp.asarray(repack_k_half(q)),
-            scales=jnp.asarray(s, jnp.bfloat16),
-            zs=jnp.asarray(zs, jnp.bfloat16),
-            aux=aux,
-            method="awq",
-        )
+        return make_w4a16_linear(q, s, zs, None, "awq")
 
     for lp in params["layers"]:
         for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
             lp["self_attn"][proj] = quantize(lp["self_attn"][proj])
         for proj in ("gate_proj", "up_proj", "down_proj"):
             lp["mlp"][proj] = quantize(lp["mlp"][proj])
+    if os.environ.get("VLLM_TPU_INT8_LM_HEAD", "1") != "0":
+        params = quantize_lm_head(params)
     return params
 
 

@@ -1,0 +1,187 @@
+"""Per-kernel microbenchmarks on the attached TPU chip.
+
+Localizes decode-step time against speed-of-light HBM targets
+(VERDICT round-1 item #4; reference keeps 23 criterion benches —
+docs/benches/moe-baseline.md). Run: python benchmarks/micro.py
+
+Covers, at the bench geometry (Qwen3-4B, c=16 decode):
+  - dispatch: per-call overhead of a trivial jitted fn (axon tunnel cost)
+  - w4a16 GEMM at every decoder layer shape, M in {1,8,16,32}
+  - lm_head bf16 and int8 [16, 2560] x [2560, 151936]
+  - paged decode attention at the bench KV geometry
+Each row prints measured ms, moved GB, effective GB/s, and % of the
+v5e HBM roofline (~819 GB/s).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+HBM_GBPS = 819.0  # v5e
+
+
+def timeit(fn, *args, iters=50, warmup=5):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def row(name, ms, gb):
+    gbps = gb / (ms / 1e3)
+    print(f"{name:42s} {ms*1e3:9.3f} us  {gb*1e3:8.2f} MB  "
+          f"{gbps:7.1f} GB/s  {100*gbps/HBM_GBPS:5.1f}% SoL")
+    return gbps
+
+
+def bench_dispatch():
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8, 128), jnp.float32)
+    # chained (pipelined) dispatch: no sync between calls
+    for _ in range(5):
+        x = f(x)
+    jax.block_until_ready(x)
+    t0 = time.perf_counter()
+    n = 200
+    for _ in range(n):
+        x = f(x)
+    jax.block_until_ready(x)
+    pipelined = (time.perf_counter() - t0) / n
+    # synchronous dispatch: block every call
+    t0 = time.perf_counter()
+    for _ in range(20):
+        jax.block_until_ready(f(x))
+    sync = (time.perf_counter() - t0) / 20
+    print(f"{'dispatch pipelined':42s} {pipelined*1e6:9.1f} us")
+    print(f"{'dispatch sync (round-trip)':42s} {sync*1e6:9.1f} us")
+    return pipelined, sync
+
+
+QWEN3_4B = dict(h=2560, q=4096, kv=1024, inter=9728, layers=36, v=151936)
+
+
+def make_w4(k, n, rng):
+    from vllm_rust_tpu.ops.pallas.quant_matmul import prepare_tiled_scales
+    from vllm_rust_tpu.quantization.awq import repack_k_half
+
+    g = 128 if k % 128 == 0 else k
+    q = rng.integers(0, 16, size=(k, n), dtype=np.uint8)
+    s = np.full((k // g, n), 0.01, np.float32).astype(jnp.bfloat16)
+    zs = np.full((k // g, n), 0.08, np.float32).astype(jnp.bfloat16)
+    tiled = prepare_tiled_scales(s, zs, k // 2)
+    return (
+        jnp.asarray(repack_k_half(q)),
+        jnp.asarray(s),
+        jnp.asarray(zs),
+        jnp.asarray(tiled[0]) if tiled else None,
+        jnp.asarray(tiled[1]) if tiled else None,
+    )
+
+
+def bench_w4(ms_list):
+    from vllm_rust_tpu.ops.pallas.quant_matmul import quant_matmul_w4a16
+
+    g = QWEN3_4B
+    shapes = [
+        ("qkv  2560x6144", g["h"], g["q"] + 2 * g["kv"]),
+        ("o    4096x2560", g["q"], g["h"]),
+        ("gate+up 2560x19456", g["h"], 2 * g["inter"]),
+        ("down 9728x2560", g["inter"], g["h"]),
+    ]
+    rng = np.random.default_rng(0)
+    for m in ms_list:
+        total_ms = 0.0
+        total_gb = 0.0
+        for name, k, n in shapes:
+            w = make_w4(k, n, rng)
+            x = jnp.ones((m, k), jnp.bfloat16)
+            f = jax.jit(lambda x, w=w: quant_matmul_w4a16(x, *w))
+            dt = timeit(f, x)
+            gb = (k * n / 2 + k * n / 64 * 2 * 2) / 1e9  # int4 + scales/zs
+            row(f"w4a16 M={m:<3d} {name}", dt * 1e3, gb)
+            total_ms += dt * 1e3
+            total_gb += gb
+        gbps = row(f"w4a16 M={m:<3d} ALL-LAYER x{g['layers']}",
+                   total_ms * g["layers"], total_gb * g["layers"])
+    return gbps
+
+
+def bench_lm_head():
+    g = QWEN3_4B
+    h, v = g["h"], g["v"]
+    x = jnp.ones((16, h), jnp.bfloat16)
+    w = jnp.ones((h, v), jnp.bfloat16)
+
+    f = jax.jit(lambda x, w: (x @ w).astype(jnp.float32))
+    dt = timeit(f, x, w)
+    row("lm_head bf16 16x2560x151936", dt * 1e3, h * v * 2 / 1e9)
+
+    w8 = jnp.ones((h, v), jnp.int8)
+    s8 = jnp.ones((v,), jnp.bfloat16)
+
+    def int8_mm(x, w8, s8):
+        y = jax.lax.dot_general(
+            x, w8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return y * s8.astype(jnp.float32)
+
+    f8 = jax.jit(int8_mm)
+    dt = timeit(f8, x, w8, s8)
+    row("lm_head int8 16x2560x151936", dt * 1e3, h * v / 1e9)
+
+
+def bench_decode_attention():
+    from vllm_rust_tpu.ops.paged_attention import paged_attention_decode
+
+    g = QWEN3_4B
+    s, hq, hkv, d, ps = 16, 32, 8, 128, 16
+    pages, pps = 2048, 16  # 16 seqs x 16 pages = 256 tokens each
+    q = jnp.ones((s, hq, d), jnp.bfloat16)
+    kv = jnp.ones((pages, ps, 2 * hkv, d), jnp.bfloat16)
+    page_indices = jnp.arange(s * pps, dtype=jnp.int32).reshape(s, pps)
+    kv_lens = jnp.full((s,), 200, jnp.int32)
+
+    f = jax.jit(functools.partial(paged_attention_decode))
+    try:
+        dt = timeit(f, q, kv, kv_lens, page_indices)
+    except TypeError:
+        import inspect
+
+        print("decode-attn signature:",
+              inspect.signature(paged_attention_decode))
+        return
+    # bytes: 200 tokens x 2(BKV) x 8 heads x 128 x 2B per seq per layer
+    gb = s * 200 * 2 * hkv * d * 2 / 1e9
+    row(f"decode attn s={s} len=200 (1 layer)", dt * 1e3, gb)
+    row(f"decode attn x{g['layers']} layers", dt * 1e3 * g["layers"],
+        gb * g["layers"])
+
+
+def main():
+    print(f"devices: {jax.devices()}")
+    bench_dispatch()
+    bench_w4([1, 8, 16, 32])
+    bench_lm_head()
+    bench_decode_attention()
+
+
+if __name__ == "__main__":
+    main()

@@ -94,6 +94,15 @@ def load_model(
         from .quantization.loader import load_quantized_weights
 
         params = load_quantized_weights(m, quant, raw, iter_safetensors(model_dir))
+        # quantized checkpoints keep a dense bf16 lm_head; at decode it is
+        # the single biggest HBM read of the step (0.78 GB on Qwen3-4B).
+        # Serve it int8 per-column by default (VLLM_TPU_INT8_LM_HEAD=0 to
+        # keep bf16). Reference analog: lm-head stays on the quant plan in
+        # marlin-served checkpoints (crates/core/src/quantization/mod.rs).
+        if os.environ.get("VLLM_TPU_INT8_LM_HEAD", "1") != "0":
+            from .quantization.compressed_tensors import quantize_lm_head
+
+            params = quantize_lm_head(params)
     elif dummy:
         params = m.init_params(jax.random.PRNGKey(seed))
     else:

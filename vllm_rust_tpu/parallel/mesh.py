@@ -45,6 +45,31 @@ PARAM_RULES: list[tuple[str, P]] = [
     (r"(o_proj|down_proj)/bias$", P()),
     # MoE expert weights: experts stacked on dim 0 → shard experts on tp
     (r"experts/(gate_proj|up_proj|down_proj)/weight$", P("tp", None, None)),
+    # int8-group quant image (ops/int8_group.py): q8g [G, gs, N],
+    # sg/zg/scales/zs [G, N]. Column-parallel shards N; row-parallel
+    # shards K = G*gs via the group axis (g >= 64 ⇒ G divides evenly
+    # for any practical tp).
+    (
+        r"(q_proj|k_proj|v_proj|qkv_proj|gate_up_proj|gate_proj|up_proj)"
+        r"/aux/q8g$",
+        P(None, None, "tp"),
+    ),
+    (
+        r"(q_proj|k_proj|v_proj|qkv_proj|gate_up_proj|gate_proj|up_proj)"
+        r"/aux/(sg|zg)$",
+        P(None, "tp"),
+    ),
+    (
+        r"(q_proj|k_proj|v_proj|qkv_proj|gate_up_proj|gate_proj|up_proj)"
+        r"/(scales|zs)$",
+        P(None, "tp"),
+    ),
+    (r"(o_proj|down_proj)/aux/q8g$", P("tp", None, None)),
+    (r"(o_proj|down_proj)/aux/(sg|zg)$", P("tp", None)),
+    (r"(o_proj|down_proj)/(scales|zs)$", P("tp", None)),
+    # int8 lm_head image (ops/int8_group.py quantize_lm_head_int8)
+    (r"lm_head/q8$", P(None, "tp")),
+    (r"lm_head/scale$", P("tp")),
 ]
 
 

@@ -53,8 +53,34 @@ def make_w4a16_linear(
     bias: np.ndarray | None,
     method: str,
 ) -> QuantLinear:
-    """Shared packer for all 4-bit grouped formats: K-half repack + scale
-    tiling for the Pallas kernel."""
+    """Shared packer for all 4-bit grouped formats.
+
+    Default image: int8-group (q - zero as int8, MXU-native s8 dots —
+    ops/int8_group.py; int4-in-HBM loses to VPU dequant cost on TPU).
+    Set VLLM_TPU_W4_KERNEL=1 to serve the int4 Pallas kernel instead
+    (half the HBM bytes, for HBM-capacity-constrained deployments)."""
+    import os
+
+    if os.environ.get("VLLM_TPU_W4_KERNEL", "0") != "1":
+        from ..ops.int8_group import prepare_int8_group
+
+        img = prepare_int8_group(q, s.astype(np.float32), zs.astype(np.float32))
+        if img is not None:
+            aux = {"q8g": jnp.asarray(img["q8g"]), "sg": jnp.asarray(img["sg"])}
+            if "zg" in img:
+                aux["zg"] = jnp.asarray(img["zg"])
+            return QuantLinear(
+                # keep the canonical packed image OFF device: a 1-byte
+                # placeholder satisfies the pytree; in/out feature props
+                # come from aux when q8g is present
+                qweight=jnp.asarray(img["q8g"].reshape(-1, q.shape[1])[:1, :1]),
+                scales=jnp.asarray(s.astype(jnp.bfloat16)),
+                zs=jnp.asarray(zs.astype(jnp.bfloat16)),
+                bias=jnp.asarray(bias) if bias is not None else None,
+                aux=aux,
+                method=method,
+            )
+
     from ..ops.pallas.quant_matmul import prepare_tiled_scales
 
     kp = q.shape[0] // 2
@@ -91,14 +117,21 @@ def load_awq_linear(
 def apply_awq(x, p: QuantLinear):
     t_shape = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    out = quant_matmul_w4a16(
-        x2,
-        p.qweight,
-        p.scales,
-        p.zs,
-        p.aux.get("s_tiled"),
-        p.aux.get("zs_tiled"),
-    )
+    if "q8g" in p.aux:
+        from ..ops.int8_group import int8_group_matmul
+
+        out = int8_group_matmul(
+            x2, p.aux["q8g"], p.aux["sg"], p.aux.get("zg")
+        )
+    else:
+        out = quant_matmul_w4a16(
+            x2,
+            p.qweight,
+            p.scales,
+            p.zs,
+            p.aux.get("s_tiled"),
+            p.aux.get("zs_tiled"),
+        )
     out = out.reshape(*t_shape, -1).astype(x.dtype)
     if p.bias is not None:
         out = out + p.bias.astype(out.dtype)

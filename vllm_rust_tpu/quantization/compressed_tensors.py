@@ -27,6 +27,42 @@ def apply_ct_w4(x, p: QuantLinear):
     return apply_awq(x, p)
 
 
+@register_quant_method("int8_col")
+def apply_int8_col(x, p: QuantLinear):
+    """Per-column symmetric int8 (used for the lm_head: halves the
+    biggest dense read of a decode step; ops/int8_group.py)."""
+    from ..ops.int8_group import lm_head_int8_matmul
+
+    t_shape = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    out = lm_head_int8_matmul(x2, p.qweight, p.scales)
+    out = out.reshape(*t_shape, -1)
+    if p.bias is not None:
+        out = out + p.bias.astype(out.dtype)
+    return out
+
+
+def quantize_lm_head(params: dict) -> dict:
+    """Post-load transform: replace a dense params["lm_head"]["weight"]
+    with an int8_col QuantLinear. No-op for tied embeddings (no lm_head
+    entry) or already-quantized heads."""
+    import jax.numpy as jnp
+
+    from ..ops.int8_group import quantize_lm_head_int8
+
+    head = params.get("lm_head")
+    if not isinstance(head, dict) or "weight" not in head:
+        return params
+    q8, scale = quantize_lm_head_int8(np.asarray(head["weight"]))
+    params["lm_head"] = QuantLinear(
+        qweight=jnp.asarray(q8),
+        scales=jnp.asarray(scale),
+        bias=head.get("bias"),
+        method="int8_col",
+    )
+    return params
+
+
 def unpack_int32_nibbles(packed: np.ndarray) -> np.ndarray:
     """int32 [R, C/8] -> uint8 [R, C], low nibble first."""
     p = np.asarray(packed).astype(np.uint32)
