@@ -330,6 +330,14 @@ class LLMEngine:
         )
         self._cycle_id += 1
         self._cycle_pos = 0
+        # Start the D2H of the just-finished ring NOW: the transfer's
+        # round trip (~25 ms over the axon tunnel) overlaps the next
+        # cycle's dispatches instead of stalling the host when
+        # _process_old_cycle asks for the data.
+        try:
+            self._ring_prev.copy_to_host_async()
+        except AttributeError:  # older jax / non-jax arrays in tests
+            pass
 
     # -- batch building / dispatch --------------------------------------------
 

@@ -72,6 +72,17 @@ def _expert_bias(params: dict, name: str):
     return params["experts"][name].get("bias")
 
 
+def _expert_lora(params: dict, name: str):
+    """Per-expert LoRA stacks (reference moe/lora.rs MoELoraWeights):
+    {"A": [E, in, r], "B": [E, r, out]} under experts/lora/<name>, with a
+    shared experts/lora/scale. Returns (A, B, scale) or None."""
+    lora = params["experts"].get("lora")
+    if not lora or name not in lora:
+        return None
+    node = lora[name]
+    return node["A"], node["B"], lora["scale"]
+
+
 def _expert_stack(params: dict, name: str):
     """Stacked [E, in, out] expert weights; int8-quantized stacks
     (quantization/formats_extra.py experts_int8) dequantize here — XLA
@@ -97,11 +108,21 @@ def _dense_experts(spec: MoESpec, params: dict, x, topv, topi):
     num_e = wg.shape[0]
     combine = jnp.zeros((t, num_e), jnp.float32)
     combine = combine.at[jnp.arange(t)[:, None], topi].set(topv)
+    lg = _expert_lora(params, "gate_proj")
+    lu = _expert_lora(params, "up_proj")
+    ld = _expert_lora(params, "down_proj")
     out = jnp.zeros((t, h), jnp.float32)
     for e in range(num_e):
         hg = x @ wg[e] + (bg[e] if bg is not None else 0.0)
         hu = x @ wu[e] + (bu[e] if bu is not None else 0.0)
-        y = _moe_inner(spec, hg, hu) @ wd[e]
+        if lg is not None:
+            hg = hg + lg[2] * ((x @ lg[0][e]) @ lg[1][e])
+        if lu is not None:
+            hu = hu + lu[2] * ((x @ lu[0][e]) @ lu[1][e])
+        inner = _moe_inner(spec, hg, hu)
+        y = inner @ wd[e]
+        if ld is not None:
+            y = y + ld[2] * ((inner @ ld[0][e]) @ ld[1][e])
         if bd is not None:
             y = y + bd[e]
         out = out + combine[:, e : e + 1] * y.astype(jnp.float32)
@@ -157,8 +178,35 @@ def _gmm_experts(spec: MoESpec, params: dict, x, topv, topi):
         hg = hg + bg[e_sorted]
     if bu is not None:
         hu = hu + bu[e_sorted]
+
+    # per-expert LoRA (reference moe/lora.rs apply_expert_lora): the
+    # low-rank factors ride the SAME grouped-matmul machinery — two more
+    # gmm hops per projection on the already-sorted token stream.
+    def _lora_add(h_in, which):
+        lo = _expert_lora(params, which)
+        if lo is None:
+            return 0.0
+        a, b, scale = lo
+        r = a.shape[-1]
+        mid = _gmm(
+            h_in, a, group_sizes,
+            preferred_element_type=jnp.float32,
+            interpret=interpret_kernels(),
+            tiling=(_tile(t * k), _tile(h_in.shape[-1]), _tile(r)),
+        ).astype(h_in.dtype)
+        out_lo = _gmm(
+            mid, b, group_sizes,
+            preferred_element_type=jnp.float32,
+            interpret=interpret_kernels(),
+            tiling=(_tile(t * k), _tile(r), _tile(b.shape[-1])),
+        )
+        return scale * out_lo
+
+    hg = hg + _lora_add(x_rep, "gate_proj")
+    hu = hu + _lora_add(x_rep, "up_proj")
     inner = _moe_inner(spec, hg, hu).astype(x.dtype)
     y = gmm_down(inner, wd, group_sizes)
+    y = y + _lora_add(inner, "down_proj")
     if bd is not None:
         y = y + bd[e_sorted]
 
@@ -215,7 +263,20 @@ def _ep_experts(
         hg = hg + bg[:, None, :]
     if bu is not None:
         hu = hu + bu[:, None, :]
-    y = jnp.einsum("eci,eid->ecd", _moe_inner(spec, hg, hu), wd.astype(jnp.float32))
+
+    def _lora_add(h_in, which):
+        lo = _expert_lora(params, which)
+        if lo is None:
+            return 0.0
+        a, b, scale = lo  # [E, in, r], [E, r, out]
+        mid = jnp.einsum("ecd,edr->ecr", h_in.astype(jnp.float32), a.astype(jnp.float32))
+        return scale * jnp.einsum("ecr,ero->eco", mid, b.astype(jnp.float32))
+
+    hg = hg + _lora_add(disp, "gate_proj")
+    hu = hu + _lora_add(disp, "up_proj")
+    inner = _moe_inner(spec, hg, hu)
+    y = jnp.einsum("eci,eid->ecd", inner, wd.astype(jnp.float32))
+    y = y + _lora_add(inner, "down_proj")
     if bd is not None:
         y = y + bd[:, None, :]
     if mesh is not None:
