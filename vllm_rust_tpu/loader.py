@@ -63,6 +63,7 @@ def load_model(
     dtype=None,
     dummy: bool = False,
     seed: int = 0,
+    quantization: str | None = None,
 ):
     """Resolve → config → registry dispatch → weights. Returns
     (model_obj, params, ModelConfig).
@@ -82,7 +83,11 @@ def load_model(
         config = ModelConfig.from_pretrained(model_dir)
         with open(os.path.join(model_dir, "config.json")) as f:
             raw = json.load(f)
-        quant = detect_quantization(raw, model_dir)
+        # explicit --quantization wins over detection: online methods
+        # (experts_int8, moe_wna16 over an awq/gptq checkpoint) have no
+        # quantization_config of their own (reference config.rs:15
+        # QuantizationMethod + experts_int8.rs from_detected)
+        quant = quantization or detect_quantization(raw, model_dir)
     else:
         raise FileNotFoundError(model)
 

@@ -43,6 +43,19 @@ def load_quantized_weights(
         method = "fp8"
     if method == "modelopt_fp4":
         return _load_modelopt_fp4(model, weights)
+    if method == "experts_int8":
+        # online quantization: dense checkpoint, experts int8-ized after
+        # load (reference quantization/experts_int8.rs from_detected)
+        return _load_experts_int8(model, weights)
+    if method == "moe_wna16":
+        # wna16 experts ride the awq/gptq loader below — the ".experts."
+        # divert IS the moe_wna16 path (reference quantization/moe_wna16.rs
+        # wraps the GPTQ infrastructure the same way)
+        qc = hf_config.get("quantization_config") or {}
+        method = (
+            (qc.get("linear_quant_method") or ("awq" if qc.get("zero_point") else "gptq"))
+            .replace("-", "_")
+        )
     if method not in ("awq", "gptq", "fp8", "exl3"):
         raise NotImplementedError(f"quant method {method} not yet supported")
 
@@ -82,12 +95,23 @@ def load_quantized_weights(
 
             node[tree_path[-1]] = jnp.asarray(a, model.dtype)
 
+    expert_groups: dict[tuple[int, str], dict[int, dict]] = {}
     for base, parts in groups.items():
         if (
             "qweight" not in parts
             and "weight" not in parts
             and "trellis" not in parts
         ):
+            continue
+        if ".experts." in base and method in ("awq", "gptq"):
+            # moe_wna16: per-expert int4 linears collect here; stacked +
+            # int8-requantized after the loop (reference moe_wna16.rs
+            # create_expert_linear — per-expert GPTQ machinery reused)
+            bp = base.split(".")
+            li = int(bp[bp.index("layers") + 1])
+            ji = int(bp[bp.index("experts") + 1])
+            pname = _MIXTRAL_PROJ.get(bp[-1], bp[-1])
+            expert_groups.setdefault((li, pname), {})[ji] = parts
             continue
         path = model._param_path(f"{base}.weight")
         if path is None:
@@ -189,6 +213,64 @@ def load_quantized_weights(
         for p in tree_path[:-2]:
             node = node[p]
         node[tree_path[-2]] = ql
+
+    if expert_groups:
+        _graft_wna16_experts(params, expert_groups, fmt=method)
+    return params
+
+
+_MIXTRAL_PROJ = {"w1": "gate_proj", "w3": "up_proj", "w2": "down_proj"}
+
+
+def _graft_wna16_experts(
+    params, expert_groups: dict[tuple[int, str], dict[int, dict]], fmt: str
+):
+    """Stack per-expert wna16 linears into [E, in, out] and serve them
+    int8-grouped — the MoE layer's native quantized-stack format — so a
+    4-bit MoE checkpoint keeps a sub-bf16 HBM footprint (reference
+    quantization/moe_wna16.rs: experts stay quantized, dense fallback
+    only for unsupported shapes)."""
+    from .formats_extra import dequant_wna16_expert, quantize_experts_int8
+
+    for (li, pname), by_e in expert_groups.items():
+        dense = np.stack(
+            [
+                dequant_wna16_expert(
+                    by_e[j]["qweight"], by_e[j]["qzeros"], by_e[j]["scales"],
+                    fmt=fmt,
+                )
+                for j in range(len(by_e))
+            ]
+        )  # [E, in, out] f32
+        try:
+            experts = params["layers"][li]["mlp"]["experts"]
+        except (KeyError, TypeError, IndexError):
+            continue
+        experts[pname] = quantize_experts_int8({pname: {"weight": dense}})[pname]
+
+
+def _load_experts_int8(model, weights):
+    """Dense checkpoint, experts quantized online after load (reference
+    quantization/experts_int8.rs ExpertsInt8Config::from_detected)."""
+    from .formats_extra import quantize_experts_int8
+
+    params = model.load_weights(weights)
+
+    def walk(node):
+        if isinstance(node, dict):
+            ex = node.get("experts")
+            if isinstance(ex, dict) and any(
+                isinstance(v, dict) and getattr(v.get("weight"), "ndim", 0) == 3
+                for v in ex.values()
+            ):
+                node["experts"] = quantize_experts_int8(ex)
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                walk(v)
+
+    walk(params)
     return params
 
 
