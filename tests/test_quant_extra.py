@@ -34,8 +34,11 @@ def test_resolve_method_vendor_formats():
     assert detect_quantization({"quantization_config": {
         "quant_method": "awq"}}) == "awq"
     assert detect_quantization({}) is None
-    with pytest.raises(NotImplementedError, match="torchao"):
-        resolve_method({"quantization_config": {"quant_method": "torchao"}})
+    # torchao stores standard tensors — served dense (reference
+    # quantization/torchao.rs:1-16)
+    assert resolve_method(
+        {"quantization_config": {"quant_method": "torchao"}}
+    ) is None
 
 
 def test_nvfp4_dequant_roundtrip():

@@ -41,12 +41,20 @@ def resolve_method(hf_config: dict) -> str | None:
         if "fp8" in str(w):
             return "quark_fp8"
         raise NotImplementedError(f"quark scheme {w!r} not supported")
-    if method in ("torchao", "inc"):
-        raise NotImplementedError(
-            f"{method} checkpoints serialize framework-specific tensor "
-            "subclasses; export to a supported format (fp8 / gptq / awq / "
-            "compressed-tensors) instead"
-        )
+    if method == "torchao":
+        # torchao checkpoints store standard bf16/f32 tensors; the library
+        # applies its transforms at inference time. Serving them dense is
+        # the reference behavior (quantization/torchao.rs:1-16 — detect,
+        # load as standard tensors, standard matmul).
+        return None
+    if method in ("inc", "auto_round"):
+        # INC / AutoRound are meta-configs routing to gptq or awq by
+        # packing_format (reference quantization/inc.rs IncBackend)
+        backend = str(qc.get("backend") or qc.get("vllm_backend") or "auto")
+        packing = str(qc.get("packing_format") or "auto_round:auto_gptq")
+        if "awq" in backend or ("awq" in packing and "awq" not in backend):
+            return "awq"
+        return "gptq"
     return method or None
 
 

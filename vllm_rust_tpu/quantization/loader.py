@@ -43,6 +43,8 @@ def load_quantized_weights(
         method = "fp8"
     if method == "modelopt_fp4":
         return _load_modelopt_fp4(model, weights)
+    if method == "fp_quant":
+        return _load_fp_quant(model, hf_config, weights)
     if method == "experts_int8":
         # online quantization: dense checkpoint, experts int8-ized after
         # load (reference quantization/experts_int8.rs from_detected)
@@ -333,6 +335,70 @@ def _load_modelopt_fp4(model, weights):
         node[tree_path[-1]] = jnp.asarray(dense, model.dtype)
         if "bias" in parts:
             _place_dense(model, params, base + ".bias", parts["bias"])
+    for name, arr in plain:
+        _place_dense(model, params, name, arr)
+    return params
+
+
+def _load_fp_quant(model, hf_config, weights):
+    """FP-Quant (QuTLASS): packed FP4 e2m1 nibbles `qweight` [N, K/2] +
+    per-group uint8 `scales` [N, K/gs] (E8M0 for mxfp4 / E4M3 for nvfp4)
+    + optional `weight_global_scale`. Dequantizes on host and serves the
+    result int8-grouped — same memory class as the 4-bit source.
+    Activation Hadamard rotation and act quantization are GPU-kernel
+    details not applied here, matching the reference CPU path
+    (quantization/fp_quant.rs:10-14: weights-only dequant, standard
+    matmul). Hadamard matrices in the checkpoint are skipped."""
+    import jax.numpy as jnp
+
+    from .exl3 import dense_to_int8_quant_linear
+    from .mxfp4 import FP4_VALUES
+
+    qc = hf_config.get("quantization_config") or {}
+    fwd = str(qc.get("forward_dtype") or "mxfp4").lower()
+
+    params = model.init_params(rng=None)
+    groups: dict[str, dict[str, np.ndarray]] = {}
+    plain: list[tuple[str, np.ndarray]] = []
+    for name, arr in weights:
+        base, _, leaf = name.rpartition(".")
+        if "hadamard_matrix" in leaf or leaf == "act_global_scale":
+            continue
+        if leaf in ("qweight", "scales", "weight_global_scale", "bias") and base:
+            groups.setdefault(base, {})[leaf] = np.asarray(arr)
+        else:
+            plain.append((name, np.asarray(arr)))
+    for base, parts in groups.items():
+        q = parts.get("qweight")
+        if q is None or "scales" not in parts:
+            continue
+        n, kh = q.shape
+        k = kh * 2
+        lo = FP4_VALUES[q & 0xF]
+        hi = FP4_VALUES[q >> 4]
+        vals = np.stack([lo, hi], axis=-1).reshape(n, k)  # lower nibble first
+        s = parts["scales"]
+        if fwd == "nvfp4":
+            s = s.view(np.dtype("float8_e4m3fn")).astype(np.float32)
+        else:
+            s = np.exp2(s.astype(np.float32) - 127.0)  # E8M0
+        gs = k // s.shape[1]
+        dense = (vals.reshape(n, k // gs, gs) * s[:, :, None]).reshape(n, k)
+        if "weight_global_scale" in parts:
+            dense = dense * float(np.asarray(parts["weight_global_scale"]).reshape(-1)[0])
+        path = model._param_path(base + ".weight")
+        if path is None:
+            continue
+        tree_path, _ = path
+        ql = dense_to_int8_quant_linear(dense.T)  # [K, N] in->out
+        if "bias" in parts:
+            import dataclasses as _dc
+
+            ql = _dc.replace(ql, bias=jnp.asarray(parts["bias"], model.dtype))
+        node = params
+        for p in tree_path[:-2]:
+            node = node[p]
+        node[tree_path[-2]] = ql
     for name, arr in plain:
         _place_dense(model, params, name, arr)
     return params
