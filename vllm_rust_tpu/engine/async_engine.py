@@ -17,6 +17,7 @@ import uuid
 from dataclasses import dataclass, field
 from typing import Any, AsyncIterator
 
+from .. import metrics
 from ..request import RequestOutput, SamplingParams
 from .engine import LLMEngine
 
@@ -46,6 +47,7 @@ class AsyncLLMEngine:
         self._loop = loop or asyncio.get_event_loop()
         self._cmds: queue.Queue[_Command] = queue.Queue()
         self._streams: dict[str, asyncio.Queue] = {}
+        self._timers: dict[str, metrics.RequestTimer] = {}
         self._paused = False
         self._stopping = False
         self._thread = threading.Thread(
@@ -237,6 +239,9 @@ class AsyncLLMEngine:
                     except queue.Empty:
                         cmd = None
                 if self.engine.has_unfinished and not self._paused:
+                    metrics.BATCH_SIZE.observe(
+                        len(self.engine.scheduler.running)
+                    )
                     for out in self.engine.step():
                         self._route(out)
             except Exception:
@@ -247,6 +252,11 @@ class AsyncLLMEngine:
                     self.engine.abort_request(rid)
 
     def _handle(self, cmd: _Command) -> None:
+        if cmd.kind in ("add", "add_mm", "add_video", "add_audio"):
+            # per-request lifecycle metrics (reference prometheus.rs
+            # record_request / TTFT / e2e histograms)
+            metrics.REQUESTS_TOTAL.inc()
+            self._timers[cmd.request_id] = metrics.RequestTimer()
         if cmd.kind == "add":
             try:
                 self.engine.add_request(
@@ -254,6 +264,7 @@ class AsyncLLMEngine:
                 )
             except Exception as e:  # admission errors surface to the caller
                 cmd.error = e
+                self._finish_timer(cmd.request_id, error=True)
             finally:
                 if cmd.done:
                     cmd.done.set()
@@ -311,6 +322,11 @@ class AsyncLLMEngine:
             self._paused = False
 
     def _route(self, out: RequestOutput) -> None:
+        timer = self._timers.get(out.request_id)
+        if timer is not None:
+            timer.on_output(len(out.new_token_ids))
+            if out.finished:
+                self._finish_timer(out.request_id)
         q = self._streams.get(out.request_id)
         if q is not None:
             self._push(q, out)
@@ -318,6 +334,11 @@ class AsyncLLMEngine:
             # stream receiver gone → abort and reclaim (reference
             # strategy.rs:520-531 reap loop)
             self.engine.abort_request(out.request_id)
+
+    def _finish_timer(self, request_id: str, error: bool = False) -> None:
+        timer = self._timers.pop(request_id, None)
+        if timer is not None:
+            timer.on_finish(error=error)
 
     def _push(self, q: asyncio.Queue, item) -> None:
         self._loop.call_soon_threadsafe(q.put_nowait, item)

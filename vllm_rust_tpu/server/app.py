@@ -197,9 +197,18 @@ class Server:
         )
 
     async def metrics(self, request):
-        """Prometheus text exposition (reference api/mod.rs:829-897)."""
+        """Prometheus text exposition: full counter/gauge/histogram
+        registry (reference api/admin/prometheus.rs:15-196 inventory +
+        api/mod.rs:829-897 encoder) plus raw engine stats as vllm_tpu_*
+        gauges."""
+        from .. import metrics as M
+
         s = self.engine.get_stats() if self.engine else {}
-        lines = []
+        M.refresh_engine_gauges(s, start_time=self.start_time)
+        M.SERVER_ACCEPTING.set(
+            0 if (self.engine and self.engine.is_paused) else 1
+        )
+        lines = [M.REGISTRY.render().rstrip("\n")]
         for k, v in s.items():
             name = f"vllm_tpu_{k}"
             lines.append(f"# TYPE {name} gauge")
