@@ -320,6 +320,9 @@ class EngineConfig:
     # — here just mesh axis sizes; XLA owns the collectives)
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1
+    # pipeline stages (reference config.rs pipeline_parallel_size);
+    # served via parallel/pipeline.py PipelineRunner
+    pipeline_parallel_size: int = 1
 
     def __post_init__(self):
         # Clamp bucket lists to configured maxima so we never compile

@@ -49,7 +49,27 @@ class LLM:
         speculative: "SpeculativeConfig | dict | None" = None,
         tensor_parallel_size: int = 1,
         data_parallel_size: int = 1,
+        pipeline_parallel_size: int = 1,
+        quantization: str | None = None,
+        tokenizer: str | None = None,
+        enable_chunked_prefill: bool = True,
+        max_num_partial_prefills: int = 1,
+        scheduling_policy: str = "fcfs",
+        preemption_mode: str = "recompute",
+        swap_space_gb: float | None = None,
+        enable_prefix_caching: bool = False,
+        attention_backend: str = "auto",
+        enable_lora: bool = False,
+        max_loras: int = 8,
+        max_lora_rank: int = 16,
     ):
+        if pipeline_parallel_size > 1:
+            raise NotImplementedError(
+                "pipeline-parallel serving rides PipelineRunner "
+                "(parallel/pipeline.py); the LLM entrypoint supports "
+                "tensor_parallel_size / data_parallel_size"
+            )
+        tokenizer_path = tokenizer
         if model in _DUMMY_CONFIGS:
             model_cfg = _DUMMY_CONFIGS[model]()
             from .models import from_config
@@ -59,9 +79,12 @@ class LLM:
             tokenizer = MockTokenizer(model_cfg.vocab_size)
         else:
             m, params, model_cfg = load_model(
-                model, dtype=dtype, dummy=dummy_weights, seed=seed
+                model, dtype=dtype, dummy=dummy_weights, seed=seed,
+                quantization=quantization,
             )
-            tokenizer = load_tokenizer(resolve_model_path(model))
+            tokenizer = load_tokenizer(
+                resolve_model_path(tokenizer_path or model)
+            )
 
         if max_model_len is None:
             max_model_len = min(model_cfg.max_position_embeddings, 8192)
@@ -111,12 +134,19 @@ class LLM:
             scheduler=SchedulerConfig(
                 max_num_seqs=max_num_seqs,
                 max_tokens_per_step=max_tokens_per_step,
+                enable_chunked_prefill=enable_chunked_prefill,
+                max_num_partial_prefills=max_num_partial_prefills,
+                policy=scheduling_policy,
+                preemption_mode=preemption_mode,
             ),
             max_model_len=max_model_len,
             seed=seed,
             fetch_interval=fetch_interval,
+            attention_backend=attention_backend,
+            enable_prefix_caching=enable_prefix_caching,
             tensor_parallel_size=tensor_parallel_size,
             data_parallel_size=data_parallel_size,
+            pipeline_parallel_size=pipeline_parallel_size,
         )
         if isinstance(speculative, dict):
             speculative = SpeculativeConfig(**speculative)
@@ -137,6 +167,12 @@ class LLM:
             )
         else:
             self.engine = LLMEngine(m, params, cfg, tokenizer=tokenizer)
+        if swap_space_gb is not None and getattr(
+            getattr(self.engine, "kv", None), "offload", None
+        ) is not None:
+            self.engine.kv.offload.max_bytes = int(swap_space_gb * (1 << 30))
+        if enable_lora and hasattr(self.engine, "enable_lora"):
+            self.engine.enable_lora(max_loras=max_loras, max_rank=max_lora_rank)
         self.tokenizer = tokenizer
 
     def generate(

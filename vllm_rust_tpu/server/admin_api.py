@@ -189,7 +189,25 @@ def add_admin_routes(app) -> None:
         [
             web.get("/admin/device", device_info),
             web.post("/admin/estimate", estimate),
+            web.get("/admin/traces", recent_traces),
             web.post("/start_profile", start_profile),
             web.post("/stop_profile", stop_profile),
         ]
+    )
+
+
+async def recent_traces(request):
+    """Ring-buffer view of recent spans (OTLP-shaped JSON) — the
+    airgapped companion to the OTLP/HTTP exporter (tracing.py;
+    reference logging.rs exports the same spans to a collector)."""
+    from ..tracing import get_tracer
+
+    t = get_tracer()
+    return web.json_response(
+        {
+            "endpoint": t.endpoint,
+            "exported": t.exported,
+            "export_errors": t.export_errors,
+            "spans": [s.to_otlp() for s in list(t.recent)[-100:]],
+        }
     )

@@ -88,6 +88,11 @@ async def request_middleware(request: web.Request, handler):
     request["request_id"] = request.headers.get(
         "x-request-id", f"rid-{uuid.uuid4().hex[:16]}"
     )
+    cors = request.app.get("cors")
+    if cors is not None and request.method == "OPTIONS":
+        # CORS preflight (reference config.rs allowed_origins/methods/
+        # headers + the axum CorsLayer it feeds)
+        return web.Response(status=204, headers=_cors_headers(cors, request))
     if request.app.get("restarting") and not request.path.startswith(
         ("/health", "/ping", "/admin")
     ):
@@ -114,22 +119,60 @@ async def request_middleware(request: web.Request, handler):
         xkey = request.headers.get("x-api-key", "")
         if auth != f"Bearer {api_key}" and xkey != api_key:
             return _error(401, "invalid API key", "authentication_error")
+    # one server span per request (reference logging.rs init_with_otlp:
+    # the tracing layer wraps every handler; exported OTLP/HTTP JSON)
+    from ..tracing import get_tracer
+
+    span = get_tracer().start_span(
+        f"{request.method} {request.path}",
+        attributes={
+            "http.method": request.method,
+            "http.target": request.path,
+            "request.id": request["request_id"],
+        },
+    )
+    request["span"] = span
     try:
         resp = await handler(request)
     except ValidationError as e:
+        get_tracer().finish(span, error=str(e))
         return _error(400, str(e))
     except web.HTTPException:
+        get_tracer().finish(span, error="http exception")
         raise
     except (ValueError, FileNotFoundError, NotImplementedError) as e:
+        get_tracer().finish(span, error=str(e))
         return _error(400, str(e))
     except Exception:
         logger.exception("handler error [%s]", request["request_id"])
+        get_tracer().finish(span, error="internal server error")
         return _error(500, "internal server error", "internal_error")
     finally:
         if limited:
             limiter.release()
+    span.attributes["http.status_code"] = resp.status
+    get_tracer().finish(span)
     resp.headers.setdefault("x-request-id", request["request_id"])
+    if cors is not None:
+        resp.headers.update(_cors_headers(cors, request))
     return resp
+
+
+def _cors_headers(cors: dict, request: web.Request) -> dict:
+    origin = request.headers.get("origin", "")
+    allowed = cors["origins"]
+    allow = (
+        "*"
+        if allowed == "*"
+        else (origin if origin in allowed.split(",") else "")
+    )
+    h = {
+        "Access-Control-Allow-Methods": cors["methods"],
+        "Access-Control-Allow-Headers": cors["headers"],
+    }
+    if allow:
+        h["Access-Control-Allow-Origin"] = allow
+    return h
 
 
 class Server:
@@ -142,12 +185,22 @@ class Server:
         tool_parser: str | None = None,
         reasoning_parser: str | None = None,
         encoder=None,
+        response_role: str = "assistant",
+        stream_interval: int = 1,
+        max_logprobs: int = 20,
+        return_tokens_as_token_ids: bool = False,
+        enable_auto_tool_choice: bool = False,
     ):
         self.engine = engine
         self.encoder = encoder  # EncoderRunner for BERT-family serving
         self.tokenizer = tokenizer
         self.model_name = model_name
         self.api_key = api_key
+        self.response_role = response_role
+        self.stream_interval = max(1, stream_interval)
+        self.max_logprobs = max_logprobs
+        self.return_tokens_as_token_ids = return_tokens_as_token_ids
+        self.enable_auto_tool_choice = enable_auto_tool_choice
         self.start_time = time.time()
         self.tool_parser = None
         self.reasoning_parser = None
@@ -272,6 +325,10 @@ class Server:
     # -- logprobs payloads -----------------------------------------------------
 
     def _tok_str(self, tid: int) -> str:
+        if self.return_tokens_as_token_ids:
+            # --return-tokens-as-token-ids: unambiguous token identity in
+            # logprobs payloads (reference config.rs:307)
+            return f"token_id:{tid}"
         try:
             return self.tokenizer.decode([tid])
         except Exception:
@@ -353,6 +410,9 @@ class Server:
         if len(prompts) != 1 and req.stream:
             return _error(400, "streaming supports a single prompt")
         params = req.sampling_params()
+        if params.top_logprobs is not None:
+            # --max-logprobs server-side cap (reference config.rs:268)
+            params.top_logprobs = min(params.top_logprobs, self.max_logprobs)
         rid = f"cmpl-{uuid.uuid4().hex[:24]}"
 
         if req.stream:
@@ -390,8 +450,12 @@ class Server:
     async def _stream_completion(self, request, rid, prompt, req, params):
         resp = await self._sse_response(request)
         n_tokens = 0
+        buf = ""  # --stream-interval: coalesce N tokens per SSE chunk
         async for out in self.engine.generate_stream(prompt, params, rid):
             n_tokens += 1
+            buf += out.new_text
+            if not out.finished and n_tokens % self.stream_interval:
+                continue
             chunk = {
                 "id": rid,
                 "object": "text_completion",
@@ -400,13 +464,14 @@ class Server:
                 "choices": [
                     {
                         "index": 0,
-                        "text": out.new_text,
+                        "text": buf,
                         "finish_reason": FINISH_MAP.get(out.finish_reason)
                         if out.finished
                         else None,
                     }
                 ],
             }
+            buf = ""
             await self._sse_send(resp, chunk)
         if req.stream_options and req.stream_options.get("include_usage"):
             seq = self.engine.engine.requests.get(rid)
@@ -491,6 +556,9 @@ class Server:
         video = videos[0] if videos else None
         prompt = self._apply_chat_template(req)
         params = req.sampling_params()
+        if params.top_logprobs is not None:
+            # --max-logprobs server-side cap (reference config.rs:268)
+            params.top_logprobs = min(params.top_logprobs, self.max_logprobs)
         rid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
 
         if req.stream:
@@ -504,7 +572,7 @@ class Server:
         )
         seq = self.engine.engine.requests.get(rid)
         content = out.output_text
-        message: dict[str, Any] = {"role": "assistant", "content": content}
+        message: dict[str, Any] = {"role": self.response_role, "content": content}
         finish = FINISH_MAP.get(out.finish_reason, "stop")
         if self.reasoning_parser is not None:
             reasoning, content = self.reasoning_parser.parse(content)
@@ -549,7 +617,7 @@ class Server:
             "choices": [
                 {
                     "index": 0,
-                    "delta": {"role": "assistant", "content": ""},
+                    "delta": {"role": self.response_role, "content": ""},
                     "finish_reason": None,
                 }
             ],
@@ -613,13 +681,21 @@ class Server:
 
         n_tokens = 0
         finish_reason = None
+        buf = ""  # --stream-interval: feed the parsers every N tokens
         async for out in self.engine.generate_stream(
             prompt, params, rid, images=images, video=video
         ):
             n_tokens += 1
+            buf += out.new_text or ""
             if out.finished:
                 finish_reason = FINISH_MAP.get(out.finish_reason)
-            for delta in process(out.new_text or "", final=False):
+            elif n_tokens % self.stream_interval:
+                continue
+            for delta in process(buf, final=False):
+                await send(delta, None)
+            buf = ""
+        if buf:
+            for delta in process(buf, final=False):
                 await send(delta, None)
         # flush held-back text / trailing call arguments
         for delta in process("", final=True):
@@ -852,6 +928,9 @@ class Server:
             req.to_chat_messages(), add_generation_prompt=True
         )
         params = req.sampling_params()
+        if params.top_logprobs is not None:
+            # --max-logprobs server-side cap (reference config.rs:268)
+            params.top_logprobs = min(params.top_logprobs, self.max_logprobs)
         rid = f"msg_{uuid.uuid4().hex[:24]}"
 
         if req.stream:
@@ -970,6 +1049,14 @@ def build_app(
     engine_factory=None,
     max_concurrent_requests: int = 0,
     requests_per_second: float = 0.0,
+    response_role: str = "assistant",
+    stream_interval: int = 1,
+    max_logprobs: int = 20,
+    return_tokens_as_token_ids: bool = False,
+    enable_auto_tool_choice: bool = False,
+    cors_origins: str | None = None,
+    cors_methods: str = "GET,POST,OPTIONS",
+    cors_headers: str = "*",
 ) -> web.Application:
     s = Server(
         engine,
@@ -979,9 +1066,20 @@ def build_app(
         tool_parser=tool_parser,
         reasoning_parser=reasoning_parser,
         encoder=encoder,
+        response_role=response_role,
+        stream_interval=stream_interval,
+        max_logprobs=max_logprobs,
+        return_tokens_as_token_ids=return_tokens_as_token_ids,
+        enable_auto_tool_choice=enable_auto_tool_choice,
     )
     app = web.Application(middlewares=[request_middleware])
     app["api_key"] = api_key
+    if cors_origins:
+        app["cors"] = {
+            "origins": cors_origins,
+            "methods": cors_methods,
+            "headers": cors_headers,
+        }
     app["server"] = s
     app["engine_factory"] = engine_factory
     app["restarting"] = False
@@ -1039,47 +1137,190 @@ def run_server(args=None) -> None:
     """CLI entry: python -m vllm_rust_tpu.server --model <path> [...]"""
     import argparse
 
-    parser = argparse.ArgumentParser(description="vllm_rust_tpu OpenAI server")
-    parser.add_argument("--model", required=True)
-    parser.add_argument("--host", default="0.0.0.0")
-    parser.add_argument("--port", type=int, default=8000)
-    parser.add_argument("--max-model-len", type=int, default=None)
-    parser.add_argument("--max-num-seqs", type=int, default=64)
-    parser.add_argument("--kv-cache-dtype", default="auto")
-    parser.add_argument("--api-key", default=None)
-    parser.add_argument("--served-model-name", default=None)
-    parser.add_argument("--dummy-weights", action="store_true")
-    parser.add_argument("--fetch-interval", type=int, default=4)
-    parser.add_argument("--tool-call-parser", default=None)
-    parser.add_argument("--reasoning-parser", default=None)
-    parser.add_argument("--enable-prefix-caching", action="store_true")
-    parser.add_argument(
+    parser = argparse.ArgumentParser(
+        description="vllm_rust_tpu OpenAI server",
+        # flag inventory mirrors reference crates/server/src/config.rs
+        # (model/KV/scheduler/parallel/LoRA/spec/serving/observability)
+    )
+    g = parser.add_argument_group("network")
+    g.add_argument("--host", default="0.0.0.0")
+    g.add_argument("--port", type=int, default=8000)
+    g.add_argument("--api-key", default=None)
+    g.add_argument("--ssl-certfile", default=None)
+    g.add_argument("--ssl-keyfile", default=None)
+    g.add_argument("--allowed-origins", default=None,
+                   help="comma-separated CORS origins (or *)")
+    g.add_argument("--allowed-methods", default="GET,POST,OPTIONS")
+    g.add_argument("--allowed-headers", default="*")
+
+    g = parser.add_argument_group("model")
+    g.add_argument("--model", required=True)
+    g.add_argument("--tokenizer", default=None,
+                   help="path to tokenizer dir if different from --model")
+    g.add_argument("--tokenizer-mode", default="auto",
+                   choices=["auto", "slow", "mistral"])
+    g.add_argument("--dtype", default="auto",
+                   choices=["auto", "bfloat16", "float32", "float16"])
+    g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--quantization", "-q", default=None,
+                   help="override checkpoint quant detection "
+                        "(awq/gptq/fp8/exl3/experts_int8/moe_wna16/...)")
+    g.add_argument("--max-model-len", type=int, default=None)
+    g.add_argument("--served-model-name", default=None)
+    g.add_argument("--dummy-weights", action="store_true")
+    g.add_argument("--load-format", default="auto",
+                   choices=["auto", "safetensors", "gguf", "dummy"])
+    # accepted for CLI compatibility; no effect in this zero-egress,
+    # local-checkpoint deployment (documented no-ops, warned below)
+    g.add_argument("--revision", default=None)
+    g.add_argument("--tokenizer-revision", default=None)
+    g.add_argument("--code-revision", default=None)
+    g.add_argument("--trust-remote-code", action="store_true")
+    g.add_argument("--download-dir", default=None)
+    g.add_argument("--max-parallel-loading-workers", type=int, default=None)
+
+    g = parser.add_argument_group("kv-cache")
+    g.add_argument("--block-size", "--page-size", type=int, default=16,
+                   dest="block_size")
+    g.add_argument("--num-gpu-blocks-override", "--num-pages", type=int,
+                   default=None, dest="num_pages")
+    g.add_argument("--kv-cache-dtype", default="auto")
+    g.add_argument("--gpu-memory-utilization", "--hbm-memory-utilization",
+                   type=float, default=None, dest="memory_utilization",
+                   help="fraction of HBM for weights+KV (profiled sizing "
+                        "scales its budget by this)")
+    g.add_argument("--swap-space", type=float, default=4.0,
+                   help="CPU offload budget per preempted-KV swap, GiB")
+    g.add_argument("--cpu-offload-gb", type=float, default=None,
+                   help="alias of --swap-space")
+    g.add_argument("--enable-prefix-caching", action="store_true")
+
+    g = parser.add_argument_group("scheduler")
+    g.add_argument("--max-num-seqs", "--max-requests", type=int, default=64,
+                   dest="max_num_seqs")
+    g.add_argument("--max-num-batched-tokens", "--max-tokens-per-step",
+                   type=int, default=2048, dest="max_num_batched_tokens")
+    g.add_argument("--enable-chunked-prefill", action="store_true",
+                   default=True)
+    g.add_argument("--no-enable-chunked-prefill", action="store_false",
+                   dest="enable_chunked_prefill")
+    g.add_argument("--max-num-partial-prefills", type=int, default=1)
+    g.add_argument("--scheduling-policy", default="fcfs",
+                   choices=["fcfs", "priority"])
+    g.add_argument("--preemption-mode", default="recompute",
+                   choices=["recompute", "swap"])
+
+    g = parser.add_argument_group("parallel")
+    g.add_argument("--tensor-parallel-size", "-tp", type=int, default=1)
+    g.add_argument("--data-parallel-size", "-dp", type=int, default=1)
+    g.add_argument("--pipeline-parallel-size", "-pp", type=int, default=1)
+
+    g = parser.add_argument_group("lora")
+    g.add_argument("--enable-lora", action="store_true")
+    g.add_argument("--max-loras", type=int, default=8)
+    g.add_argument("--max-lora-rank", type=int, default=16)
+    g.add_argument("--lora-adapter", action="append", default=[],
+                   metavar="NAME=PATH", help="pre-load an adapter at boot")
+
+    g = parser.add_argument_group("speculative")
+    g.add_argument("--speculative-method", default=None)
+    g.add_argument("--draft-model", default=None)
+    g.add_argument("--num-speculative-tokens", "--num-draft-tokens",
+                   type=int, default=4, dest="num_draft_tokens")
+    g.add_argument("--spec-decoding-acceptance-method", default="sample",
+                   choices=["sample", "typical"])
+    g.add_argument("--ngram-prompt-lookup-min", type=int, default=1)
+    g.add_argument("--ngram-prompt-lookup-max", type=int, default=4)
+
+    g = parser.add_argument_group("serving")
+    g.add_argument("--tool-call-parser", default=None)
+    g.add_argument("--reasoning-parser", default=None)
+    g.add_argument("--enable-auto-tool-choice", action="store_true")
+    g.add_argument("--chat-template", default=None,
+                   help="path to a jinja2 chat template overriding the "
+                        "tokenizer's")
+    g.add_argument("--response-role", default="assistant")
+    g.add_argument("--stream-interval", type=int, default=1,
+                   help="emit one SSE chunk per N generated tokens")
+    g.add_argument("--max-logprobs", type=int, default=20)
+    g.add_argument("--return-tokens-as-token-ids", action="store_true")
+    g.add_argument(
         "--task", default="auto", choices=["auto", "generate", "embed"],
         help="auto sniffs encoder archs (BERT/RoBERTa) and serves the "
              "embeddings/score/rerank/classify surface",
     )
-    parser.add_argument("--speculative-method", default=None)
-    parser.add_argument("--draft-model", default=None)
-    parser.add_argument("--num-draft-tokens", type=int, default=4)
-    parser.add_argument(
-        "--max-concurrent-requests", type=int, default=0,
+    g.add_argument(
+        "--max-concurrent-requests", "--max-queue-depth", type=int,
+        default=0, dest="max_concurrent_requests",
         help="global in-flight /v1 request cap (0 = unlimited)",
     )
-    parser.add_argument(
-        "--requests-per-second", type=float, default=0.0,
+    g.add_argument(
+        "--requests-per-second", "--max-requests-per-second", type=float,
+        default=0.0, dest="requests_per_second",
         help="global /v1 request rate limit (0 = unlimited)",
     )
-    parser.add_argument(
+    g.add_argument(
         "--shutdown-timeout", type=float, default=30.0,
         help="graceful-shutdown drain timeout in seconds",
     )
+
+    g = parser.add_argument_group("observability")
+    g.add_argument("--otlp-traces-endpoint", default=None,
+                   help="OTLP/HTTP collector base URL, e.g. "
+                        "http://localhost:4318")
+    g.add_argument("--log-level", default="info",
+                   choices=["debug", "info", "warning", "error"])
+    g.add_argument("--disable-log-stats", action="store_true")
+    g.add_argument("--disable-log-requests", action="store_true")
+
+    g = parser.add_argument_group("engine")
+    g.add_argument("--fetch-interval", "--multi-step-count", type=int,
+                   default=4, dest="fetch_interval")
+    g.add_argument("--attention-backend", default="auto",
+                   choices=["auto", "pallas", "jax", "ref"])
+    # CUDA-graph era flags: XLA traces+compiles everything up front, so
+    # eager/capture toggles have no TPU meaning (accepted, warned)
+    g.add_argument("--enforce-eager", action="store_true")
+    g.add_argument("--max-seq-len-to-capture", type=int, default=None)
+
     ns = parser.parse_args(args)
+
+    logging.basicConfig(level=getattr(logging, ns.log_level.upper()))
+    for flag in ("revision", "tokenizer_revision", "code_revision",
+                 "download_dir", "max_parallel_loading_workers",
+                 "max_seq_len_to_capture"):
+        if getattr(ns, flag) not in (None, False):
+            logger.warning(
+                "--%s has no effect (local checkpoints, zero egress)",
+                flag.replace("_", "-"),
+            )
+    if ns.enforce_eager:
+        logger.warning(
+            "--enforce-eager has no TPU meaning: XLA compiles the whole "
+            "step; there is no graph-capture fallback to disable"
+        )
+    if ns.trust_remote_code:
+        logger.warning(
+            "--trust-remote-code has no effect: architectures are "
+            "first-party modules, remote code is never executed"
+        )
+
+    from ..tracing import init_tracing
+
+    init_tracing(ns.otlp_traces_endpoint)
 
     from ..entrypoints import LLM, Encoder, is_encoder_model
 
     task = ns.task
     if task == "auto":
         task = "embed" if is_encoder_model(ns.model) else "generate"
+
+    dtype = None
+    if ns.dtype != "auto":
+        import jax.numpy as jnp
+
+        dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                 "float16": jnp.float16}[ns.dtype]
 
     encoder = None
     tokenizer = None
@@ -1094,17 +1335,50 @@ def run_server(args=None) -> None:
                 method=ns.speculative_method,
                 num_draft_tokens=ns.num_draft_tokens,
                 draft_model=ns.draft_model,
+                acceptance_method=ns.spec_decoding_acceptance_method,
+                min_ngram=ns.ngram_prompt_lookup_min,
+                max_ngram=ns.ngram_prompt_lookup_max,
             )
         llm = LLM(
             ns.model,
             max_model_len=ns.max_model_len,
             max_num_seqs=ns.max_num_seqs,
+            max_tokens_per_step=ns.max_num_batched_tokens,
+            num_pages=ns.num_pages,
+            page_size=ns.block_size,
             kv_cache_dtype=ns.kv_cache_dtype,
-            dummy_weights=ns.dummy_weights,
+            dtype=dtype,
+            dummy_weights=ns.dummy_weights or ns.load_format == "dummy",
+            seed=ns.seed,
             fetch_interval=ns.fetch_interval,
             speculative=speculative,
+            tensor_parallel_size=ns.tensor_parallel_size,
+            data_parallel_size=ns.data_parallel_size,
+            pipeline_parallel_size=ns.pipeline_parallel_size,
+            quantization=ns.quantization,
+            tokenizer=ns.tokenizer,
+            enable_chunked_prefill=ns.enable_chunked_prefill,
+            max_num_partial_prefills=ns.max_num_partial_prefills,
+            scheduling_policy=ns.scheduling_policy,
+            preemption_mode=ns.preemption_mode,
+            swap_space_gb=ns.cpu_offload_gb or ns.swap_space,
+            enable_prefix_caching=ns.enable_prefix_caching,
+            attention_backend=ns.attention_backend,
+            enable_lora=ns.enable_lora or bool(ns.lora_adapter),
+            max_loras=ns.max_loras,
+            max_lora_rank=ns.max_lora_rank,
         )
         engine, tokenizer = llm.engine, llm.tokenizer
+        for spec in ns.lora_adapter:
+            name, _, path = spec.partition("=")
+            if not path:
+                parser.error(f"--lora-adapter expects NAME=PATH, got {spec!r}")
+            engine.enable_lora(
+                max_loras=ns.max_loras, max_rank=ns.max_lora_rank
+            ).load(name, path)
+        if ns.chat_template:
+            with open(ns.chat_template) as f:
+                tokenizer.chat_template = f.read()
 
     async def main():
         loop = asyncio.get_event_loop()
@@ -1119,10 +1393,26 @@ def run_server(args=None) -> None:
             encoder=encoder,
             max_concurrent_requests=ns.max_concurrent_requests,
             requests_per_second=ns.requests_per_second,
+            response_role=ns.response_role,
+            stream_interval=ns.stream_interval,
+            max_logprobs=ns.max_logprobs,
+            return_tokens_as_token_ids=ns.return_tokens_as_token_ids,
+            enable_auto_tool_choice=ns.enable_auto_tool_choice,
+            cors_origins=ns.allowed_origins,
+            cors_methods=ns.allowed_methods,
+            cors_headers=ns.allowed_headers,
         )
+        app["log_requests"] = not ns.disable_log_requests
+        app["log_stats"] = not ns.disable_log_stats
         runner = web.AppRunner(app)
         await runner.setup()
-        site = web.TCPSite(runner, ns.host, ns.port)
+        ssl_ctx = None
+        if ns.ssl_certfile:
+            import ssl as _ssl
+
+            ssl_ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_SERVER)
+            ssl_ctx.load_cert_chain(ns.ssl_certfile, ns.ssl_keyfile)
+        site = web.TCPSite(runner, ns.host, ns.port, ssl_context=ssl_ctx)
         await site.start()
         logger.info("serving on %s:%d", ns.host, ns.port)
 
@@ -1132,11 +1422,15 @@ def run_server(args=None) -> None:
 
         stop = asyncio.Event()
         for sig in (signal.SIGTERM, signal.SIGINT):
-            loop.add_signal_handler(sig, stop.set)
+            try:
+                loop.add_signal_handler(sig, stop.set)
+            except (RuntimeError, NotImplementedError):
+                # non-main thread (embedding/tests) or platform without
+                # signal support: fall back to Ctrl-C via KeyboardInterrupt
+                break
         await stop.wait()
         await graceful_shutdown(app, aeng, runner, ns.shutdown_timeout)
 
-    logging.basicConfig(level=logging.INFO)
     asyncio.run(main())
 
 
