@@ -77,3 +77,20 @@ def test_metrics_endpoint_exposition():
         assert "vllm_tpu_num_steps" in text
 
     asyncio.run(main())
+
+
+def test_admin_spa_served():
+    async def main():
+        client, aeng = await _make_client()
+        try:
+            r = await client.get("/admin")
+            text = await r.text()
+        finally:
+            await client.close()
+            aeng.shutdown()
+        assert r.content_type == "text/html"
+        for marker in ("viz-root", "drawLine", "vllm_generation_tokens_total",
+                       "prefers-color-scheme: dark"):
+            assert marker in text, marker
+
+    asyncio.run(main())

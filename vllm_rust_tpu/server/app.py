@@ -1130,6 +1130,9 @@ def build_app(
     add_extra_routes(app, s)
     add_audio_routes(app)
     add_admin_routes(app)
+    from .admin_spa import add_spa_route
+
+    add_spa_route(app)
     return app
 
 
