@@ -113,6 +113,10 @@ def run_bench(model_cfg, *, concurrency=16, prompt_len=64, gen_len=64,
             max_num_seqs=max(concurrency, 8), max_tokens_per_step=2048
         ),
         max_model_len=2048,
+        # throughput bench: amortize the D2H ring-fetch round trip
+        # (~25 ms over the tunnel) over 32 steps — +11% measured vs 8.
+        # Latency-sensitive serving keeps the smaller CLI default.
+        fetch_interval=int(os.environ.get("BENCH_FETCH_INTERVAL", "32")),
     )
     eng = LLMEngine(model, params, cfg)
 

@@ -201,6 +201,7 @@ class LLMEngine:
         self._constraints: dict = {}
         self.lora = None  # LoraManager (enable_lora())
         self.eplb = None  # EplbState (enable_eplb())
+        self.multihost = None  # MultihostCoordinator (rank 0, DCN serving)
         self._eplb_counts = None
         self._eplb_interval = 0
         self._dummy_eplb = _place(jnp.zeros((1,), jnp.int32))
@@ -478,6 +479,22 @@ class LLMEngine:
         hb.cu_q_lens[len(scheduled) + 1 :] = hb.cu_q_lens[len(scheduled)]
 
         use_eplb = self.eplb is not None
+        p_bucket = self._page_bucket(scheduled)
+        decode_only = all(s.num_tokens == 1 for s in scheduled)
+        if self.multihost is not None:
+            # lockstep the worker processes: ship the packed buffer +
+            # static jit selectors before dispatching ours (reference
+            # engine/tensor_parallel.rs coordinator broadcast)
+            self.multihost.broadcast_dispatch(
+                hb, grammar_mask if use_grammar else None,
+                p_bucket=p_bucket, cycle_id=self._cycle_id,
+                use_penalties=use_penalties,
+                use_top_filters=use_top_filters,
+                use_grammar=use_grammar, use_lora=use_lora,
+                decode_only=decode_only, use_bias=use_bias,
+                use_typical=use_typical, use_top_logprobs=use_toplp,
+                use_prompt_logprobs=use_prompt_lps, use_eplb=use_eplb,
+            )
         step_out = self.step_fn(
             self.params,
             self.kv_pages,
@@ -490,12 +507,12 @@ class LLMEngine:
             jnp.asarray(grammar_mask) if use_grammar else self._dummy_mask,
             self._eplb_counts if use_eplb else self._dummy_eplb,
             layout=hb.layout,
-            p_bucket=self._page_bucket(scheduled),
+            p_bucket=p_bucket,
             use_penalties=use_penalties,
             use_top_filters=use_top_filters,
             use_grammar=use_grammar,
             use_lora=use_lora,
-            decode_only=all(s.num_tokens == 1 for s in scheduled),
+            decode_only=decode_only,
             use_bias=use_bias,
             use_typical=use_typical,
             use_top_logprobs=use_toplp,

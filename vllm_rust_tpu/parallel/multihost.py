@@ -1,4 +1,4 @@
-"""Multi-host (DCN) serving scaffolding.
+"""Multi-host (DCN) serving: coordinator + worker loops over SPMD.
 
 Reference: distributed/launcher.rs (NCCL unique-id bootstrap over TCP,
 rank 0 = HTTP server + coordinator) + engine/tensor_parallel.rs
@@ -6,15 +6,17 @@ lockstep worker loops. TPU-native shape (SURVEY.md §7.8): processes
 join one JAX runtime via ``jax.distributed.initialize`` (coordinator
 over DCN); the mesh spans all hosts' devices; the model/KV arrays are
 globally sharded; and the only host-side protocol left is getting the
-scheduler's per-step PACKED METADATA (one int32 buffer + a tiny static
-header) from process 0 to everyone — ``broadcast_one_to_all``. There is
-no NCCL bootstrap, no per-tensor send/recv, no worker forward loop to
-hand-write: every process calls the same jitted step and XLA runs the
-collectives over ICI/DCN.
+scheduler's per-step PACKED METADATA (one int32 buffer + a small
+header of static jit selectors) from process 0 to everyone —
+``broadcast_one_to_all``. There is no NCCL bootstrap, no per-tensor
+send/recv, no worker forward loop to hand-write: every process calls
+the same jitted step and XLA runs the collectives over ICI/DCN.
 
 Process model mirrors the reference: process 0 runs the HTTP server and
-the scheduler; processes 1..N-1 run ``worker_loop`` which blocks on the
-metadata broadcast and dispatches the same step function.
+the scheduler (``MultihostCoordinator`` hooks its dispatch); processes
+1..N-1 run ``worker_loop`` which blocks on the step broadcast and
+dispatches the same step function with the same static selectors, so
+every process hits the same jit cache entry.
 
 At world_size == 1 every broadcast is the identity, so the wrapper is
 transparent — the same strategy the reference uses to unit-test its
@@ -63,91 +65,210 @@ def init_multihost(
     return process_id, num_processes
 
 
-_HEADER_LEN = 8  # [alive, layout_id, p_bucket, flags(4), t_pad]
+# header fields, all int32 — see StepHeader. Mirrors every static jit
+# selector of engine/step_fn.py so worker processes hit the same
+# compile-cache entry as the coordinator.
+_HEADER_LEN = 19
 
 
 @dataclasses.dataclass
 class StepHeader:
-    """The static jit-selector state process 0 must disseminate each step
-    (everything else is inside the packed int32 buffer)."""
-
     alive: int  # 0 = shutdown signal for worker loops
-    layout_id: int
+    t: int  # PackLayout dims
+    s: int
+    p: int
     p_bucket: int
-    use_penalties: bool
-    use_top_filters: bool
-    use_grammar: bool
-    use_lora: bool
-    t_pad: int
+    buf_len: int
+    gmask_words: int  # packed grammar-mask byte count (0 = none)
+    use_penalties: bool = False
+    use_top_filters: bool = False
+    use_grammar: bool = False
+    use_lora: bool = False
+    decode_only: bool = False
+    use_bias: bool = False
+    use_typical: bool = False
+    use_top_logprobs: bool = False
+    use_prompt_logprobs: bool = False
+    use_eplb: bool = False
+    vocab: int = 0
+    cycle_id: int = 0  # workers rotate their token rings on increment
+
+    _BOOLS = (
+        "use_penalties", "use_top_filters", "use_grammar", "use_lora",
+        "decode_only", "use_bias", "use_typical", "use_top_logprobs",
+        "use_prompt_logprobs", "use_eplb",
+    )
 
     def encode(self) -> np.ndarray:
-        return np.asarray(
-            [self.alive, self.layout_id, self.p_bucket,
-             int(self.use_penalties), int(self.use_top_filters),
-             int(self.use_grammar), int(self.use_lora), self.t_pad],
-            np.int32,
-        )
+        ints = [self.alive, self.t, self.s, self.p, self.p_bucket,
+                self.buf_len, self.gmask_words]
+        ints += [int(getattr(self, b)) for b in self._BOOLS]
+        ints += [self.vocab, self.cycle_id]
+        return np.asarray(ints, np.int32)
 
     @staticmethod
     def decode(a: np.ndarray) -> "StepHeader":
         a = np.asarray(a, np.int32)
-        return StepHeader(
-            alive=int(a[0]), layout_id=int(a[1]), p_bucket=int(a[2]),
-            use_penalties=bool(a[3]), use_top_filters=bool(a[4]),
-            use_grammar=bool(a[5]), use_lora=bool(a[6]), t_pad=int(a[7]),
+        h = StepHeader(
+            alive=int(a[0]), t=int(a[1]), s=int(a[2]), p=int(a[3]),
+            p_bucket=int(a[4]), buf_len=int(a[5]), gmask_words=int(a[6]),
+        )
+        for i, b in enumerate(StepHeader._BOOLS):
+            setattr(h, b, bool(a[7 + i]))
+        h.vocab = int(a[17])
+        h.cycle_id = int(a[18])
+        return h
+
+
+def _broadcast(arr: np.ndarray | None, length: int) -> np.ndarray:
+    """One-to-all int32 broadcast; identity at world_size == 1."""
+    if jax.process_count() == 1:
+        return arr
+    from jax.experimental import multihost_utils
+
+    payload = np.zeros(length, np.int32)
+    if arr is not None:
+        payload[: arr.shape[0]] = arr
+    return np.asarray(multihost_utils.broadcast_one_to_all(payload))
+
+
+def broadcast_step(
+    header: StepHeader | None,
+    buf: np.ndarray | None = None,
+    gmask: np.ndarray | None = None,
+):
+    """Two-phase step broadcast: the fixed-size header first (it carries
+    the payload length), then buffer + packed grammar mask. Process 0
+    passes its values; workers pass None and receive them."""
+    if jax.process_count() == 1:
+        return header, buf, gmask
+    h_arr = _broadcast(
+        header.encode() if header is not None else None, _HEADER_LEN
+    )
+    h = StepHeader.decode(h_arr)
+    if not h.alive:
+        return h, None, None
+    if header is not None:  # coordinator
+        payload = np.concatenate(
+            [buf.astype(np.int32)]
+            + ([gmask.astype(np.int32)] if gmask is not None else [])
+        )
+    else:
+        payload = None
+    out = _broadcast(payload, h.buf_len + h.gmask_words)
+    buf_out = out[: h.buf_len]
+    gmask_out = out[h.buf_len :] if h.gmask_words else None
+    return h, buf_out, gmask_out
+
+
+def _pack_mask(mask: np.ndarray) -> np.ndarray:
+    """bool [S, V] -> packed int32 words."""
+    bits = np.packbits(mask.reshape(-1).astype(np.uint8))
+    pad = (-bits.shape[0]) % 4
+    if pad:
+        bits = np.pad(bits, (0, pad))
+    return bits.view(np.int32)
+
+
+def _unpack_mask(words: np.ndarray, s: int, vocab: int) -> np.ndarray:
+    bits = np.unpackbits(np.asarray(words, np.int32).view(np.uint8))
+    return bits[: s * vocab].reshape(s, vocab).astype(bool)
+
+
+class MultihostCoordinator:
+    """Process-0 side: installed on the engine as ``engine.multihost``;
+    the dispatch path calls :meth:`broadcast_dispatch` right before
+    ``step_fn`` so workers execute the same step in lockstep."""
+
+    def __init__(self, engine):
+        self.engine = engine
+        engine.multihost = self
+
+    def broadcast_dispatch(
+        self, hb, grammar_mask: np.ndarray | None, p_bucket: int,
+        cycle_id: int = 0, **flags
+    ) -> None:
+        L = hb.layout
+        gmask = (
+            _pack_mask(grammar_mask) if grammar_mask is not None else None
+        )
+        header = StepHeader(
+            alive=1, t=L.t, s=L.s, p=L.p, p_bucket=p_bucket,
+            buf_len=hb.buf.shape[0],
+            gmask_words=0 if gmask is None else gmask.shape[0],
+            vocab=(
+                0 if grammar_mask is None else grammar_mask.shape[1]
+            ),
+            cycle_id=cycle_id,
+            **flags,
+        )
+        broadcast_step(header, hb.buf, gmask)
+
+    def shutdown(self) -> None:
+        broadcast_step(
+            StepHeader(alive=0, t=0, s=0, p=0, p_bucket=0, buf_len=0,
+                       gmask_words=0)
         )
 
 
-def broadcast_step(header: StepHeader | None, buf: np.ndarray | None,
-                   max_buf: int):
-    """Process 0 passes its header+buffer; others pass None and receive
-    them. Identity at world_size == 1."""
-    if jax.process_count() == 1:
-        return header, buf
-    from jax.experimental import multihost_utils
-
-    payload = np.zeros(_HEADER_LEN + max_buf, np.int32)
-    if header is not None:
-        payload[:_HEADER_LEN] = header.encode()
-        payload[_HEADER_LEN : _HEADER_LEN + buf.shape[0]] = buf
-    out = np.asarray(multihost_utils.broadcast_one_to_all(payload))
-    h = StepHeader.decode(out[:_HEADER_LEN])
-    return h, out[_HEADER_LEN:]
-
-
-def worker_loop(engine, layouts: dict[int, object]) -> None:
+def worker_loop(engine, *, _broadcast_fn=broadcast_step) -> None:
     """Processes 1..N-1: block on the step broadcast and dispatch the
     same jitted step over the globally-sharded state (reference
     engine/tensor_parallel.rs tensor_worker_loop — minus the manual
-    tensor broadcast protocol, which SPMD dissolves)."""
+    tensor broadcast protocol, which SPMD dissolves). ``_broadcast_fn``
+    is injectable so the loop is unit-testable single-process."""
     import jax.numpy as jnp
 
-    # packed-buffer capacity: largest token bucket's HostBatch size
-    from ..engine.batch_pack import HostBatch
+    from ..engine.batch_pack import PackLayout
 
-    max_buf = HostBatch(
-        max(engine.config.token_buckets), engine.num_slots,
-        engine.config.pages_per_seq,
-    ).buf.shape[0]
+    cycle_id = 0
     while True:
-        header, payload = broadcast_step(None, None, max_buf)
-        if not header.alive:
+        header, buf, gwords = _broadcast_fn(None)
+        if header is None or not header.alive:
             return
-        buf = payload[: header.t_pad]
-        engine.kv_pages, engine.token_counts, engine._ring_write = (
-            engine.step_fn(
-                engine.params,
-                engine.kv_pages,
-                jnp.asarray(buf.copy()),
-                engine.token_counts,
-                engine._ring_write,
-                engine._ring_prev,
-                engine._dummy_mask,
-                layout=layouts[header.layout_id],
-                p_bucket=header.p_bucket,
-                use_penalties=header.use_penalties,
-                use_top_filters=header.use_top_filters,
-                use_grammar=header.use_grammar,
-                use_lora=header.use_lora,
+        if header.cycle_id != cycle_id:
+            # stay in ring lockstep with the coordinator's cycle
+            engine._ring_write, engine._ring_prev, engine._ring_spare = (
+                engine._ring_spare, engine._ring_write, engine._ring_prev
             )
+            cycle_id = header.cycle_id
+        layout = PackLayout(header.t, header.s, header.p)
+        if gwords is not None:
+            gmask_dev = jnp.asarray(
+                _unpack_mask(gwords, header.s, header.vocab)
+            )
+        else:
+            gmask_dev = engine._dummy_mask
+        step_out = engine.step_fn(
+            engine.params,
+            engine.kv_pages,
+            jnp.asarray(np.asarray(buf, np.int32).copy()),
+            engine.token_counts,
+            engine._ring_write,
+            engine._ring_prev,
+            gmask_dev,
+            engine._eplb_counts if header.use_eplb else engine._dummy_eplb,
+            layout=layout,
+            p_bucket=header.p_bucket,
+            use_penalties=header.use_penalties,
+            use_top_filters=header.use_top_filters,
+            use_grammar=header.use_grammar,
+            use_lora=header.use_lora,
+            decode_only=header.decode_only,
+            use_bias=header.use_bias,
+            use_typical=header.use_typical,
+            use_top_logprobs=header.use_top_logprobs,
+            use_prompt_logprobs=header.use_prompt_logprobs,
+            use_eplb=header.use_eplb,
         )
+        step_out = list(step_out)
+        if header.use_eplb:
+            engine._eplb_counts = step_out.pop()
+        if header.use_prompt_logprobs:
+            engine.kv_pages, engine.token_counts, engine._ring_write = (
+                step_out[0], step_out[1], step_out[2]
+            )
+        else:
+            engine.kv_pages, engine.token_counts, engine._ring_write = (
+                step_out[:3]
+            )

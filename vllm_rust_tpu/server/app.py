@@ -12,6 +12,7 @@ from __future__ import annotations
 import asyncio
 import json
 import logging
+import os
 import time
 import uuid
 from typing import Any
@@ -1217,6 +1218,11 @@ def run_server(args=None) -> None:
     g.add_argument("--tensor-parallel-size", "-tp", type=int, default=1)
     g.add_argument("--data-parallel-size", "-dp", type=int, default=1)
     g.add_argument("--pipeline-parallel-size", "-pp", type=int, default=1)
+    g.add_argument("--distributed-coordinator-address", default=None,
+                   help="host:port of process 0 for multi-host (DCN) "
+                        "serving; all hosts run the same command")
+    g.add_argument("--num-hosts", type=int, default=None)
+    g.add_argument("--host-rank", type=int, default=None)
 
     g = parser.add_argument_group("lora")
     g.add_argument("--enable-lora", action="store_true")
@@ -1312,6 +1318,19 @@ def run_server(args=None) -> None:
 
     init_tracing(ns.otlp_traces_endpoint)
 
+    # multi-host (DCN) serving: every host runs this same command; the
+    # global JAX runtime must form BEFORE any device work (reference
+    # distributed_launcher.rs: bootstrap precedes model load)
+    rank, world = 0, 1
+    if ns.num_hosts or ns.distributed_coordinator_address or int(
+        os.environ.get("NUM_PROCESSES", os.environ.get("WORLD_SIZE", 1))
+    ) > 1:
+        from ..parallel.multihost import init_multihost
+
+        rank, world = init_multihost(
+            ns.distributed_coordinator_address, ns.num_hosts, ns.host_rank
+        )
+
     from ..entrypoints import LLM, Encoder, is_encoder_model
 
     task = ns.task
@@ -1382,6 +1401,20 @@ def run_server(args=None) -> None:
         if ns.chat_template:
             with open(ns.chat_template) as f:
                 tokenizer.chat_template = f.read()
+        if world > 1:
+            from ..parallel.multihost import (
+                MultihostCoordinator,
+                worker_loop,
+            )
+
+            if rank != 0:
+                # worker host: no HTTP server — lockstep step execution
+                # until the coordinator broadcasts shutdown (reference
+                # launcher.rs worker ranks)
+                logger.info("host %d/%d entering worker loop", rank, world)
+                worker_loop(engine)
+                return
+            MultihostCoordinator(engine)
 
     async def main():
         loop = asyncio.get_event_loop()
@@ -1452,6 +1485,9 @@ async def graceful_shutdown(app, aeng, runner, timeout: float) -> None:
             break
         await asyncio.sleep(0.2)
     if aeng is not None:
+        mh = getattr(getattr(aeng, "engine", None), "multihost", None)
+        if mh is not None:
+            mh.shutdown()  # release worker hosts from their loops
         aeng.shutdown()
     await runner.cleanup()
     logger.info("shutdown complete")
