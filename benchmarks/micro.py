@@ -34,6 +34,12 @@ HBM_GBPS = 819.0  # v5e
 
 
 def timeit(fn, *args, iters=50, warmup=5):
+    """Pipelined per-call timing (one block_until_ready after `iters`
+    async dispatches). Valid ONLY with the device to ourselves: a
+    concurrent engine/bench on the same tunneled chip inflates the
+    dispatch floor from ~40 us to ~650 us and buries small kernels —
+    bench_dispatch prints the floor first so a contended run is
+    self-evident."""
     for _ in range(warmup):
         out = fn(*args)
     jax.block_until_ready(out)
@@ -149,28 +155,38 @@ def bench_lm_head():
 
 
 def bench_decode_attention():
-    from vllm_rust_tpu.ops.paged_attention import paged_attention_decode
+    from vllm_rust_tpu.ops.attn_metadata import AttentionMetadata
+    from vllm_rust_tpu.ops.paged_attention import (
+        decode_mode,
+        ragged_paged_attention_op,
+    )
 
     g = QWEN3_4B
     s, hq, hkv, d, ps = 16, 32, 8, 128, 16
     pages, pps = 2048, 16  # 16 seqs x 16 pages = 256 tokens each
+    klen = 200
     q = jnp.ones((s, hq, d), jnp.bfloat16)
     kv = jnp.ones((pages, ps, 2 * hkv, d), jnp.bfloat16)
-    page_indices = jnp.arange(s * pps, dtype=jnp.int32).reshape(s, pps)
-    kv_lens = jnp.full((s,), 200, jnp.int32)
+    md = AttentionMetadata(
+        slot_mapping=jnp.arange(s, dtype=jnp.int32) * ps,
+        kv_lens=jnp.full((s,), klen, jnp.int32),
+        page_indices=jnp.arange(s * pps, dtype=jnp.int32).reshape(s, pps),
+        cu_q_lens=jnp.arange(s + 1, dtype=jnp.int32),
+        num_seqs=jnp.array([s], jnp.int32),
+        positions=jnp.full((s,), klen - 1, jnp.int32),
+        logits_indices=jnp.arange(s, dtype=jnp.int32),
+    )
 
-    f = jax.jit(functools.partial(paged_attention_decode))
-    try:
-        dt = timeit(f, q, kv, kv_lens, page_indices)
-    except TypeError:
-        import inspect
+    def attn(q, kv):
+        with decode_mode():
+            return ragged_paged_attention_op(
+                q, kv, md, sm_scale=d ** -0.5, backend="decode"
+            )
 
-        print("decode-attn signature:",
-              inspect.signature(paged_attention_decode))
-        return
-    # bytes: 200 tokens x 2(BKV) x 8 heads x 128 x 2B per seq per layer
-    gb = s * 200 * 2 * hkv * d * 2 / 1e9
-    row(f"decode attn s={s} len=200 (1 layer)", dt * 1e3, gb)
+    dt = timeit(attn, q, kv)
+    # bytes: klen tokens x 2(KV) x 8 heads x 128 x 2B per seq per layer
+    gb = s * klen * 2 * hkv * d * 2 / 1e9
+    row(f"decode attn s={s} len={klen} (1 layer)", dt * 1e3, gb)
     row(f"decode attn x{g['layers']} layers", dt * 1e3 * g["layers"],
         gb * g["layers"])
 
