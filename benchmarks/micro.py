@@ -50,6 +50,32 @@ def timeit(fn, *args, iters=50, warmup=5):
     return (time.perf_counter() - t0) / iters
 
 
+def timeit_chained(kernel, x, iters=50):
+    """Chained timing for small kernels: wrap `kernel(x) -> y` as
+    x' = x * exp(y[..0] * 1e-30) so successive calls form a dependency
+    chain the tunnel runtime pipelines at ~30 us/dispatch (independent
+    calls serialize at ~1 ms each — measured). The wrapper's cost is one
+    scalar exp + an O(x) multiply, negligible beside a weight read."""
+
+    def chained(x):
+        y = kernel(x)
+        return x * jnp.exp(y.ravel()[0].astype(jnp.float32) * 1e-30).astype(
+            x.dtype
+        )
+
+    g = jax.jit(chained)
+    x = g(x)  # compile
+    jax.block_until_ready(x)
+    for _ in range(3):
+        x = g(x)
+    jax.block_until_ready(x)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = g(x)
+    jax.block_until_ready(x)
+    return (time.perf_counter() - t0) / iters
+
+
 def row(name, ms, gb):
     gbps = gb / (ms / 1e3)
     print(f"{name:42s} {ms*1e3:9.3f} us  {gb*1e3:8.2f} MB  "
@@ -101,21 +127,55 @@ def make_w4(k, n, rng):
     )
 
 
-def bench_w4(ms_list):
-    from vllm_rust_tpu.ops.pallas.quant_matmul import quant_matmul_w4a16
+_LAYER_SHAPES = [
+    ("qkv  2560x6144", QWEN3_4B["h"], QWEN3_4B["q"] + 2 * QWEN3_4B["kv"]),
+    ("o    4096x2560", QWEN3_4B["q"], QWEN3_4B["h"]),
+    ("gate+up 2560x19456", QWEN3_4B["h"], 2 * QWEN3_4B["inter"]),
+    ("down 9728x2560", QWEN3_4B["inter"], QWEN3_4B["h"]),
+]
+
+
+def bench_int8_group(ms_list):
+    """The DEFAULT AWQ/GPTQ serving path: int8-grouped weights through
+    native s8 MXU dots (ops/int8_group.py) — what bench.py exercises."""
+    from vllm_rust_tpu.ops.int8_group import int8_group_matmul, prepare_int8_group
 
     g = QWEN3_4B
-    shapes = [
-        ("qkv  2560x6144", g["h"], g["q"] + 2 * g["kv"]),
-        ("o    4096x2560", g["q"], g["h"]),
-        ("gate+up 2560x19456", g["h"], 2 * g["inter"]),
-        ("down 9728x2560", g["inter"], g["h"]),
-    ]
     rng = np.random.default_rng(0)
     for m in ms_list:
         total_ms = 0.0
         total_gb = 0.0
-        for name, k, n in shapes:
+        for name, k, n in _LAYER_SHAPES:
+            gsz = 128
+            q = rng.integers(0, 16, size=(k, n), dtype=np.uint8)
+            sc = np.full((k // gsz, n), 0.01, np.float32)
+            zs = np.full((k // gsz, n), 0.08, np.float32)
+            img = prepare_int8_group(q, sc, zs)
+            w = {kk: jnp.asarray(v) for kk, v in img.items()}
+            x = jnp.ones((m, k), jnp.bfloat16)
+            dt = timeit_chained(
+                lambda x, w=w: int8_group_matmul(
+                    x, w["q8g"], w["sg"], w.get("zg")), x)
+            gb = (k * n + k * n / gsz * 4) / 1e9  # int8 + f32 scales
+            row(f"s8grp M={m:<3d} {name}", dt * 1e3, gb)
+            total_ms += dt * 1e3
+            total_gb += gb
+        row(f"s8grp M={m:<3d} ALL-LAYER x{g['layers']}",
+            total_ms * g["layers"], total_gb * g["layers"])
+
+
+def bench_w4(ms_list):
+    """Legacy fused int4 Pallas kernel (pre-round-2 serving path; kept
+    for comparison — it is VPU-dequant-bound on v5e, which is why the
+    int8-group MXU path above replaced it)."""
+    from vllm_rust_tpu.ops.pallas.quant_matmul import quant_matmul_w4a16
+
+    g = QWEN3_4B
+    rng = np.random.default_rng(0)
+    for m in ms_list:
+        total_ms = 0.0
+        total_gb = 0.0
+        for name, k, n in _LAYER_SHAPES:
             w = make_w4(k, n, rng)
             x = jnp.ones((m, k), jnp.bfloat16)
             f = jax.jit(lambda x, w=w: quant_matmul_w4a16(x, *w))
@@ -135,8 +195,7 @@ def bench_lm_head():
     x = jnp.ones((16, h), jnp.bfloat16)
     w = jnp.ones((h, v), jnp.bfloat16)
 
-    f = jax.jit(lambda x, w: (x @ w).astype(jnp.float32))
-    dt = timeit(f, x, w)
+    dt = timeit_chained(lambda x, w=w: (x @ w).astype(jnp.float32), x)
     row("lm_head bf16 16x2560x151936", dt * 1e3, h * v * 2 / 1e9)
 
     w8 = jnp.ones((h, v), jnp.int8)
@@ -149,8 +208,7 @@ def bench_lm_head():
         )
         return y * s8.astype(jnp.float32)
 
-    f8 = jax.jit(int8_mm)
-    dt = timeit(f8, x, w8, s8)
+    dt = timeit_chained(lambda x: int8_mm(x, w8, s8), x)
     row("lm_head int8 16x2560x151936", dt * 1e3, h * v / 1e9)
 
 
@@ -183,7 +241,7 @@ def bench_decode_attention():
                 q, kv, md, sm_scale=d ** -0.5, backend="decode"
             )
 
-    dt = timeit(attn, q, kv)
+    dt = timeit_chained(lambda q: attn(q, kv), q)
     # bytes: klen tokens x 2(KV) x 8 heads x 128 x 2B per seq per layer
     gb = s * klen * 2 * hkv * d * 2 / 1e9
     row(f"decode attn s={s} len={klen} (1 layer)", dt * 1e3, gb)
@@ -194,7 +252,9 @@ def bench_decode_attention():
 def main():
     print(f"devices: {jax.devices()}")
     bench_dispatch()
-    bench_w4([1, 8, 16, 32])
+    bench_int8_group([1, 16])
+    if os.environ.get("MICRO_LEGACY_W4"):
+        bench_w4([1, 16])
     bench_lm_head()
     bench_decode_attention()
 
