@@ -102,3 +102,50 @@ def test_dp_least_loaded_routing():
     assert counts == [3, 3], counts
     while dpe.has_unfinished:
         dpe.step()
+
+
+def test_quant_param_specs_are_tp_sharded():
+    """ADVICE r2: GetAttrKey paths render as '.qweight' unless handled,
+    silently replicating every quantized weight under TP. Assert the
+    real pytree paths of a QuantLinear resolve to tp-sharded specs."""
+    import numpy as np
+
+    from vllm_rust_tpu.parallel import mesh as pmesh
+    from vllm_rust_tpu.quantization.awq import make_w4a16_linear
+    from vllm_rust_tpu.quantization.compressed_tensors import quantize_lm_head
+
+    k, n, g = 256, 128, 128
+    rng = np.random.default_rng(0)
+    q = rng.integers(0, 16, size=(k, n), dtype=np.uint8)
+    s = np.full((k // g, n), 0.01, np.float32)
+    zs = np.full((k // g, n), 0.08, np.float32)
+    params = {
+        "layers": [{
+            "self_attn": {"q_proj": make_w4a16_linear(q, s, zs, None, "awq")},
+            "mlp": {"down_proj": make_w4a16_linear(
+                q, s, zs, None, "awq")},
+        }],
+        "lm_head": {"weight": np.ones((64, 256), np.float32)},
+    }
+    params = quantize_lm_head(params)
+    m = pmesh.make_mesh(tp=2, dp=1, devices=jax.devices()[:2])
+    shardings = pmesh.params_shardings(params, m)
+
+    def spec(x):
+        return tuple(x.spec)
+
+    qp = shardings["layers"][0]["self_attn"]["q_proj"]
+    dp_ = shardings["layers"][0]["mlp"]["down_proj"]
+    if "q8g" in params["layers"][0]["self_attn"]["q_proj"].aux:
+        assert spec(qp.aux["q8g"]) == (None, None, "tp")
+        assert spec(dp_.aux["q8g"]) == ("tp", None, None)
+        # the [1,1] dummy qweight must fall back to replicated
+        assert spec(qp.qweight) == ()
+    else:
+        assert spec(qp.qweight) == (None, "tp")
+        assert spec(dp_.qweight) == ("tp", None)
+        assert spec(qp.scales) == (None, "tp")
+        assert spec(dp_.scales) == ("tp", None)
+    lm = shardings["lm_head"]
+    assert spec(lm.qweight) == (None, "tp")
+    assert spec(lm.scales) == ("tp",)

@@ -279,6 +279,7 @@ class AsyncLLMEngine:
                 )
             except Exception as e:
                 cmd.error = e
+                self._finish_timer(cmd.request_id, error=True)
             finally:
                 if cmd.done:
                     cmd.done.set()
@@ -292,6 +293,7 @@ class AsyncLLMEngine:
                 )
             except Exception as e:
                 cmd.error = e
+                self._finish_timer(cmd.request_id, error=True)
             finally:
                 if cmd.done:
                     cmd.done.set()
@@ -303,6 +305,7 @@ class AsyncLLMEngine:
                 )
             except Exception as e:
                 cmd.error = e
+                self._finish_timer(cmd.request_id, error=True)
             finally:
                 if cmd.done:
                     cmd.done.set()
@@ -316,6 +319,10 @@ class AsyncLLMEngine:
                     cmd.done.set()
         elif cmd.kind == "abort":
             self.engine.abort_request(cmd.request_id)
+            # reconcile counters for client-side disconnects (the stream
+            # finally-block abort): finished requests already popped their
+            # timer, so this only fires for genuinely aborted ones
+            self._finish_timer(cmd.request_id, error=True)
         elif cmd.kind == "pause":
             self._paused = True
         elif cmd.kind == "resume":

@@ -485,6 +485,8 @@ class LLMEngine:
             # lockstep the worker processes: ship the packed buffer +
             # static jit selectors before dispatching ours (reference
             # engine/tensor_parallel.rs coordinator broadcast)
+            pend_reset = getattr(self, "_eplb_pending_reset", False)
+            pend_plan = getattr(self, "_eplb_pending_plan", None)
             self.multihost.broadcast_dispatch(
                 hb, grammar_mask if use_grammar else None,
                 p_bucket=p_bucket, cycle_id=self._cycle_id,
@@ -495,6 +497,14 @@ class LLMEngine:
                 use_typical=use_typical, use_top_logprobs=use_toplp,
                 use_prompt_logprobs=use_prompt_lps, use_eplb=use_eplb,
             )
+            # apply the shipped EPLB sync locally at the same boundary
+            # the workers do (right before this step's dispatch)
+            if pend_reset:
+                self._eplb_counts = self._place(
+                    jnp.zeros_like(self._eplb_counts)
+                )
+            if pend_plan is not None:
+                self._apply_eplb_plan(pend_plan)
         step_out = self.step_fn(
             self.params,
             self.kv_pages,
@@ -854,11 +864,17 @@ class LLMEngine:
 
     def _eplb_refresh(self) -> None:
         counts = np.asarray(self._eplb_counts)
-        self._eplb_counts = self._place(
-            jnp.zeros_like(self._eplb_counts)
-        )
         self.eplb.observe(counts)
         plan = self.eplb.maybe_rebalance()
+        if self.multihost is not None:
+            # defer both the counts reset and any replan to the next
+            # dispatch: they ship with the step broadcast and every
+            # process (coordinator included) applies them at the same
+            # step boundary — no divergence window (ADVICE r2)
+            self._eplb_pending_reset = True
+            self._eplb_pending_plan = plan
+            return
+        self._eplb_counts = self._place(jnp.zeros_like(self._eplb_counts))
         if plan is not None:
             self._apply_eplb_plan(plan)
 
@@ -881,11 +897,12 @@ class LLMEngine:
             mlp["experts"] = apply_plan_to_experts(logical_experts, plan)
             mlp["eplb_table"] = table_j
             mlp["eplb_counts"] = counts_j
-        self.stats["eplb_rebalances"] += 1
+        self.stats["eplb_rebalances"] = self.stats.get("eplb_rebalances", 0) + 1
         logger.info(
             "EPLB rebalance #%d applied: imbalance %.2f -> physical table "
             "%d slots", self.stats["eplb_rebalances"],
-            self.eplb.imbalance(), plan.num_physical,
+            self.eplb.imbalance() if self.eplb is not None else -1.0,
+            plan.num_physical,
         )
 
     def reset_prefix_cache(self) -> int:

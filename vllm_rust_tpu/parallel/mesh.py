@@ -67,16 +67,27 @@ PARAM_RULES: list[tuple[str, P]] = [
     (r"(o_proj|down_proj)/aux/q8g$", P("tp", None, None)),
     (r"(o_proj|down_proj)/aux/(sg|zg)$", P("tp", None)),
     (r"(o_proj|down_proj)/(scales|zs)$", P("tp", None)),
-    # int8 lm_head image (ops/int8_group.py quantize_lm_head_int8)
-    (r"lm_head/q8$", P(None, "tp")),
-    (r"lm_head/scale$", P("tp")),
+    # packed 4-bit qweight [K/2, N] (QuantLinear.qweight): column-parallel
+    # shards N, row-parallel shards K (K-half packing keeps K on dim 0)
+    (
+        r"(q_proj|k_proj|v_proj|qkv_proj|gate_up_proj|gate_proj|up_proj)"
+        r"/qweight$",
+        P(None, "tp"),
+    ),
+    (r"(o_proj|down_proj)/qweight$", P("tp", None)),
+    # int8 lm_head QuantLinear (compressed_tensors.quantize_lm_head):
+    # qweight [H, V] int8, scales [V] — vocab-parallel
+    (r"lm_head/qweight$", P(None, "tp")),
+    (r"lm_head/scales$", P("tp")),
 ]
 
 
 def _path_str(path) -> str:
     parts = []
     for p in path:
-        if hasattr(p, "key"):
+        if hasattr(p, "name"):  # GetAttrKey (dataclass fields, e.g.
+            parts.append(str(p.name))  # QuantLinear.qweight) — str(p)
+        elif hasattr(p, "key"):  # would render ".qweight"
             parts.append(str(p.key))
         elif hasattr(p, "idx"):
             parts.append(str(p.idx))
@@ -92,11 +103,29 @@ def param_spec(path_str: str) -> P:
     return P()  # replicate
 
 
+def _fitted_spec(leaf, spec: P, mesh: Mesh) -> P:
+    """Drop the spec to replicated when a sharded dim doesn't divide
+    evenly (e.g. the [1,1] dummy qweight carried by int8-group images)."""
+    shape = getattr(leaf, "shape", ())
+    if len(shape) < len(spec):
+        return P()
+    for dim, axis in enumerate(spec):
+        if axis is None:
+            continue
+        axes = axis if isinstance(axis, tuple) else (axis,)
+        n = 1
+        for a in axes:
+            n *= mesh.shape[a]
+        if shape[dim] % n != 0:
+            return P()
+    return spec
+
+
 def shard_params(params, mesh: Mesh):
     """device_put the param tree with per-role NamedShardings."""
 
     def place(path, leaf):
-        spec = param_spec(_path_str(path))
+        spec = _fitted_spec(leaf, param_spec(_path_str(path)), mesh)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
@@ -126,6 +155,7 @@ def params_shardings(params, mesh: Mesh):
     """Sharding pytree (for jit in_shardings)."""
 
     def spec_of(path, leaf):
-        return NamedSharding(mesh, param_spec(_path_str(path)))
+        spec = _fitted_spec(leaf, param_spec(_path_str(path)), mesh)
+        return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(spec_of, params)

@@ -68,7 +68,7 @@ def init_multihost(
 # header fields, all int32 — see StepHeader. Mirrors every static jit
 # selector of engine/step_fn.py so worker processes hit the same
 # compile-cache entry as the coordinator.
-_HEADER_LEN = 19
+_HEADER_LEN = 21
 
 
 @dataclasses.dataclass
@@ -90,20 +90,24 @@ class StepHeader:
     use_top_logprobs: bool = False
     use_prompt_logprobs: bool = False
     use_eplb: bool = False
+    # lockstep EPLB (ADVICE r2): coordinator-side rebalances must reach
+    # every process or params diverge after the first replan
+    eplb_reset: bool = False  # zero the device count accumulator now
     vocab: int = 0
     cycle_id: int = 0  # workers rotate their token rings on increment
+    eplb_plan_len: int = 0  # serialized-plan ints appended to the payload
 
     _BOOLS = (
         "use_penalties", "use_top_filters", "use_grammar", "use_lora",
         "decode_only", "use_bias", "use_typical", "use_top_logprobs",
-        "use_prompt_logprobs", "use_eplb",
+        "use_prompt_logprobs", "use_eplb", "eplb_reset",
     )
 
     def encode(self) -> np.ndarray:
         ints = [self.alive, self.t, self.s, self.p, self.p_bucket,
                 self.buf_len, self.gmask_words]
         ints += [int(getattr(self, b)) for b in self._BOOLS]
-        ints += [self.vocab, self.cycle_id]
+        ints += [self.vocab, self.cycle_id, self.eplb_plan_len]
         return np.asarray(ints, np.int32)
 
     @staticmethod
@@ -115,9 +119,38 @@ class StepHeader:
         )
         for i, b in enumerate(StepHeader._BOOLS):
             setattr(h, b, bool(a[7 + i]))
-        h.vocab = int(a[17])
-        h.cycle_id = int(a[18])
+        h.vocab = int(a[18])
+        h.cycle_id = int(a[19])
+        h.eplb_plan_len = int(a[20])
         return h
+
+
+def serialize_eplb_plan(plan) -> np.ndarray:
+    """EplbPlan -> int32 vector preserving replica ordering exactly
+    (replica_router strides by list position; all processes must build
+    the identical table)."""
+    ints = [plan.num_ranks, plan.slots_per_rank, len(plan.logical_to_phys)]
+    ints += [len(s) for s in plan.logical_to_phys]
+    for s in plan.logical_to_phys:
+        ints += s
+    return np.asarray(ints, np.int32)
+
+
+def deserialize_eplb_plan(a: np.ndarray):
+    from .eplb import EplbPlan
+
+    a = [int(x) for x in np.asarray(a, np.int32)]
+    num_ranks, spr, e = a[0], a[1], a[2]
+    lens, rest = a[3 : 3 + e], a[3 + e :]
+    logical_to_phys, off = [], 0
+    for n in lens:
+        logical_to_phys.append(rest[off : off + n])
+        off += n
+    p2l = np.zeros(num_ranks * spr, np.int64)
+    for logical, slots in enumerate(logical_to_phys):
+        for p in slots:
+            p2l[p] = logical
+    return EplbPlan(p2l, logical_to_phys, num_ranks, spr)
 
 
 def _broadcast(arr: np.ndarray | None, length: int) -> np.ndarray:
@@ -136,29 +169,35 @@ def broadcast_step(
     header: StepHeader | None,
     buf: np.ndarray | None = None,
     gmask: np.ndarray | None = None,
+    eplb_plan: np.ndarray | None = None,
 ):
     """Two-phase step broadcast: the fixed-size header first (it carries
-    the payload length), then buffer + packed grammar mask. Process 0
-    passes its values; workers pass None and receive them."""
+    the payload length), then buffer + packed grammar mask + any pending
+    EPLB plan. Process 0 passes its values; workers pass None and
+    receive them."""
     if jax.process_count() == 1:
-        return header, buf, gmask
+        return header, buf, gmask, eplb_plan
     h_arr = _broadcast(
         header.encode() if header is not None else None, _HEADER_LEN
     )
     h = StepHeader.decode(h_arr)
     if not h.alive:
-        return h, None, None
+        return h, None, None, None
     if header is not None:  # coordinator
         payload = np.concatenate(
             [buf.astype(np.int32)]
             + ([gmask.astype(np.int32)] if gmask is not None else [])
+            + ([eplb_plan.astype(np.int32)] if eplb_plan is not None else [])
         )
     else:
         payload = None
-    out = _broadcast(payload, h.buf_len + h.gmask_words)
+    out = _broadcast(payload, h.buf_len + h.gmask_words + h.eplb_plan_len)
     buf_out = out[: h.buf_len]
-    gmask_out = out[h.buf_len :] if h.gmask_words else None
-    return h, buf_out, gmask_out
+    gmask_out = (
+        out[h.buf_len : h.buf_len + h.gmask_words] if h.gmask_words else None
+    )
+    plan_out = out[h.buf_len + h.gmask_words :] if h.eplb_plan_len else None
+    return h, buf_out, gmask_out, plan_out
 
 
 def _pack_mask(mask: np.ndarray) -> np.ndarray:
@@ -192,6 +231,15 @@ class MultihostCoordinator:
         gmask = (
             _pack_mask(grammar_mask) if grammar_mask is not None else None
         )
+        # pending EPLB sync recorded by the engine's _eplb_refresh: ship
+        # the counts reset + replan so every process mutates params in
+        # lockstep (ADVICE r2)
+        eng = self.engine
+        reset = bool(getattr(eng, "_eplb_pending_reset", False))
+        plan = getattr(eng, "_eplb_pending_plan", None)
+        eng._eplb_pending_reset = False
+        eng._eplb_pending_plan = None
+        plan_arr = serialize_eplb_plan(plan) if plan is not None else None
         header = StepHeader(
             alive=1, t=L.t, s=L.s, p=L.p, p_bucket=p_bucket,
             buf_len=hb.buf.shape[0],
@@ -200,9 +248,11 @@ class MultihostCoordinator:
                 0 if grammar_mask is None else grammar_mask.shape[1]
             ),
             cycle_id=cycle_id,
+            eplb_reset=reset,
+            eplb_plan_len=0 if plan_arr is None else plan_arr.shape[0],
             **flags,
         )
-        broadcast_step(header, hb.buf, gmask)
+        broadcast_step(header, hb.buf, gmask, plan_arr)
 
     def shutdown(self) -> None:
         broadcast_step(
@@ -223,7 +273,7 @@ def worker_loop(engine, *, _broadcast_fn=broadcast_step) -> None:
 
     cycle_id = 0
     while True:
-        header, buf, gwords = _broadcast_fn(None)
+        header, buf, gwords, plan_words = _broadcast_fn(None)
         if header is None or not header.alive:
             return
         if header.cycle_id != cycle_id:
@@ -232,6 +282,13 @@ def worker_loop(engine, *, _broadcast_fn=broadcast_step) -> None:
                 engine._ring_spare, engine._ring_write, engine._ring_prev
             )
             cycle_id = header.cycle_id
+        if header.eplb_reset:
+            # mirror the coordinator's _eplb_refresh counts reset
+            engine._eplb_counts = engine._place(
+                jnp.zeros_like(engine._eplb_counts)
+            )
+        if plan_words is not None:
+            engine._apply_eplb_plan(deserialize_eplb_plan(plan_words))
         layout = PackLayout(header.t, header.s, header.p)
         if gwords is not None:
             gmask_dev = jnp.asarray(

@@ -97,6 +97,9 @@ class Sequence:
     arrival_time: float = field(default_factory=time.monotonic)
 
     status: RequestStatus = RequestStatus.WAITING
+    # set on first waiting→running transition (queue-time metric); stays
+    # put across preemption re-admissions
+    first_scheduled_time: float | None = None
     generated_token_ids: list[int] = field(default_factory=list)
     # tokens whose KV is present in cache (reference: num_computed_tokens)
     num_computed_tokens: int = 0

@@ -20,8 +20,10 @@ Pure data-structure code — runs on host, off the device hot path.
 from __future__ import annotations
 
 import logging
+import time
 from dataclasses import dataclass, field
 
+from . import metrics
 from .config import SchedulerConfig
 from .kv_cache.manager import KVCacheManager
 from .request import RequestStatus, Sequence
@@ -192,6 +194,11 @@ class Scheduler:
         for seq in admitted:
             self.waiting.remove(seq)
             seq.status = RequestStatus.RUNNING
+            if seq.first_scheduled_time is None:
+                seq.first_scheduled_time = time.monotonic()
+                metrics.QUEUE_TIME.observe(
+                    seq.first_scheduled_time - seq.arrival_time
+                )
             self.running.append(seq)
 
         # starvation tripwire (reference scheduler.rs:707-738)
