@@ -51,29 +51,28 @@ def timeit(fn, *args, iters=50, warmup=5):
 
 
 def timeit_chained(kernel, x, iters=50):
-    """Chained timing for small kernels: wrap `kernel(x) -> y` as
-    x' = x * exp(y[..0] * 1e-30) so successive calls form a dependency
-    chain the tunnel runtime pipelines at ~30 us/dispatch (independent
-    calls serialize at ~1 ms each — measured). The wrapper's cost is one
-    scalar exp + an O(x) multiply, negligible beside a weight read."""
+    """In-graph chained timing: ONE dispatch runs `iters` dependent
+    kernel invocations inside a lax.fori_loop, so per-iteration time is
+    pure device time — per-dispatch tunnel overhead (~0.7-1 ms over the
+    axon link, measured r3) is amortized to nothing. The dependency
+    x' = x * exp(y[0]*1e-30) keeps XLA from hoisting the kernel out of
+    the loop; its cost is one scalar exp + an O(x) multiply."""
 
-    def chained(x):
+    def chained(i, x):
         y = kernel(x)
         return x * jnp.exp(y.ravel()[0].astype(jnp.float32) * 1e-30).astype(
             x.dtype
         )
 
-    g = jax.jit(chained)
-    x = g(x)  # compile
-    jax.block_until_ready(x)
-    for _ in range(3):
-        x = g(x)
-    jax.block_until_ready(x)
+    g = jax.jit(lambda x: jax.lax.fori_loop(0, iters, chained, x))
+    jax.block_until_ready(g(x))  # compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        x = g(x)
-    jax.block_until_ready(x)
-    return (time.perf_counter() - t0) / iters
+    jax.block_until_ready(g(x))
+    dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    jax.block_until_ready(g(x))
+    dt = min(dt, time.perf_counter() - t0)
+    return dt / iters
 
 
 def row(name, ms, gb):
@@ -209,7 +208,72 @@ def bench_lm_head():
         return y * s8.astype(jnp.float32)
 
     dt = timeit_chained(lambda x: int8_mm(x, w8, s8), x)
-    row("lm_head int8 16x2560x151936", dt * 1e3, h * v / 1e9)
+    row("lm_head int8 (bf16 act) 16x2560x151936", dt * 1e3, h * v / 1e9)
+
+    def int8_s8a8(x, w8, s8):
+        # dynamic per-token activation quant -> native s8xs8 MXU dot
+        amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32)
+        xs = jnp.where(amax == 0, 1.0, amax / 127.0)
+        x8 = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / xs), -127, 127
+        ).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            x8, w8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return y.astype(jnp.float32) * xs * s8.astype(jnp.float32)
+
+    dt = timeit_chained(lambda x: int8_s8a8(x, w8, s8), x)
+    row("lm_head int8 (s8 act)  16x2560x151936", dt * 1e3, h * v / 1e9)
+
+
+def bench_s8a8_group(ms_list):
+    """Native s8xs8 MXU path for the grouped-int8 image: dynamic
+    per-token activation quant, int32 group accumulators, scales on the
+    accumulator. This is the candidate replacement for the mixed
+    bf16 x int8 dots in ops/int8_group.py."""
+    from vllm_rust_tpu.ops.int8_group import prepare_int8_group
+
+    g = QWEN3_4B
+    rng = np.random.default_rng(0)
+    for m in ms_list:
+        total_ms = 0.0
+        total_gb = 0.0
+        for name, k, n in _LAYER_SHAPES:
+            gsz = 128
+            q = rng.integers(0, 16, size=(k, n), dtype=np.uint8)
+            sc = np.full((k // gsz, n), 0.01, np.float32)
+            zs = np.full((k // gsz, n), 0.08, np.float32)
+            img = prepare_int8_group(q, sc, zs)
+            q8g = jnp.asarray(img["q8g"])
+            sg = jnp.asarray(img["sg"])
+            groups = k // gsz
+
+            def s8a8(x, q8g=q8g, sg=sg, groups=groups, gsz=gsz, n=n):
+                t = x.shape[0]
+                amax = jnp.max(
+                    jnp.abs(x), axis=-1, keepdims=True
+                ).astype(jnp.float32)
+                xs = jnp.where(amax == 0, 1.0, amax / 127.0)
+                x8 = jnp.clip(
+                    jnp.round(x.astype(jnp.float32) / xs), -127, 127
+                ).astype(jnp.int8)
+                xg = x8.reshape(t, groups, gsz).transpose(1, 0, 2)
+                y = jax.lax.dot_general(
+                    xg, q8g, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32,
+                )  # [G, T, N] s32
+                out = (y.astype(jnp.float32) * sg[:, None, :]).sum(0)
+                return (out * xs).astype(jnp.bfloat16)
+
+            x = jnp.ones((m, k), jnp.bfloat16)
+            dt = timeit_chained(s8a8, x)
+            gb = (k * n + k * n / gsz * 4) / 1e9
+            row(f"s8a8  M={m:<3d} {name}", dt * 1e3, gb)
+            total_ms += dt * 1e3
+            total_gb += gb
+        row(f"s8a8  M={m:<3d} ALL-LAYER x{g['layers']}",
+            total_ms * g["layers"], total_gb * g["layers"])
 
 
 def bench_decode_attention():
@@ -253,6 +317,7 @@ def main():
     print(f"devices: {jax.devices()}")
     bench_dispatch()
     bench_int8_group([1, 16])
+    bench_s8a8_group([1, 16])
     if os.environ.get("MICRO_LEGACY_W4"):
         bench_w4([1, 16])
     bench_lm_head()

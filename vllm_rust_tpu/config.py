@@ -41,6 +41,8 @@ class RopeScalingConfig:
     mscale: float | None = None
     mscale_all_dim: float | None = None
     extrapolation_factor: float = 1.0
+    # 3-axis multimodal RoPE half-dim counts (Qwen2-VL family)
+    mrope_section: tuple[int, ...] | None = None
 
     @staticmethod
     def from_hf(d: dict | None) -> "RopeScalingConfig | None":
@@ -51,6 +53,8 @@ class RopeScalingConfig:
         for f in dataclasses.fields(RopeScalingConfig):
             if f.name in d and f.name != "rope_type":
                 setattr(cfg, f.name, d[f.name])
+        if cfg.mrope_section is not None:
+            cfg.mrope_section = tuple(cfg.mrope_section)
         return cfg
 
 

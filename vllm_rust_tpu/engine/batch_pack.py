@@ -25,11 +25,19 @@ BIAS_SLOTS = 16  # per-seq sparse logit-bias / banned-token slots
 
 @dataclass(frozen=True)
 class PackLayout:
-    """Static offsets for a (T, S, P) batch shape."""
+    """Static offsets for a (T, S, P) batch shape.
+
+    ``mrope`` adds two extra per-token rows (height/width positions) for
+    3-axis multimodal RoPE (Qwen2-VL family, reference rotary.rs mrope)."""
 
     t: int
     s: int
     p: int
+    mrope: bool = False
+
+    @property
+    def token_rows(self) -> int:
+        return 8 if self.mrope else 6
 
     @property
     def token_base(self) -> int:
@@ -37,7 +45,7 @@ class PackLayout:
 
     @property
     def seq_base(self) -> int:
-        return 2 + 6 * self.t
+        return 2 + self.token_rows * self.t
 
     @property
     def page_base(self) -> int:
@@ -60,8 +68,8 @@ class PackLayout:
 class HostBatch:
     """Host-side packed buffer with named views (numpy, zero-copy)."""
 
-    def __init__(self, t: int, s: int, p: int):
-        self.layout = PackLayout(t, s, p)
+    def __init__(self, t: int, s: int, p: int, mrope: bool = False):
+        self.layout = PackLayout(t, s, p, mrope)
         self.buf = np.zeros(self.layout.total, np.int32)
         L = self.layout
         tb, sb, pb, fb = L.token_base, L.seq_base, L.page_base, L.float_base
@@ -73,6 +81,9 @@ class HostBatch:
         self.lora_idx = self.buf[tb + 4 * t : tb + 5 * t]
         # prompt-logprob target token per position (-1 = not requested)
         self.lp_targets = self.buf[tb + 5 * t : tb + 6 * t]
+        if mrope:  # 3-axis positions: rows 6/7 = height/width axes
+            self.positions_h = self.buf[tb + 6 * t : tb + 7 * t]
+            self.positions_w = self.buf[tb + 7 * t : tb + 8 * t]
         self.kv_lens = self.buf[sb : sb + s]
         self.logits_indices = self.buf[sb + s : sb + 2 * s]
         self.slot_ids = self.buf[sb + 2 * s : sb + 3 * s]
@@ -131,13 +142,23 @@ def unpack_device(meta, layout: PackLayout, p_eff: int | None = None):
     page_indices = meta[pb : pb + s * p].reshape(s, p)
     if p_eff is not None and p_eff < p:
         page_indices = page_indices[:, :p_eff]
+    positions = meta[tb + 2 * t : tb + 3 * t]
+    if layout.mrope:
+        # [3, T]: temporal / height / width axes (mrope)
+        positions = jnp.stack(
+            [
+                positions,
+                meta[tb + 6 * t : tb + 7 * t],
+                meta[tb + 7 * t : tb + 8 * t],
+            ]
+        )
     md = AttentionMetadata(
         slot_mapping=meta[tb + 3 * t : tb + 4 * t],
         kv_lens=meta[sb : sb + s],
         page_indices=page_indices,
         cu_q_lens=meta[sb + 8 * s : sb + 9 * s + 1],
         num_seqs=meta[1:2],
-        positions=meta[tb + 2 * t : tb + 3 * t],
+        positions=positions,
         logits_indices=meta[sb + s : sb + 2 * s],
         slot_ids=meta[sb + 2 * s : sb + 3 * s],
     )

@@ -162,6 +162,9 @@ class LLMEngine:
 
         self.num_slots = config.scheduler.max_num_seqs
         self._free_slots = list(range(self.num_slots))
+        # 3-axis multimodal RoPE (Qwen2-VL family): the packed batch
+        # carries height/width position rows and the step unpacks [3, T]
+        self._use_mrope = bool(getattr(model, "mrope_section", None))
 
         def _place(x):
             """Commit per-engine device state to this engine's submesh so
@@ -345,7 +348,8 @@ class LLMEngine:
     def _host_batch(self, t_pad: int) -> HostBatch:
         hb = self._host_batches.get(t_pad)
         if hb is None:
-            hb = HostBatch(t_pad, self.num_slots, self.config.pages_per_seq)
+            hb = HostBatch(t_pad, self.num_slots, self.config.pages_per_seq,
+                           mrope=self._use_mrope)
             self._host_batches[t_pad] = hb
         hb.reset()
         return hb
@@ -410,6 +414,8 @@ class LLMEngine:
                     hb.feedback_src[offset + j] = (sel * k + slot) * s_pad + row
                     hb.input_ids[offset + j] = 0
             hb.positions[offset : offset + n] = np.arange(start, end)
+            if self._use_mrope:
+                self._fill_mrope(hb, offset, n, start, end, seq)
             table = self.kv.get_table(seq)
             hb.slot_mapping[offset : offset + n] = table.slots(start, end)
             hb.kv_lens[i] = end
@@ -563,6 +569,32 @@ class LLMEngine:
         rec.has_toplp = use_toplp
         self._cycle_pos += 1
         return rec
+
+    def _fill_mrope(
+        self, hb: HostBatch, offset: int, n: int, start: int, end: int,
+        seq: Sequence,
+    ) -> None:
+        """3-axis mrope rows (reference rotary.rs mrope + qwen2_vl.rs
+        get_rope_index): prompt positions come from the triple computed
+        at admission; generated positions are 1-D shifted by the per-seq
+        delta (all three axes equal after the prompt)."""
+        ar = np.arange(start, end)
+        mp = seq.mrope_pos
+        if mp is None:  # text-only request on an mrope model
+            hb.positions_h[offset : offset + n] = ar
+            hb.positions_w[offset : offset + n] = ar
+            return
+        pl = mp.shape[1]
+        clamped = np.minimum(ar, pl - 1)
+        tail = ar + seq.mrope_delta
+        for row, dst in (
+            (0, hb.positions),
+            (1, hb.positions_h),
+            (2, hb.positions_w),
+        ):
+            dst[offset : offset + n] = np.where(
+                ar < pl, mp[row][clamped], tail
+            )
 
     def _fill_bias_slots(self, hb: HostBatch, i: int, seq: Sequence) -> None:
         """Pack user logit_bias entries plus this step's bad-word bans

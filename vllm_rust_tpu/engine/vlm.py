@@ -95,6 +95,15 @@ class VlmEngine(SpecLLMEngine):
             )
             self._mm[request_id] = (embeds, spans)
         self.add_request(request_id, expanded, params)
+        if self._use_mrope and spans:
+            from ..multimodal.mrope import mrope_positions
+
+            g = int(round(n ** 0.5))
+            pos, delta = mrope_positions(
+                len(expanded), spans, [(1, g, g)] * len(spans)
+            )
+            seq = self.requests[request_id]
+            seq.mrope_pos, seq.mrope_delta = pos, delta
 
     def add_video_request(
         self,
@@ -162,6 +171,16 @@ class VlmEngine(SpecLLMEngine):
             )
         self._mm[request_id] = (embeds.reshape(f * n, -1), spans)
         self.add_request(request_id, expanded, params)
+        if self._use_mrope and spans:
+            # contiguous frame spans form ONE (f, g, g) temporal grid
+            from ..multimodal.mrope import mrope_positions
+
+            g = int(round(n ** 0.5))
+            pos, delta = mrope_positions(
+                len(expanded), [(spans[0][0], f * n)], [(f, g, g)]
+            )
+            seq = self.requests[request_id]
+            seq.mrope_pos, seq.mrope_delta = pos, delta
 
     def _entry_bytes(self, e: jax.Array) -> int:
         return int(e.size) * e.dtype.itemsize

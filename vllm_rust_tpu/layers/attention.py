@@ -156,14 +156,18 @@ def attention_block(
         q, k = qk_normalize(q, k)
     if spec.rotary is not None and rope_tables is not None:
         cos, sin = rope_tables
+        pos = md.positions
+        if pos.ndim == 2 and spec.rotary.mrope_section is None:
+            pos = pos[0]  # non-mrope layer fed 3-axis positions: 1-D axis
         q, k = apply_rope(
             q,
             k,
-            md.positions,
+            pos,
             cos,
             sin,
             rotary_dim=spec.rotary.rotary_dim,
             interleaved=spec.interleaved_rope,
+            mrope_section=spec.rotary.mrope_section,
         )
     if spec.qk_norm and spec.qk_norm_after_rope:
         q, k = qk_normalize(q, k)

@@ -31,16 +31,23 @@ class RotarySpec:
     scaling: RopeScalingConfig | None = None
     # attention scaling applied to cos/sin (yarn/longrope mscale)
     attn_scale: float = 1.0
+    # 3-axis multimodal RoPE (Qwen2-VL family): per-axis half-dim counts
+    # (temporal, height, width), summing to rotary_dim // 2
+    mrope_section: tuple[int, ...] | None = None
 
     @staticmethod
     def from_model_config(cfg: ModelConfig) -> "RotarySpec":
         rotary_dim = int(cfg.head_dim * cfg.partial_rotary_factor)
+        sec = None
+        if cfg.rope_scaling is not None and cfg.rope_scaling.mrope_section:
+            sec = tuple(cfg.rope_scaling.mrope_section)
         return RotarySpec(
             head_dim=cfg.head_dim,
             rotary_dim=rotary_dim,
             max_position=cfg.max_position_embeddings,
             base=cfg.rope_theta,
             scaling=cfg.rope_scaling,
+            mrope_section=sec,
         )
 
 
@@ -138,17 +145,36 @@ def compute_rope_tables(spec: RotarySpec, max_len: int) -> tuple[jax.Array, jax.
 def apply_rope(
     q: jax.Array,  # [T, H, D]
     k: jax.Array,  # [T, K, D]
-    positions: jax.Array,  # [T]
+    positions: jax.Array,  # [T], or [3, T] for mrope
     cos_table: jax.Array,  # [L, rd/2]
     sin_table: jax.Array,
     *,
     rotary_dim: int,
     interleaved: bool = False,
+    mrope_section: tuple[int, ...] | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Apply rotary embedding (HF 'neox' split-half convention by default;
-    ``interleaved=True`` is GPT-J style, reference rotary.rs is_neox flag)."""
-    cos = cos_table[positions][:, None, :]  # [T, 1, rd/2]
-    sin = sin_table[positions][:, None, :]
+    ``interleaved=True`` is GPT-J style, reference rotary.rs is_neox flag).
+
+    mrope (reference rotary.rs mrope scaling + models/qwen2_vl.rs): with
+    ``positions`` of shape [3, T] (temporal/height/width) each frequency
+    section gathers cos/sin at its own axis' positions — a static
+    concat of three table gathers, fully fused by XLA."""
+    if positions.ndim == 2:
+        assert mrope_section is not None, "3-axis positions need sections"
+        c3 = cos_table[positions]  # [3, T, rd/2]
+        s3 = sin_table[positions]
+        lo = 0
+        cs, ss = [], []
+        for ax, n in enumerate(mrope_section):
+            cs.append(c3[ax, :, lo : lo + n])
+            ss.append(s3[ax, :, lo : lo + n])
+            lo += n
+        cos = jnp.concatenate(cs, axis=-1)[:, None, :]
+        sin = jnp.concatenate(ss, axis=-1)[:, None, :]
+    else:
+        cos = cos_table[positions][:, None, :]  # [T, 1, rd/2]
+        sin = sin_table[positions][:, None, :]
 
     def rot(x: jax.Array) -> jax.Array:
         dtype = x.dtype

@@ -84,6 +84,11 @@ class LlamaForCausalLM:
         return spec
 
     @property
+    def mrope_section(self):
+        """3-axis mrope half-dim sections, or None (engine selector)."""
+        return self.rotary.mrope_section
+
+    @property
     def num_layers(self) -> int:
         return self.config.num_hidden_layers
 

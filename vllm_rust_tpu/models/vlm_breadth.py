@@ -8,10 +8,13 @@ as llava.py: the vision tower + projector run once per request as a
 jitted call at admission, projected embeddings are injected at
 image-token positions by the VLM engine (engine/vlm.py).
 
-Known round-1 simplifications (documented divergences, not bugs):
-- Qwen2-VL text mrope runs with 1-D positions (exact for text tokens;
-  vision spans use sequential positions instead of the 3-axis t/h/w
-  decomposition).
+Qwen2-VL runs TRUE 3-axis mrope (r3): positions travel as [3, T] rows
+in the packed batch (engine/batch_pack.py mrope layout), computed at
+admission by multimodal/mrope.py (== HF get_rope_index, anchored
+end-to-end greedy-exact vs transformers with a real image in
+tests/test_mrope.py).
+
+Known simplification (documented divergence, not a bug):
 - Dynamic-resolution models (Qwen2-VL, LLaVA-NeXT anyres, Pixtral
   native-aspect) process a fixed preprocessor grid per image.
 """
@@ -57,6 +60,10 @@ class VlmBase:
         return self.lm.kv_head_info
 
     @property
+    def mrope_section(self):
+        return getattr(self.lm, "mrope_section", None)
+
+    @property
     def num_layers(self):
         return self.lm.num_layers
 
@@ -87,7 +94,8 @@ class VlmBase:
         from . import from_config
 
         text_cfg = dict(text_cfg)
-        text_cfg.setdefault("architectures", [default_arch])
+        if not text_cfg.get("architectures"):  # absent OR explicit None
+            text_cfg["architectures"] = [default_arch]
         self.text_config = ModelConfig.from_dict(text_cfg)
         self.lm = from_config(self.text_config, dtype=self.dtype)
 

@@ -68,7 +68,7 @@ def init_multihost(
 # header fields, all int32 — see StepHeader. Mirrors every static jit
 # selector of engine/step_fn.py so worker processes hit the same
 # compile-cache entry as the coordinator.
-_HEADER_LEN = 21
+_HEADER_LEN = 22
 
 
 @dataclasses.dataclass
@@ -93,6 +93,7 @@ class StepHeader:
     # lockstep EPLB (ADVICE r2): coordinator-side rebalances must reach
     # every process or params diverge after the first replan
     eplb_reset: bool = False  # zero the device count accumulator now
+    mrope: bool = False  # PackLayout carries 3-axis position rows
     vocab: int = 0
     cycle_id: int = 0  # workers rotate their token rings on increment
     eplb_plan_len: int = 0  # serialized-plan ints appended to the payload
@@ -100,7 +101,7 @@ class StepHeader:
     _BOOLS = (
         "use_penalties", "use_top_filters", "use_grammar", "use_lora",
         "decode_only", "use_bias", "use_typical", "use_top_logprobs",
-        "use_prompt_logprobs", "use_eplb", "eplb_reset",
+        "use_prompt_logprobs", "use_eplb", "eplb_reset", "mrope",
     )
 
     def encode(self) -> np.ndarray:
@@ -119,9 +120,9 @@ class StepHeader:
         )
         for i, b in enumerate(StepHeader._BOOLS):
             setattr(h, b, bool(a[7 + i]))
-        h.vocab = int(a[18])
-        h.cycle_id = int(a[19])
-        h.eplb_plan_len = int(a[20])
+        h.vocab = int(a[19])
+        h.cycle_id = int(a[20])
+        h.eplb_plan_len = int(a[21])
         return h
 
 
@@ -248,6 +249,7 @@ class MultihostCoordinator:
                 0 if grammar_mask is None else grammar_mask.shape[1]
             ),
             cycle_id=cycle_id,
+            mrope=L.mrope,
             eplb_reset=reset,
             eplb_plan_len=0 if plan_arr is None else plan_arr.shape[0],
             **flags,
@@ -289,7 +291,7 @@ def worker_loop(engine, *, _broadcast_fn=broadcast_step) -> None:
             )
         if plan_words is not None:
             engine._apply_eplb_plan(deserialize_eplb_plan(plan_words))
-        layout = PackLayout(header.t, header.s, header.p)
+        layout = PackLayout(header.t, header.s, header.p, header.mrope)
         if gwords is not None:
             gmask_dev = jnp.asarray(
                 _unpack_mask(gwords, header.s, header.vocab)

@@ -11,6 +11,10 @@ from __future__ import annotations
 import enum
 import time
 from dataclasses import dataclass, field
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:
+    import numpy as np
 
 
 class RequestStatus(enum.Enum):
@@ -106,6 +110,10 @@ class Sequence:
     # persistent engine slot for device-side per-seq state (sampling seeds,
     # penalty counts); assigned at first scheduling, stable across steps
     slot: int = -1
+    # 3-axis mrope (Qwen2-VL family): [3, prompt_len] position triple +
+    # decode delta (pos3 = 1d_index + delta past the prompt)
+    mrope_pos: "np.ndarray | None" = None
+    mrope_delta: int = 0
     finish_reason: FinishReason | None = None
     stop_reason: str | int | None = None
     # incremental detokenization state (UTF-8-safe streaming, contract #7)

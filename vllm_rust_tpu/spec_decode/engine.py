@@ -225,6 +225,8 @@ class SpecLLMEngine(LLMEngine):
 
             hb.input_ids[offset : offset + n] = chunk
             hb.positions[offset : offset + n] = np.arange(start, end)
+            if self._use_mrope:
+                self._fill_mrope(hb, offset, n, start, end, seq)
             table = self.kv.get_table(seq)
             hb.slot_mapping[offset : offset + n] = table.slots(start, end)
             hb.kv_lens[i] = end
@@ -287,6 +289,8 @@ class SpecLLMEngine(LLMEngine):
             chunk += [0] * (n - len(chunk))
             hb.input_ids[offset : offset + n] = chunk
             hb.positions[offset : offset + n] = np.arange(start, end)
+            if self._use_mrope:
+                self._fill_mrope(hb, offset, n, start, end, seq)
             pages_row = np.array(hb.page_indices[i], np.int32)
             for k_, pg in enumerate(range(first_pg, last_pg + 1)):
                 pages_row[pg] = spages[k_]
