@@ -94,3 +94,56 @@ def test_admin_spa_served():
             assert marker in text, marker
 
     asyncio.run(main())
+
+
+def test_spec_decode_stats_exported():
+    """VERDICT r2 #8: acceptance stats must reach /metrics + get_stats
+    (reference engine/types.rs:322-390 SpecDecodingStats)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vllm_rust_tpu import metrics as M
+    from vllm_rust_tpu.config import CacheConfig, EngineConfig, SchedulerConfig
+    from vllm_rust_tpu.engine.async_engine import AsyncLLMEngine
+    from vllm_rust_tpu.models import from_config
+    from vllm_rust_tpu.request import SamplingParams
+    from vllm_rust_tpu.spec_decode import NgramProposer
+    from vllm_rust_tpu.spec_decode.engine import SpecLLMEngine
+    from vllm_rust_tpu.testing import tiny_llama_config
+
+    mc = tiny_llama_config()
+    model = from_config(mc, dtype=jnp.float32)
+    params = model.init_params(jax.random.PRNGKey(0))
+    cfg = EngineConfig(
+        model=mc,
+        cache=CacheConfig(num_pages=32, page_size=16),
+        scheduler=SchedulerConfig(max_num_seqs=4, max_tokens_per_step=64),
+        max_model_len=128,
+        token_buckets=(16, 32, 64),
+    )
+    eng = SpecLLMEngine(model, params, cfg, proposer=NgramProposer(num_draft_tokens=3))
+    sp = SamplingParams(max_tokens=12, temperature=0.0, ignore_eos=True)
+    eng.add_request("r", [5, 6, 7, 5, 6, 7, 5, 6], sp)
+    while eng.has_unfinished:
+        eng.step()
+
+    async def main():
+        import asyncio
+        aeng = AsyncLLMEngine(eng, loop=asyncio.get_event_loop())
+        try:
+            s = aeng.get_stats()
+            assert "spec_acceptance_rate" in s
+            assert "spec_mean_accepted_length" in s
+            assert s["spec_proposer"] == "NgramProposer"
+            assert s["draft_tokens"] > 0
+            M.refresh_engine_gauges(s)
+        finally:
+            aeng.shutdown()
+
+    import asyncio
+    asyncio.run(main())
+    text = M.REGISTRY.render()
+    assert "vllm_spec_decode_num_draft_tokens_total" in text
+    assert "vllm_spec_decode_acceptance_rate" in text
+    assert M.SPEC_DRAFT_TOKENS.value > 0
+    assert M.SPEC_MEAN_ACCEPTED_LEN.value >= 1.0

@@ -209,9 +209,17 @@ class AsyncLLMEngine:
         s["free_kv_pages"] = self.engine.kv.num_free_pages
         s["total_kv_pages"] = self.engine.kv.pool.total_usable
         # speculative acceptance stats (reference SpecDecodingStats,
-        # engine/types.rs:322-390) — exported via /metrics
+        # engine/types.rs:322-390) — exported via /metrics + /server_info
         if hasattr(self.engine, "acceptance_rate"):
             s["spec_acceptance_rate"] = round(self.engine.acceptance_rate, 4)
+            steps = s.get("num_steps", 0)
+            if steps:
+                s["spec_mean_accepted_length"] = round(
+                    1.0 + s.get("accepted_tokens", 0) / steps, 4
+                )
+            prop = getattr(self.engine, "proposer", None)
+            if prop is not None:
+                s["spec_proposer"] = type(prop).__name__
         return s
 
     def shutdown(self) -> None:

@@ -62,8 +62,6 @@ class StepRecord:
     ring_slot: int
     # (seq, row in sampler axis, index into generated_token_ids)
     entries: list[tuple[Sequence, int, int]]
-    # grammar steps must resolve before the next dispatch (DFA advance)
-    sync: bool = False
     # this step wrote the ring's top-logprob columns
     has_toplp: bool = False
 
@@ -242,6 +240,7 @@ class LLMEngine:
         if params.constraint is not None:
             seq.constraint = self._get_constraint(params.constraint)
             seq.constraint_state = seq.constraint.initial_state()
+            seq.resolve_before_schedule = True
         if params.bad_words:
             # normalize to token-id lists once (strings need a tokenizer)
             norm = []
@@ -255,6 +254,10 @@ class LLMEngine:
                 if ids:
                     norm.append([int(x) for x in ids])
             params.bad_words = norm
+            if any(len(w) > 1 for w in norm):
+                # multi-token bans need the generated tail resolved
+                # before the next step's bias slots can be filled
+                seq.resolve_before_schedule = True
         if params.allowed_token_ids:
             # whitelist rides the grammar-bitmask path (ADR 0020 analogue)
             words = np.zeros((self._mask_words,), np.uint32)
@@ -304,7 +307,12 @@ class LLMEngine:
         for seq in decision.preempted:
             self._release_slot(seq)
         if decision.scheduled:
-            if self._cycle_pos >= self.fetch_interval:
+            # blocked (constrained) seqs wait on a ring fetch: rotate
+            # early so their tokens resolve within ~2 steps instead of
+            # a full fetch_interval, while unconstrained seqs keep the
+            # pipeline busy (wave scheduling, VERDICT r2 #5)
+            rotate_at = 2 if decision.blocked else self.fetch_interval
+            if self._cycle_pos >= rotate_at:
                 self._rotate_rings()
             for s in decision.scheduled:
                 if s.seq.slot < 0:
@@ -313,10 +321,6 @@ class LLMEngine:
             self._in_flight.append(rec)
             self._step_count += 1
             self.stats["num_steps"] += 1
-            if rec.sync:
-                # grammar-constrained step: resolve now so the next mask
-                # can be computed from the advanced DFA state
-                outputs.extend(self._flush())
         elif self._in_flight:
             # nothing schedulable until lagging results are processed
             outputs.extend(self._flush())
@@ -563,9 +567,10 @@ class LLMEngine:
         rec = StepRecord(
             cycle_id=self._cycle_id, ring_slot=ring_slot, entries=entries
         )
-        # grammar DFA advance and bad-word suffix matching both need the
-        # sampled token resolved before the next dispatch
-        rec.sync = use_grammar or use_badwords
+        # Constrained seqs no longer serialize the pipeline (VERDICT r2
+        # #5): the scheduler holds them out while their token is
+        # unresolved (wave scheduling) and the ring rotates early when
+        # any seq is blocked, so unconstrained traffic keeps streaming.
         rec.has_toplp = use_toplp
         self._cycle_pos += 1
         return rec

@@ -207,6 +207,25 @@ BATCH_SIZE = REGISTRY.histogram(
     [1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0, 128.0, 256.0],
 )
 
+# --- speculative decoding (reference engine/types.rs:322-390
+# SpecDecodingStats exported through get_stats/metrics) ----------------------
+SPEC_DRAFT_TOKENS = REGISTRY.counter(
+    "vllm_spec_decode_num_draft_tokens_total",
+    "Total draft tokens proposed by the speculative proposer",
+)
+SPEC_ACCEPTED_TOKENS = REGISTRY.counter(
+    "vllm_spec_decode_num_accepted_tokens_total",
+    "Total draft tokens accepted by verification",
+)
+SPEC_ACCEPTANCE_RATE = REGISTRY.gauge(
+    "vllm_spec_decode_acceptance_rate",
+    "Lifetime draft acceptance rate (accepted / drafted)",
+)
+SPEC_MEAN_ACCEPTED_LEN = REGISTRY.gauge(
+    "vllm_spec_decode_mean_accepted_length",
+    "Mean tokens emitted per speculative step (1 + accepted drafts)",
+)
+
 # --- server health (prometheus.rs:169-196) ----------------------------------
 SERVER_ACCEPTING = REGISTRY.gauge(
     "vllm_server_accepting_requests",
@@ -271,8 +290,14 @@ def refresh_engine_gauges(stats: dict, start_time: float | None = None) -> None:
         (NUM_PREEMPTIONS, "num_preemptions"),
         (PROMPT_TOKENS_TOTAL, "prompt_tokens"),
         (GENERATION_TOKENS_TOTAL, "generated_tokens"),
+        (SPEC_DRAFT_TOKENS, "draft_tokens"),
+        (SPEC_ACCEPTED_TOKENS, "accepted_tokens"),
     ):
         if key in stats:
             counter._v = max(counter._v, float(stats[key]))
+    if "spec_acceptance_rate" in stats:
+        SPEC_ACCEPTANCE_RATE.set(stats["spec_acceptance_rate"])
+    if "spec_mean_accepted_length" in stats:
+        SPEC_MEAN_ACCEPTED_LEN.set(stats["spec_mean_accepted_length"])
     if start_time is not None:
         SERVER_UPTIME.set(time.time() - start_time)

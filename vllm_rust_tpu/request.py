@@ -128,6 +128,9 @@ class Sequence:
     # structured output: compiled Constraint + current DFA state
     constraint: object | None = None
     constraint_state: int = 0
+    # wave scheduling: this seq needs its last token resolved (host-side
+    # DFA / bad-word suffix advance) before it can be scheduled again
+    resolve_before_schedule: bool = False
     # LoRA adapter slot (-1 = none)
     lora_slot: int = -1
     # swap-mode preemption: KV pages live in host memory awaiting resume

@@ -50,6 +50,10 @@ class ScheduledSeq:
 class ScheduleDecision:
     scheduled: list[ScheduledSeq] = field(default_factory=list)
     preempted: list[Sequence] = field(default_factory=list)
+    # running seqs skipped this step because their last sampled token is
+    # still unresolved on device (constrained decoding wave scheduling —
+    # they must not serialize the pipeline for everyone else)
+    blocked: int = 0
 
     @property
     def total_tokens(self) -> int:
@@ -139,6 +143,14 @@ class Scheduler:
             ):
                 # at budget; finish happens when the lagging in-flight
                 # results are processed (async pipelined stepping)
+                continue
+            if seq.resolve_before_schedule and seq.pending:
+                # constrained (grammar / multi-token bad-words) seq whose
+                # last token is still on device: the next mask needs the
+                # advanced DFA state, so it sits this step out instead of
+                # forcing a host sync on the whole batch (VERDICT r2 #5;
+                # reference ADR 0020 + engine/helpers.rs:1170-1230)
+                d.blocked += 1
                 continue
             remaining = seq.remaining_prefill
             if remaining <= 1:  # decode (possibly a speculative window)
