@@ -32,13 +32,40 @@ def _get_trie(tokenizer, vocab_size: int) -> TokenTrie:
         return t
 
 
+def _schema_recursive(schema: dict) -> bool:
+    """True when the schema references itself or its $defs ($ref) — the
+    signal to route to the pushdown backend."""
+    found = False
+
+    def walk(node):
+        nonlocal found
+        if found:
+            return
+        if isinstance(node, dict):
+            if "$ref" in node:
+                found = True
+                return
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v)
+
+    walk(schema)
+    return found
+
+
 class Constraint:
-    """Compiled constraint shared across requests with the same spec."""
+    """Compiled constraint shared across requests with the same spec.
+
+    ``engine`` may be a prebuilt grammar/pushdown.PushdownMachine (for
+    self-embedding grammars); it exposes the same step/DEAD/is_accepting
+    interface as the regex DFA, so the token-mask pipeline is shared."""
 
     def __init__(self, pattern: str, tokenizer, vocab_size: int,
-                 eos_ids: tuple[int, ...]):
+                 eos_ids: tuple[int, ...], engine=None):
         self.pattern = pattern
-        self.dfa = DFA(pattern)
+        self.dfa = engine if engine is not None else DFA(pattern)
         trie = _get_trie(tokenizer, vocab_size)
         self.masks = MaskCache(self.dfa, trie, vocab_size, eos_ids)
         self.vocab_size = vocab_size
@@ -60,11 +87,38 @@ class Constraint:
         elif "regex" in spec:
             pattern = spec["regex"]
         elif "json_schema" in spec:
-            pattern = schema_to_regex(spec["json_schema"])
-        elif "ebnf" in spec or "grammar" in spec:
-            from .ebnf import ebnf_to_regex
+            schema = spec["json_schema"]
+            if _schema_recursive(schema):
+                # $ref cycles: the pushdown serves ANY nesting depth
+                # (reference xgrammar_backend.rs; VERDICT r2 #6) instead
+                # of the regex path's bounded unrolling
+                from .pushdown import ebnf_to_machine, schema_to_ebnf
 
-            pattern = ebnf_to_regex(spec.get("ebnf") or spec.get("grammar"))
+                machine = ebnf_to_machine(schema_to_ebnf(schema))
+                return Constraint(
+                    "<pushdown:json_schema>", tokenizer, vocab_size,
+                    eos_ids, engine=machine,
+                )
+            pattern = schema_to_regex(schema)
+        elif "ebnf" in spec or "grammar" in spec:
+            from .ebnf import EbnfError, ebnf_to_regex
+            from .pushdown import ebnf_recursive, ebnf_to_machine
+
+            src = spec.get("ebnf") or spec.get("grammar")
+            if ebnf_recursive(src):
+                # self-embedding rules: the stack machine serves ANY
+                # depth; unrolling would silently cap nesting at 8
+                return Constraint(
+                    "<pushdown:ebnf>", tokenizer, vocab_size, eos_ids,
+                    engine=ebnf_to_machine(src),
+                )
+            try:
+                pattern = ebnf_to_regex(src)
+            except EbnfError:
+                return Constraint(
+                    "<pushdown:ebnf>", tokenizer, vocab_size, eos_ids,
+                    engine=ebnf_to_machine(src),
+                )
         elif spec.get("json_object"):
             pattern = json_object_regex()
         else:
