@@ -33,7 +33,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 HBM_GBPS = 819.0  # v5e
 
 S, KLEN, PAGES, PS, PPS = 16, 200, 2048, 16, 16
-ITERS = 30
+ITERS = 100
 
 
 def build(quant: str):
@@ -64,7 +64,8 @@ def make_md():
     )
 
 
-def time_step(model, params, *, lm_head=True, attn=True) -> float:
+def time_step(model, params, *, lm_head=True, attn=True,
+              gemm=True) -> float:
     """Device ms per full decode step (forward + head + argmax feedback),
     measured as one dispatch of ITERS chained steps."""
     from vllm_rust_tpu.ops import paged_attention as pa
@@ -75,6 +76,14 @@ def time_step(model, params, *, lm_head=True, attn=True) -> float:
         for nkv, hd in model.kv_head_info
     ]
 
+    from vllm_rust_tpu.ops import int8_group as ig
+
+    orig_gemm = ig.int8_group_matmul
+    if not gemm:
+        def zero_gemm(x, q8g, sg, zg=None):
+            n = q8g.shape[2]
+            return jnp.zeros((x.shape[0], n), jnp.bfloat16) + x.mean()
+        ig.int8_group_matmul = zero_gemm
     orig_op = pa.ragged_paged_attention_op
     if not attn:
         def identity_attn(q, kv_page, md_, **kw):
@@ -104,28 +113,29 @@ def time_step(model, params, *, lm_head=True, attn=True) -> float:
         g = jax.jit(loop, donate_argnums=(2,))
         ids = jnp.ones((S,), jnp.int32)
         out = g(params, ids, kv)
-        jax.block_until_ready(out)
-        _, kv2 = out
+        np.asarray(out[0])  # block_until_ready does NOT wait on the
+        _, kv2 = out        # axon tunnel (measured r3) — fetch to sync
         best = 1e9
         for _ in range(3):
             t0 = time.perf_counter()
             out = g(params, ids, kv2)
-            jax.block_until_ready(out)
+            np.asarray(out[0])
             _, kv2 = out
             best = min(best, time.perf_counter() - t0)
         return best / ITERS * 1e3
     finally:
         pa.ragged_paged_attention_op = orig_op
+        ig.int8_group_matmul = orig_gemm
 
 
 def main():
     want = os.environ.get(
-        "STEPPROF_VARIANTS", "full,noattn,nolmhead,bf16"
+        "STEPPROF_VARIANTS", "full,noattn,nolmhead,nogemm"
     ).split(",")
     print(f"devices: {jax.devices()}  c={S} klen={KLEN} iters={ITERS}")
     results = {}
 
-    if {"full", "noattn", "nolmhead"} & set(want):
+    if {"full", "noattn", "nolmhead", "nogemm"} & set(want):
         model, params, _ = build("awq")
     if "full" in want:
         results["full"] = time_step(model, params)
@@ -138,6 +148,11 @@ def main():
         results["nolmhead"] = time_step(model, params, lm_head=False)
         print(f"awq no lm_head         {results['nolmhead']:8.3f} ms   "
               f"(lm_head = {results.get('full', 0) - results['nolmhead']:+.3f})")
+    if "nogemm" in want:
+        results["nogemm"] = time_step(model, params, gemm=False)
+        print(f"awq gemm->zeros        {results['nogemm']:8.3f} ms   "
+              f"(decoder GEMMs = "
+              f"{results.get('full', 0) - results['nogemm']:+.3f})")
     if "bf16" in want:
         model_bf, params_bf, _ = build(None)
         results["bf16"] = time_step(model_bf, params_bf)

@@ -118,3 +118,94 @@ def test_dcp_shard_map():
     np.testing.assert_allclose(
         np.asarray(merged), np.asarray(full), rtol=2e-5, atol=2e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine-integrated DCP (VERDICT r2 #3): sp mesh axis, striped pool,
+# shard_map attention in the production step — greedy == single-device.
+# ---------------------------------------------------------------------------
+
+
+def make_dcp_engine(dcp=1, num_pages=32):
+    from vllm_rust_tpu.config import CacheConfig, EngineConfig, SchedulerConfig
+    from vllm_rust_tpu.engine import LLMEngine
+    from vllm_rust_tpu.models import from_config
+    from vllm_rust_tpu.testing import tiny_llama_config
+
+    mc = tiny_llama_config(
+        hidden_size=64, num_attention_heads=4, num_key_value_heads=4,
+        intermediate_size=128,
+    )
+    cfg = EngineConfig(
+        model=mc,
+        cache=CacheConfig(num_pages=num_pages, page_size=PAGE),
+        scheduler=SchedulerConfig(max_num_seqs=4, max_tokens_per_step=64),
+        max_model_len=128,
+        token_buckets=(16, 32, 64),
+        decode_context_parallel_size=dcp,
+    )
+    model = from_config(mc, dtype=jnp.float32)
+    params = model.init_params(jax.random.PRNGKey(0))
+    return LLMEngine(model, params, cfg)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >=2 devices")
+def test_dcp_engine_matches_single_device():
+    from vllm_rust_tpu.request import SamplingParams
+
+    sp = SamplingParams(max_tokens=20, temperature=0.0, ignore_eos=True)
+    prompts = [list(range(1, 20)), [9, 8, 7]]
+    base = [o.token_ids for o in make_dcp_engine(dcp=1).generate(prompts, sp)]
+    eng = make_dcp_engine(dcp=2)
+    assert eng.mesh is not None and eng.mesh.shape["sp"] == 2
+    # pool pages striped across the sp axis
+    assert eng.kv.pool.stripes == 2
+    got = [o.token_ids for o in eng.generate(prompts, sp)]
+    assert got == base, f"DCP diverged: {got} vs {base}"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_dcp_with_tp_engine_matches_single_device():
+    from vllm_rust_tpu.config import CacheConfig, EngineConfig, SchedulerConfig
+    from vllm_rust_tpu.engine import LLMEngine
+    from vllm_rust_tpu.models import from_config
+    from vllm_rust_tpu.request import SamplingParams
+    from vllm_rust_tpu.testing import tiny_llama_config
+
+    mc = tiny_llama_config(
+        hidden_size=64, num_attention_heads=4, num_key_value_heads=4,
+        intermediate_size=128,
+    )
+
+    def build(dcp, tp):
+        cfg = EngineConfig(
+            model=mc,
+            cache=CacheConfig(num_pages=32, page_size=PAGE),
+            scheduler=SchedulerConfig(max_num_seqs=4, max_tokens_per_step=64),
+            max_model_len=128,
+            token_buckets=(16, 32, 64),
+            tensor_parallel_size=tp,
+            decode_context_parallel_size=dcp,
+        )
+        model = from_config(mc, dtype=jnp.float32)
+        params = model.init_params(jax.random.PRNGKey(0))
+        return LLMEngine(model, params, cfg)
+
+    sp = SamplingParams(max_tokens=12, temperature=0.0, ignore_eos=True)
+    prompts = [list(range(1, 20))]
+    base = [o.token_ids for o in build(1, 1).generate(prompts, sp)]
+    both = build(2, 2)
+    assert both.mesh.shape == {"dp": 1, "sp": 2, "tp": 2}
+    got = [o.token_ids for o in both.generate(prompts, sp)]
+    assert got == base, f"DCP x TP diverged: {got} vs {base}"
+
+
+def test_striped_pool_allocation_balances():
+    from vllm_rust_tpu.kv_cache.block_pool import BlockPool, BlockTable
+
+    pool = BlockPool(32, 16, stripes=4)
+    t = BlockTable(pool)
+    t.ensure_capacity(16 * 8)  # 8 pages
+    stripes = [pool._stripe(p) for p in t.pages]
+    # round-robin: two pages per stripe
+    assert sorted(stripes) == [0, 0, 1, 1, 2, 2, 3, 3], stripes

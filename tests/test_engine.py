@@ -98,8 +98,10 @@ def test_chunked_prefill():
         assert steps < 100
     assert final is not None
     assert len(final.token_ids) == 4
-    # 40 tokens at 16/step needs >= 3 prefill steps
-    assert steps >= 3 + 3
+    # 40 tokens at 16/step needs >= 3 prefill steps + >=3 decode steps
+    # (decode steps may share one dispatch via multi-step windows, so
+    # count engine steps, not step() calls)
+    assert eng.stats["num_steps"] >= 3 + 3
 
 
 def test_preemption_under_memory_pressure():
@@ -285,3 +287,62 @@ def test_swap_preemption():
                 done2[o.request_id] = o
     for k in done:
         assert done[k].token_ids == done2[k].token_ids, f"{k} diverged after swap"
+
+
+def test_multistep_decode_window_exact():
+    """Multi-step decode windows (config.decode_window) must be
+    bit-identical to single-step decoding: same greedy tokens, same
+    seeded-sampling tokens (device-evolved metadata == host metadata)."""
+    from vllm_rust_tpu.config import CacheConfig, SchedulerConfig
+
+    def run(window, params):
+        eng = make_engine(
+            scheduler=SchedulerConfig(max_num_seqs=4, max_tokens_per_step=64),
+            cache=CacheConfig(num_pages=64, page_size=16),
+            fetch_interval=8,
+        )
+        eng.config.decode_window = window
+        dispatches = 0
+        orig = eng.step_fn.__call__
+
+        outs = {}
+        prompts = {"a": [1, 2, 3], "b": list(range(5, 29))}  # page-crossing
+        for rid, pr in prompts.items():
+            eng.add_request(rid, pr, params)
+        while eng.has_unfinished:
+            for o in eng.step():
+                outs.setdefault(o.request_id, []).extend(o.new_token_ids)
+        return outs, eng.stats["num_steps"]
+
+    greedy = SamplingParams(max_tokens=21, temperature=0.0, ignore_eos=True)
+    base, base_steps = run(1, greedy)
+    win, win_steps = run(4, greedy)
+    assert win == base, f"window diverged: {win} vs {base}"
+    assert win_steps == base_steps  # engine-visible steps identical
+
+    seeded = SamplingParams(
+        max_tokens=15, temperature=0.9, top_k=8, seed=7, ignore_eos=True
+    )
+    base, _ = run(1, seeded)
+    win, _ = run(4, seeded)
+    assert win == base, "seeded sampling diverged under windows"
+
+
+def test_window_respects_max_tokens_and_page_boundaries():
+    from vllm_rust_tpu.config import CacheConfig, SchedulerConfig
+
+    eng = make_engine(
+        scheduler=SchedulerConfig(max_num_seqs=2, max_tokens_per_step=64),
+        cache=CacheConfig(num_pages=16, page_size=16),
+        fetch_interval=8,
+    )
+    eng.config.decode_window = 8
+    # 14-token prompt: decode crosses the page boundary inside a window
+    eng.add_request("x", list(range(1, 15)),
+                    SamplingParams(max_tokens=5, temperature=0.0,
+                                   ignore_eos=True))
+    outs = []
+    while eng.has_unfinished:
+        for o in eng.step():
+            outs.extend(o.new_token_ids)
+    assert len(outs) == 5

@@ -42,7 +42,7 @@ def test_tp_engine_matches_single_device():
     base = [o.token_ids for o in make_engine(tp=1).generate(prompts, sp)]
     tp = make_engine(tp=4)
     assert tp.mesh is not None
-    assert tp.mesh.devices.shape == (1, 4)
+    assert tp.mesh.devices.shape == (1, 1, 4)
     sharded = [o.token_ids for o in tp.generate(prompts, sp)]
     assert sharded == base, f"TP diverged: {sharded} vs {base}"
     # params actually sharded across devices

@@ -212,6 +212,9 @@ class CacheConfig:
     num_pages: int = 512
     page_size: int = 16
     kv_dtype: str = "auto"  # auto | fp8_e4m3 | fp8_e5m2 | int8
+    # page-id stripes for decode context parallelism (set by the engine
+    # from decode_context_parallel_size; allocator balances stripes)
+    dcp_stripes: int = 1
     # static K/V quantization scales (reference kv_cache/quantization.rs
     # calibrates on first write then pins; static scales keep cached bytes
     # valid for the cache lifetime — contract #10). stored = value/scale.
@@ -319,6 +322,13 @@ class EngineConfig:
     # Larger = higher throughput (round-trip amortized), smaller = lower
     # stop-condition latency. Minimum 2.
     fetch_interval: int = 8
+    # multi-step decode windows (engine/step_fn.py n_steps): one
+    # dispatch runs up to this many decode steps with metadata evolved
+    # on device — removes the per-step packed-metadata H2D (~2.7 ms
+    # each over the axon tunnel, the largest c=16 decode cost) and the
+    # per-step dispatch. 1 = off. Reference: multi_step_count decode
+    # (engine/strategy.rs hot loop).
+    decode_window: int = 4
     speculative: "SpeculativeConfig | None" = None
     # SPMD parallelism (reference distributed/process_group.rs ParallelConfig
     # — here just mesh axis sizes; XLA owns the collectives)
@@ -327,6 +337,10 @@ class EngineConfig:
     # pipeline stages (reference config.rs pipeline_parallel_size);
     # served via parallel/pipeline.py PipelineRunner
     pipeline_parallel_size: int = 1
+    # decode context parallelism: KV pages striped over an "sp" mesh
+    # axis, per-rank local attention + LSE merge (reference
+    # distributed/context_parallel.rs; ops/dcp.py)
+    decode_context_parallel_size: int = 1
 
     def __post_init__(self):
         # Clamp bucket lists to configured maxima so we never compile

@@ -24,6 +24,7 @@ latency is K steps — set fetch_interval=2 for latency-sensitive serving,
 
 from __future__ import annotations
 
+import contextlib
 import logging
 import time
 import zlib
@@ -35,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import EngineConfig
+from ..ops.dcp import dcp_mode as _dcp_mode
 from ..detokenizer import detokenize_incrementally, find_stop
 from ..kv_cache.manager import KVCacheManager
 from ..request import (
@@ -89,14 +91,27 @@ class LLMEngine:
         # (distributed/data_parallel.rs) with independent engines.
         self.mesh = None
         kv_sharding = None
-        if config.tensor_parallel_size > 1 or devices is not None:
+        self.dcp = max(1, config.decode_context_parallel_size)
+        if (
+            config.tensor_parallel_size > 1
+            or self.dcp > 1
+            or devices is not None
+        ):
             from ..parallel.mesh import kv_pages_sharding, make_mesh, shard_params
 
             self.mesh = make_mesh(
-                tp=config.tensor_parallel_size, dp=1, devices=devices
+                tp=config.tensor_parallel_size, dp=1, sp=self.dcp,
+                devices=devices,
             )
             self.params = params = shard_params(params, self.mesh)
             kv_sharding = kv_pages_sharding(self.mesh)
+            if self.dcp > 1:
+                # page stripes must divide evenly for the GSPMD shard
+                # AND the allocator's stripe math
+                config.cache.num_pages -= (
+                    config.cache.num_pages % self.dcp
+                )
+                config.cache.dcp_stripes = self.dcp
 
         has_ssm = any(isinstance(e, dict) for e in model.kv_head_info)
         if has_ssm and config.enable_prefix_caching:
@@ -317,10 +332,10 @@ class LLMEngine:
             for s in decision.scheduled:
                 if s.seq.slot < 0:
                     self._assign_slot(s.seq)
-            rec = self._dispatch(decision.scheduled)
-            self._in_flight.append(rec)
-            self._step_count += 1
-            self.stats["num_steps"] += 1
+            recs = self._dispatch(decision.scheduled)
+            self._in_flight.extend(recs)
+            self._step_count += len(recs)
+            self.stats["num_steps"] += len(recs)
         elif self._in_flight:
             # nothing schedulable until lagging results are processed
             outputs.extend(self._flush())
@@ -489,8 +504,68 @@ class LLMEngine:
         hb.cu_q_lens[len(scheduled) + 1 :] = hb.cu_q_lens[len(scheduled)]
 
         use_eplb = self.eplb is not None
-        p_bucket = self._page_bucket(scheduled)
         decode_only = all(s.num_tokens == 1 for s in scheduled)
+
+        # -- multi-step decode window (config.decode_window; step_fn
+        # n_steps): metadata for steps 2..W evolves ON DEVICE, so one
+        # dispatch covers W steps — kills (W-1)/W of the packed-meta H2D
+        # (~2.7 ms/transfer over the tunnel) and dispatch overhead ------
+        window = 1
+        if (
+            decode_only
+            and self.config.decode_window > 1
+            and len(scheduled) > 0
+            and not (use_grammar or use_bias or use_lora or use_toplp
+                     or use_prompt_lps or use_eplb)
+            and self.multihost is None
+        ):
+            window = min(
+                self.config.decode_window,
+                self.fetch_interval - self._cycle_pos,  # ring room
+            )
+            for s_ in scheduled:
+                seq = s_.seq
+                p = seq.params
+                window = min(window, p.max_tokens - seq.num_generated + 1)
+                window = min(
+                    window, self.config.max_model_len - seq.total_len + 1
+                )
+                mt = p.min_tokens - seq.num_generated
+                if 0 < mt < window:
+                    window = max(1, mt)  # ban_eos stays valid all window
+            if window > 1:
+                # preallocate the window's pages so the device-side slot
+                # lookup never runs off the table
+                try:
+                    for s_ in scheduled:
+                        self.kv.get_table(s_.seq).ensure_capacity(
+                            s_.seq.total_len + window - 1
+                        )
+                except MemoryError:
+                    window = 1
+        extra_entries: list[list] = []
+        if window > 1:
+            # page tables may have grown: rewrite the packed rows
+            for i, s_ in enumerate(scheduled):
+                pages = self.kv.get_table(s_.seq).pages
+                hb.page_indices[i, : len(pages)] = pages
+            # extra window steps: placeholders + ring rows i of
+            # ring_slot + w (same row index per seq each step)
+            for w in range(1, window):
+                step_entries = []
+                for i, s_ in enumerate(scheduled):
+                    seq = s_.seq
+                    gen_idx = seq.num_generated
+                    seq.generated_token_ids.append(PLACEHOLDER)
+                    seq.pending[gen_idx] = (
+                        self._cycle_id, ring_slot + w, i
+                    )
+                    seq.num_computed_tokens += 1
+                    self.kv.register_computed(seq)
+                    step_entries.append((seq, i, gen_idx))
+                extra_entries.append(step_entries)
+
+        p_bucket = self._page_bucket(scheduled, extra=window - 1)
         if self.multihost is not None:
             # lockstep the worker processes: ship the packed buffer +
             # static jit selectors before dispatching ours (reference
@@ -515,30 +590,39 @@ class LLMEngine:
                 )
             if pend_plan is not None:
                 self._apply_eplb_plan(pend_plan)
-        step_out = self.step_fn(
-            self.params,
-            self.kv_pages,
-            # single h2d transfer; copy because jnp.asarray may alias the
-            # (reused) host buffer zero-copy on the CPU backend
-            jnp.asarray(hb.buf.copy()),
-            self.token_counts,
-            self._ring_write,
-            self._ring_prev,
-            jnp.asarray(grammar_mask) if use_grammar else self._dummy_mask,
-            self._eplb_counts if use_eplb else self._dummy_eplb,
-            layout=hb.layout,
-            p_bucket=p_bucket,
-            use_penalties=use_penalties,
-            use_top_filters=use_top_filters,
-            use_grammar=use_grammar,
-            use_lora=use_lora,
-            decode_only=decode_only,
-            use_bias=use_bias,
-            use_typical=use_typical,
-            use_top_logprobs=use_toplp,
-            use_prompt_logprobs=use_prompt_lps,
-            use_eplb=use_eplb,
-        )
+        # DCP: enter the context so traces of the step take the
+        # shard_map attention path (ops/dcp.py); no-op per call after
+        # the variant is compiled
+        with (
+            _dcp_mode(self.dcp, mesh=self.mesh)
+            if self.dcp > 1
+            else contextlib.nullcontext()
+        ):
+            step_out = self.step_fn(
+                self.params,
+                self.kv_pages,
+                # single h2d transfer; copy because jnp.asarray may alias
+                # the (reused) host buffer zero-copy on the CPU backend
+                jnp.asarray(hb.buf.copy()),
+                self.token_counts,
+                self._ring_write,
+                self._ring_prev,
+                jnp.asarray(grammar_mask) if use_grammar else self._dummy_mask,
+                self._eplb_counts if use_eplb else self._dummy_eplb,
+                layout=hb.layout,
+                p_bucket=p_bucket,
+                use_penalties=use_penalties,
+                use_top_filters=use_top_filters,
+                use_grammar=use_grammar,
+                use_lora=use_lora,
+                decode_only=decode_only,
+                use_bias=use_bias,
+                use_typical=use_typical,
+                use_top_logprobs=use_toplp,
+                use_prompt_logprobs=use_prompt_lps,
+                use_eplb=use_eplb,
+                n_steps=window,
+            )
         step_out = list(step_out)
         if use_eplb:
             self._eplb_counts = step_out.pop()
@@ -564,16 +648,25 @@ class LLMEngine:
             self._eplb_step_count += 1
             if self._eplb_step_count % self._eplb_interval == 0:
                 self._eplb_refresh()
-        rec = StepRecord(
-            cycle_id=self._cycle_id, ring_slot=ring_slot, entries=entries
-        )
         # Constrained seqs no longer serialize the pipeline (VERDICT r2
         # #5): the scheduler holds them out while their token is
         # unresolved (wave scheduling) and the ring rotates early when
         # any seq is blocked, so unconstrained traffic keeps streaming.
-        rec.has_toplp = use_toplp
-        self._cycle_pos += 1
-        return rec
+        recs = [
+            StepRecord(
+                cycle_id=self._cycle_id, ring_slot=ring_slot,
+                entries=entries, has_toplp=use_toplp,
+            )
+        ]
+        for w, step_entries in enumerate(extra_entries, start=1):
+            recs.append(
+                StepRecord(
+                    cycle_id=self._cycle_id, ring_slot=ring_slot + w,
+                    entries=step_entries,
+                )
+            )
+        self._cycle_pos += window
+        return recs
 
     def _fill_mrope(
         self, hb: HostBatch, offset: int, n: int, start: int, end: int,
@@ -679,13 +772,15 @@ class LLMEngine:
         self._constraints[key] = c
         return c
 
-    def _page_bucket(self, scheduled) -> int:
+    def _page_bucket(self, scheduled, extra: int = 0) -> int:
         """Bucketed page-table width for this batch (static per variant):
-        kernels scan only page slots that can be live."""
+        kernels scan only page slots that can be live. ``extra``: tokens
+        beyond the packed batch (multi-step decode windows)."""
         ps = self.config.cache.page_size
         full = self.config.pages_per_seq
         max_pages = max(
-            (s.seq.num_computed_tokens + s.num_tokens + ps - 1) // ps
+            (s.seq.num_computed_tokens + s.num_tokens + extra + ps - 1)
+            // ps
             for s in scheduled
         )
         for b in (8, 16, 32, 64, 128, 256):

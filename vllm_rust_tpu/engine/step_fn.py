@@ -11,9 +11,21 @@ DtoH design taken further), and the host fetches a WHOLE ring in one
 transfer every K steps instead of syncing per step. This amortizes the
 dispatch→fetch round-trip (~27 ms over the axon tunnel, measured) across
 K steps; the reference pays an analogous cost per CUDA-graph replay sync.
+
+Multi-step decode windows (``n_steps`` > 1, r3): one dispatch runs
+``n_steps`` decode iterations in a lax.fori_loop, evolving positions /
+kv_lens / slot mappings ON DEVICE (the page tables are already
+device-resident, so the next token's slot is one gather) and feeding
+each iteration's sampled token straight into the next forward. This
+removes the per-step packed-metadata H2D (~2.7 ms per transfer over the
+tunnel — the single largest decode cost at c=16) and the per-step
+dispatch. The reference's multi_step_count decode loop
+(engine/strategy.rs hot loop) is the analogous design under CUDA graphs.
 """
 
 from __future__ import annotations
+
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -35,11 +47,99 @@ class StepFunction:
                 "layout", "p_bucket", "use_penalties", "use_top_filters",
                 "use_grammar", "use_lora", "decode_only", "use_bias",
                 "use_typical", "use_top_logprobs", "use_prompt_logprobs",
-                "use_eplb",
+                "use_eplb", "n_steps",
             ),
             donate_argnames=("kv_pages", "token_counts", "ring",
                              "eplb_counts"),
         )
+
+    def _forward_sample(
+        self,
+        params,
+        kv_pages,
+        input_ids,
+        md,
+        sampler_inputs,
+        slot_ids,
+        sample_mask,
+        token_counts,
+        grammar_mask,
+        lora_idx,
+        eplb_counts,
+        *,
+        use_penalties,
+        use_top_filters,
+        use_grammar,
+        use_lora,
+        decode_only,
+        use_bias,
+        use_typical,
+        use_top_logprobs,
+        use_eplb,
+    ):
+        """One forward + sample. Returns (kv_pages, token_counts,
+        eplb_counts, hidden, res tuple)."""
+        import contextlib
+
+        from ..layers.linear import lora_context
+        from ..ops.paged_attention import decode_mode
+
+        ctx = contextlib.ExitStack()
+        with ctx:
+            if use_lora:
+                ctx.enter_context(lora_context(lora_idx))
+            if decode_only:
+                ctx.enter_context(decode_mode())
+            if use_eplb:
+                # tracing-time sink: every moe_layer call contributes its
+                # routing counts (parallel/eplb.py executor)
+                from ..layers.moe import counts_sink
+
+                sink = ctx.enter_context(counts_sink())
+            hidden, kv_pages = self.model(params, input_ids, md, kv_pages)
+        if use_eplb and sink:
+            eplb_counts = eplb_counts + sum(sink)
+        sel = hidden[md.logits_indices]  # [S, H]
+        logits = self.model.compute_logits(params, sel)  # [S, V] f32
+
+        counts = token_counts[slot_ids] if use_penalties else None
+        res = sample_tokens(
+            logits,
+            sampler_inputs,
+            counts,
+            self.eos_ids,
+            use_penalties=use_penalties,
+            use_top_filters=use_top_filters,
+            grammar_mask=grammar_mask if use_grammar else None,
+            use_bias=use_bias,
+            use_typical=use_typical,
+            top_logprobs_k=self.top_logprobs_k if use_top_logprobs else 0,
+        )
+        tokens = res[0]
+        if use_penalties:
+            token_counts = token_counts.at[slot_ids, tokens].add(
+                sample_mask.astype(jnp.int32), mode="drop"
+            )
+        return kv_pages, token_counts, eplb_counts, hidden, res
+
+    @staticmethod
+    def _ring_row(res, use_top_logprobs: bool):
+        tokens, logprobs = res[0], res[1]
+        row = jnp.concatenate(
+            [tokens, jax.lax.bitcast_convert_type(logprobs, jnp.int32)]
+        )
+        if use_top_logprobs:
+            top_ids, top_lps = res[2], res[3]
+            row = jnp.concatenate(
+                [
+                    row,
+                    top_ids.reshape(-1),
+                    jax.lax.bitcast_convert_type(
+                        top_lps, jnp.int32
+                    ).reshape(-1),
+                ]
+            )
+        return row
 
     def _step(
         self,
@@ -64,6 +164,7 @@ class StepFunction:
         use_top_logprobs: bool,
         use_prompt_logprobs: bool,
         use_eplb: bool,
+        n_steps: int = 1,
     ):
         (
             ring_slot,
@@ -87,28 +188,95 @@ class StepFunction:
         fed = ring_tokens[jnp.clip(feedback_src, 0, 2 * k * s - 1)]
         input_ids = jnp.where(feedback_src >= 0, fed, input_ids)
 
-        import contextlib
+        fwd_flags = dict(
+            use_penalties=use_penalties,
+            use_top_filters=use_top_filters,
+            use_grammar=use_grammar,
+            use_lora=use_lora,
+            decode_only=decode_only,
+            use_bias=use_bias,
+            use_typical=use_typical,
+            use_top_logprobs=use_top_logprobs,
+            use_eplb=use_eplb,
+        )
 
-        from ..layers.linear import lora_context
-        from ..ops.paged_attention import decode_mode
+        if n_steps > 1:
+            # -- multi-step decode window -------------------------------
+            # Requires: decode-only batch, token row j == scheduled seq
+            # row j (one token per seq), no grammar / bias / lora /
+            # logprob extras / eplb (the engine gates this).
+            # SSM/hybrid pools are dicts of recurrent state — page size
+            # comes from the first paged-attention pool (rank-4 array);
+            # pure-SSM models never read slot_mapping, any value works.
+            page_size = next(
+                (p.shape[1] for p in kv_pages
+                 if hasattr(p, "ndim") and p.ndim == 4),
+                16,
+            )
+            t = input_ids.shape[0]
+            m = min(t, md.page_indices.shape[0])
+            mask_m = (jnp.arange(t, dtype=jnp.int32) < m) & (
+                jnp.arange(t, dtype=jnp.int32)
+                < md.num_seqs[0]
+            )
 
-        ctx = contextlib.ExitStack()
-        with ctx:
-            if use_lora:
-                ctx.enter_context(lora_context(lora_idx))
-            if decode_only:
-                ctx.enter_context(decode_mode())
-            if use_eplb:
-                # tracing-time sink: every moe_layer call contributes its
-                # routing counts (parallel/eplb.py executor)
-                from ..layers.moe import counts_sink
+            def one(i, carry):
+                (kv_pages, token_counts, ring, ids, positions, kv_lens,
+                 slot_mapping, rng_pos) = carry
+                md_i = dataclasses.replace(
+                    md,
+                    positions=positions,
+                    kv_lens=kv_lens,
+                    slot_mapping=slot_mapping,
+                )
+                si = dataclasses.replace(sampler_inputs, position=rng_pos)
+                kv_pages, token_counts, _, _, res = self._forward_sample(
+                    params, kv_pages, ids, md_i, si, slot_ids,
+                    sample_mask, token_counts, grammar_mask, lora_idx,
+                    eplb_counts, **fwd_flags,
+                )
+                row = self._ring_row(res, use_top_logprobs)
+                ring = ring.at[ring_slot + i, : row.shape[0]].set(row)
+                tokens = res[0]
+                # evolve next-step metadata ON DEVICE: the next token of
+                # seq j lands at position kv_lens[j]; its page comes from
+                # the device-resident table (host preallocated the window)
+                pg_slot = jnp.clip(
+                    kv_lens // page_size, 0, md.page_indices.shape[1] - 1
+                )
+                page = jnp.take_along_axis(
+                    md.page_indices, pg_slot[:, None], axis=1
+                )[:, 0]
+                seq_slots = page * page_size + kv_lens % page_size
+                next_slot_mapping = jnp.where(
+                    mask_m,
+                    jnp.zeros((t,), jnp.int32).at[:m].set(seq_slots[:m]),
+                    jnp.zeros((t,), jnp.int32),  # padded rows: null page
+                )
+                next_ids = jnp.where(
+                    mask_m,
+                    jnp.zeros((t,), jnp.int32).at[:m].set(tokens[:m]),
+                    0,
+                )
+                return (kv_pages, token_counts, ring, next_ids,
+                        positions + 1, kv_lens + 1, next_slot_mapping,
+                        rng_pos + 1)
 
-                sink = ctx.enter_context(counts_sink())
-            hidden, kv_pages = self.model(params, input_ids, md, kv_pages)
-        if use_eplb and sink:
-            eplb_counts = eplb_counts + sum(sink)
-        sel = hidden[md.logits_indices]  # [S, H]
-        logits = self.model.compute_logits(params, sel)  # [S, V] f32
+            carry = (
+                kv_pages, token_counts, ring, input_ids, md.positions,
+                md.kv_lens, md.slot_mapping, sampler_inputs.position,
+            )
+            carry = jax.lax.fori_loop(0, n_steps, one, carry)
+            kv_pages, token_counts, ring = carry[0], carry[1], carry[2]
+            return (kv_pages, token_counts, ring)
+
+        kv_pages, token_counts, eplb_counts, hidden, res = (
+            self._forward_sample(
+                params, kv_pages, input_ids, md, sampler_inputs, slot_ids,
+                sample_mask, token_counts, grammar_mask, lora_idx,
+                eplb_counts, **fwd_flags,
+            )
+        )
 
         prompt_lps = None
         if use_prompt_logprobs:
@@ -135,38 +303,8 @@ class StepFunction:
                 ),
             ).reshape(t)
 
-        counts = token_counts[slot_ids] if use_penalties else None
-        res = sample_tokens(
-            logits,
-            sampler_inputs,
-            counts,
-            self.eos_ids,
-            use_penalties=use_penalties,
-            use_top_filters=use_top_filters,
-            grammar_mask=grammar_mask if use_grammar else None,
-            use_bias=use_bias,
-            use_typical=use_typical,
-            top_logprobs_k=self.top_logprobs_k if use_top_logprobs else 0,
-        )
-        tokens, logprobs = res[0], res[1]
-        if use_penalties:
-            token_counts = token_counts.at[slot_ids, tokens].add(
-                sample_mask.astype(jnp.int32), mode="drop"
-            )
-        row = jnp.concatenate(
-            [tokens, jax.lax.bitcast_convert_type(logprobs, jnp.int32)]
-        )
+        row = self._ring_row(res, use_top_logprobs)
         if use_top_logprobs:
-            top_ids, top_lps = res[2], res[3]
-            row = jnp.concatenate(
-                [
-                    row,
-                    top_ids.reshape(-1),
-                    jax.lax.bitcast_convert_type(
-                        top_lps, jnp.int32
-                    ).reshape(-1),
-                ]
-            )
             ring = ring.at[ring_slot].set(row)
         else:
             # top-logprob columns keep stale values — only read on steps
@@ -194,6 +332,7 @@ class StepFunction:
         use_top_logprobs: bool = False,
         use_prompt_logprobs: bool = False,
         use_eplb: bool = False,
+        n_steps: int = 1,
     ):
         return self._jit(
             *args,
@@ -209,4 +348,5 @@ class StepFunction:
             use_top_logprobs=use_top_logprobs,
             use_prompt_logprobs=use_prompt_logprobs,
             use_eplb=use_eplb,
+            n_steps=n_steps,
         )

@@ -50,6 +50,7 @@ class LLM:
         tensor_parallel_size: int = 1,
         data_parallel_size: int = 1,
         pipeline_parallel_size: int = 1,
+        decode_context_parallel_size: int = 1,
         quantization: str | None = None,
         tokenizer: str | None = None,
         enable_chunked_prefill: bool = True,
@@ -147,6 +148,7 @@ class LLM:
             tensor_parallel_size=tensor_parallel_size,
             data_parallel_size=data_parallel_size,
             pipeline_parallel_size=pipeline_parallel_size,
+            decode_context_parallel_size=decode_context_parallel_size,
         )
         if isinstance(speculative, dict):
             speculative = SpeculativeConfig(**speculative)

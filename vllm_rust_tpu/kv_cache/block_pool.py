@@ -20,44 +20,59 @@ class BlockPool:
     supplies reclaimable cached pages when the free list runs dry —
     the reference's eviction-aware allocation (prefix_cache.rs evict)."""
 
-    def __init__(self, num_pages: int, page_size: int):
+    def __init__(self, num_pages: int, page_size: int, stripes: int = 1):
         self.num_pages = num_pages
         self.page_size = page_size
-        self._free: deque[int] = deque(range(1, num_pages))
+        # ``stripes`` > 1: pages are partitioned into contiguous id
+        # ranges matching a GSPMD shard over an "sp" mesh axis (decode
+        # context parallelism, ops/dcp.py); allocation round-robins the
+        # stripes so each sequence's KV spreads evenly across ranks
+        # (reference context_parallel.rs interleaved assignment)
+        self.stripes = stripes
+        self.stripe_rows = num_pages // stripes
+        self._free_by_stripe: list[deque[int]] = [
+            deque() for _ in range(stripes)
+        ]
+        for p in range(1, num_pages):
+            self._free_by_stripe[self._stripe(p)].append(p)
         self.evict_source = None  # callable -> page id | None
+
+    def _stripe(self, page: int) -> int:
+        return min(page // self.stripe_rows, self.stripes - 1)
 
     @property
     def num_free(self) -> int:
-        return len(self._free)
+        return sum(len(d) for d in self._free_by_stripe)
 
     @property
     def total_usable(self) -> int:
         return self.num_pages - 1
 
-    def allocate(self, n: int) -> list[int]:
+    def allocate(self, n: int, start_stripe: int = 0) -> list[int]:
         out: list[int] = []
+        s = start_stripe % self.stripes
         while len(out) < n:
-            if self._free:
-                out.append(self._free.popleft())
-            elif self.evict_source is not None:
-                page = self.evict_source()
-                if page is None:
-                    self._free.extendleft(reversed(out))
-                    raise MemoryError(
-                        f"requested {n} pages, exhausted free list and cache"
-                    )
-                out.append(page)
-            else:
-                self._free.extendleft(reversed(out))
+            picked = None
+            for j in range(self.stripes):  # preferred stripe first
+                d = self._free_by_stripe[(s + j) % self.stripes]
+                if d:
+                    picked = d.popleft()
+                    break
+            if picked is None and self.evict_source is not None:
+                picked = self.evict_source()
+            if picked is None:
+                self.free(out)
                 raise MemoryError(
-                    f"requested {n} pages, only {len(self._free)} free"
+                    f"requested {n} pages, only {self.num_free} free"
                 )
+            out.append(picked)
+            s += 1
         return out
 
     def free(self, pages: list[int]) -> None:
         for p in pages:
             assert 0 < p < self.num_pages, p
-            self._free.append(p)
+            self._free_by_stripe[self._stripe(p)].append(p)
 
 
 class BlockTable:
@@ -81,7 +96,11 @@ class BlockTable:
     def ensure_capacity(self, total_tokens: int) -> None:
         need = self.pages_needed(total_tokens)
         if need:
-            self.pages.extend(self._pool.allocate(need))
+            # stripe rotation by logical slot index keeps each seq's KV
+            # balanced across DCP ranks
+            self.pages.extend(
+                self._pool.allocate(need, start_stripe=len(self.pages))
+            )
 
     def slot(self, pos: int) -> int:
         ps = self._pool.page_size

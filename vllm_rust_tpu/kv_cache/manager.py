@@ -36,7 +36,8 @@ class KVCacheManager:
     ):
         self.config = config
         self.kv_head_info = kv_head_info
-        self.pool = BlockPool(config.num_pages, config.page_size)
+        self.pool = BlockPool(config.num_pages, config.page_size,
+                              stripes=getattr(config, "dcp_stripes", 1))
         self.tables: dict[str, BlockTable] = {}
         self.prefix = None
         if enable_prefix_caching:

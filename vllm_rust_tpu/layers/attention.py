@@ -172,6 +172,33 @@ def attention_block(
     if spec.qk_norm and spec.qk_norm_after_rope:
         q, k = qk_normalize(q, k)
 
+    from ..ops.dcp import dcp_active
+
+    dcp_ctx = dcp_active()
+    if dcp_ctx is not None:
+        # decode context parallelism: KV stripes live on their "sp"
+        # rank; masked local write + local attention + LSE merge
+        # (reference DcpAttentionWrapper, context_parallel.rs)
+        from ..ops.dcp import dcp_write_and_attend
+
+        axis, world, mesh = dcp_ctx
+        assert not spec.use_alibi and params.get("sinks") is None, (
+            "ALiBi / attention sinks unsupported under DCP"
+        )
+        out, kv_page = dcp_write_and_attend(
+            q, k, v, kv_page, md,
+            sm_scale=spec.sm_scale,
+            sliding_window=spec.sliding_window,
+            soft_cap=spec.soft_cap,
+            k_scale=k_scale,
+            v_scale=v_scale,
+            world=world,
+            axis=axis,
+            mesh=mesh,
+        )
+        out = out.reshape(t, h * d)
+        return _attn_output(spec, params, out, x, md), kv_page
+
     kv_page = write_kv_pages(
         kv_page, k, v, md.slot_mapping, k_scale=k_scale, v_scale=v_scale
     )
@@ -194,6 +221,12 @@ def attention_block(
         alibi_sqrt=spec.alibi_sqrt,
     )
     out = out.reshape(t, h * d)
+    return _attn_output(spec, params, out, x, md), kv_page
+
+
+def _attn_output(spec: AttentionSpec, params: dict, out, x, md):
+    """Post-attention tail: optional sigmoid output gate + o_proj."""
+    h, d = spec.num_heads, spec.head_dim
     if "g_proj" in params:
         # sigmoid output gate on the attention output — per channel
         # (Qwen3-Next attn_output_gate; reference qwen3_next.rs:174-190)
@@ -205,4 +238,4 @@ def attention_block(
         if gate.shape[-1] == h:  # per-head: broadcast over head_dim
             gate = jnp.repeat(gate, d, axis=-1)
         out = out * gate.astype(out.dtype)
-    return linear(out, params["o_proj"]), kv_page
+    return linear(out, params["o_proj"])

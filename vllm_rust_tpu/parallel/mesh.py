@@ -22,15 +22,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(
-    tp: int | None = None, dp: int = 1, devices=None
+    tp: int | None = None, dp: int = 1, sp: int = 1, devices=None
 ) -> Mesh:
+    """Axes: dp = data, sp = decode context parallel (KV page stripes,
+    reference context_parallel.rs), tp = tensor parallel."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if tp is None:
-        tp = n // dp
-    assert dp * tp <= n, f"mesh {dp}x{tp} needs {dp*tp} devices, have {n}"
-    dev = np.array(devices[: dp * tp]).reshape(dp, tp)
-    return Mesh(dev, ("dp", "tp"))
+        tp = n // (dp * sp)
+    need = dp * sp * tp
+    assert need <= n, f"mesh {dp}x{sp}x{tp} needs {need} devices, have {n}"
+    dev = np.array(devices[:need]).reshape(dp, sp, tp)
+    return Mesh(dev, ("dp", "sp", "tp"))
 
 
 # (regex over the flattened param path) -> PartitionSpec
@@ -132,9 +135,11 @@ def shard_params(params, mesh: Mesh):
 
 
 def kv_pages_sharding(mesh: Mesh) -> NamedSharding:
-    """[num_pages, page_size, 2*kv_heads, head_dim]: shard combined heads
-    on tp (decode context parallelism / DCP arrives later on a "sp" axis)."""
-    return NamedSharding(mesh, P(None, None, "tp", None))
+    """[num_pages, page_size, 2*kv_heads, head_dim]: combined heads on
+    tp; pages striped over sp when decode context parallelism is on
+    (ops/dcp.py shard_map consumes the stripes)."""
+    sp = "sp" if mesh.shape.get("sp", 1) > 1 else None
+    return NamedSharding(mesh, P(sp, None, "tp", None))
 
 
 # engine-registered mesh, consulted by layers that place explicit

@@ -1218,6 +1218,11 @@ def run_server(args=None) -> None:
     g.add_argument("--tensor-parallel-size", "-tp", type=int, default=1)
     g.add_argument("--data-parallel-size", "-dp", type=int, default=1)
     g.add_argument("--pipeline-parallel-size", "-pp", type=int, default=1)
+    g.add_argument("--decode-context-parallel-size", "-dcp", type=int,
+                   default=1,
+                   help="KV pages striped over an 'sp' mesh axis with "
+                   "per-rank local attention + LSE merge (reference "
+                   "context_parallel.rs; long-context decode)")
     g.add_argument("--distributed-coordinator-address", default=None,
                    help="host:port of process 0 for multi-host (DCN) "
                         "serving; all hosts run the same command")
@@ -1377,6 +1382,7 @@ def run_server(args=None) -> None:
             tensor_parallel_size=ns.tensor_parallel_size,
             data_parallel_size=ns.data_parallel_size,
             pipeline_parallel_size=ns.pipeline_parallel_size,
+            decode_context_parallel_size=ns.decode_context_parallel_size,
             quantization=ns.quantization,
             tokenizer=ns.tokenizer,
             enable_chunked_prefill=ns.enable_chunked_prefill,
