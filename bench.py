@@ -118,6 +118,7 @@ def run_bench(model_cfg, *, concurrency=16, prompt_len=64, gen_len=64,
         # Latency-sensitive serving keeps the smaller CLI default.
         fetch_interval=int(os.environ.get("BENCH_FETCH_INTERVAL", "32")),
         decode_window=int(os.environ.get("BENCH_DECODE_WINDOW", "4")),
+        attention_backend=os.environ.get("BENCH_ATTENTION_BACKEND", "auto"),
     )
     eng = LLMEngine(model, params, cfg)
 

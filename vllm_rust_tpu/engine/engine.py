@@ -168,6 +168,12 @@ class LLMEngine:
         if tokenizer is not None and getattr(tokenizer, "eos_token_id", None) is not None:
             eos_ids.add(tokenizer.eos_token_id)
         self.eos_ids = tuple(sorted(eos_ids))
+        if config.attention_backend != "auto" and hasattr(
+            model, "attention_backend"
+        ):
+            # propagate --attention-backend to the model (was silently
+            # ignored before r3)
+            model.attention_backend = config.attention_backend
         self.top_logprobs_k = 8  # device top-k width for top_logprobs
         self.step_fn = StepFunction(
             model, self.eos_ids, top_logprobs_k=self.top_logprobs_k

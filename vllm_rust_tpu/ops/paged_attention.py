@@ -157,7 +157,14 @@ def ragged_paged_attention_op(
 ) -> jax.Array:
     if backend == "auto":
         if on_tpu():
-            backend = "decode" if _DECODE_ONLY.get() else "pallas"
+            # decode: the stock ragged kernel's multi-page spans beat
+            # both in-house kernels at serving geometry (bench r3:
+            # jax 1688 > pallas 1589 > decode-kernel 1428 tok/s c=16 —
+            # the per-(seq,page) decode grid is overhead-bound);
+            # prefill keeps the in-house kernel (sequence-aligned q
+            # blocks win there). Sinks/ALiBi route to the in-house
+            # kernel below either way.
+            backend = "jax" if _DECODE_ONLY.get() else "pallas"
         else:
             backend = "ref"
     if backend == "jax" and (sinks is not None or alibi_slopes is not None):
