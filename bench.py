@@ -96,7 +96,9 @@ def quantize_params_awq(model, params, group_size=128):
 
 
 def run_bench(model_cfg, *, concurrency=16, prompt_len=64, gen_len=64,
-              num_pages=2048, page_size=16, quant=None):
+              num_pages=2048, page_size=None, quant=None):
+    page_size = page_size or int(os.environ.get("BENCH_PAGE_SIZE", "16"))
+    num_pages = num_pages * 16 // page_size
     from vllm_rust_tpu.config import CacheConfig, EngineConfig, SchedulerConfig
     from vllm_rust_tpu.engine import LLMEngine
     from vllm_rust_tpu.models import from_config
@@ -117,7 +119,7 @@ def run_bench(model_cfg, *, concurrency=16, prompt_len=64, gen_len=64,
         # (~25 ms over the tunnel) over 32 steps — +11% measured vs 8.
         # Latency-sensitive serving keeps the smaller CLI default.
         fetch_interval=int(os.environ.get("BENCH_FETCH_INTERVAL", "32")),
-        decode_window=int(os.environ.get("BENCH_DECODE_WINDOW", "4")),
+        decode_window=int(os.environ.get("BENCH_DECODE_WINDOW", "8")),
         attention_backend=os.environ.get("BENCH_ATTENTION_BACKEND", "auto"),
     )
     eng = LLMEngine(model, params, cfg)

@@ -328,7 +328,7 @@ class EngineConfig:
     # each over the axon tunnel, the largest c=16 decode cost) and the
     # per-step dispatch. 1 = off. Reference: multi_step_count decode
     # (engine/strategy.rs hot loop).
-    decode_window: int = 4
+    decode_window: int = 8
     speculative: "SpeculativeConfig | None" = None
     # SPMD parallelism (reference distributed/process_group.rs ParallelConfig
     # — here just mesh axis sizes; XLA owns the collectives)

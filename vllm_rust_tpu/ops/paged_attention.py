@@ -155,6 +155,10 @@ def ragged_paged_attention_op(
     backend: str = "auto",
     alibi_sqrt: bool = False,
 ) -> jax.Array:
+    if backend == "gather":
+        # decode-only gather formulation (plain XLA; see below) with
+        # the in-house kernel for prefill chunks
+        backend = "ref" if _DECODE_ONLY.get() else "pallas"
     if backend == "auto":
         if on_tpu():
             # decode: the stock ragged kernel's multi-page spans beat
