@@ -30,7 +30,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import bench as bench_mod
 
-PROMPT_LEN = 256
+PROMPT_LEN = 64  # == bench.py geometry, reuses its compile cache
 GEN_LEN = 64
 
 
@@ -175,7 +175,7 @@ def main():
     lines.append("")
     lines.append("| fetch_interval | decode tok/s | stop-latency bound |")
     lines.append("|---|---|---|")
-    for fi in (2, 8, 32):
+    for fi in (2, 32):
         eng = build_engine(fi, cfg, quant)
         warm(eng)
         tput = decode_tput(eng)

@@ -152,3 +152,72 @@ def test_alibi_ref_matches_dense():
         jnp.asarray(slopes), sm_scale=0.25, backend="ref",
     )
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Batched-seq decode kernel (ops/pallas/batched_decode.py, r3)
+# ---------------------------------------------------------------------------
+
+
+def _batched_case(s=4, hq=8, hkv=4, d=128, ps=16, p=8, lens=(37, 5, 120, 64),
+                  window=None, cap=None, kv_dtype=None, scales=None):
+    import numpy as np
+
+    from vllm_rust_tpu.ops.attn_metadata import AttentionMetadata
+    from vllm_rust_tpu.ops.paged_attention import ragged_paged_attention_op
+    from vllm_rust_tpu.ops.pallas.batched_decode import (
+        batched_decode_attention,
+    )
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(s, hq, d)), jnp.float32)
+    pool_dtype = jnp.float32 if kv_dtype is None else kv_dtype
+    kv = rng.normal(size=(64, ps, 2 * hkv, d))
+    if kv_dtype == jnp.int8:
+        kv = np.clip(np.rint(kv * 20), -127, 127)
+    kv = jnp.asarray(kv, pool_dtype)
+    kv_lens = np.zeros(s, np.int32)
+    kv_lens[: len(lens)] = lens
+    pages = np.zeros((s, p), np.int32)
+    used = 1
+    for i, ln in enumerate(lens):
+        n = -(-ln // ps)
+        pages[i, :n] = np.arange(used, used + n)
+        used += n
+    md = AttentionMetadata(
+        slot_mapping=jnp.zeros(s, jnp.int32),
+        kv_lens=jnp.asarray(kv_lens),
+        page_indices=jnp.asarray(pages),
+        cu_q_lens=jnp.asarray(np.minimum(np.arange(s + 1), len(lens)),
+                              jnp.int32),
+        num_seqs=jnp.asarray([len(lens)], jnp.int32),
+        positions=jnp.asarray(kv_lens - 1),
+        logits_indices=jnp.arange(s, dtype=jnp.int32),
+    )
+    kw = dict(sm_scale=d ** -0.5, sliding_window=window, soft_cap=cap)
+    if scales:
+        kw.update(k_scale=scales[0], v_scale=scales[1])
+    got = batched_decode_attention(
+        q, kv, md.kv_lens, md.page_indices, **kw
+    )
+    want = ragged_paged_attention_op(q, kv, md, backend="ref", **kw)
+    np.testing.assert_allclose(
+        np.asarray(got)[: len(lens)], np.asarray(want)[: len(lens)],
+        atol=2e-5, rtol=2e-5,
+    )
+
+
+def test_batched_decode_matches_ref():
+    _batched_case()
+
+
+def test_batched_decode_window_and_softcap():
+    _batched_case(window=48, cap=30.0)
+
+
+def test_batched_decode_int8_kv():
+    _batched_case(kv_dtype=jnp.int8, scales=(0.05, 0.05))
+
+
+def test_batched_decode_single_seq_small_table():
+    _batched_case(s=1, lens=(9,), p=2)

@@ -159,6 +159,8 @@ def ragged_paged_attention_op(
         # decode-only gather formulation (plain XLA; see below) with
         # the in-house kernel for prefill chunks
         backend = "ref" if _DECODE_ONLY.get() else "pallas"
+    if backend == "batched" and not _DECODE_ONLY.get():
+        backend = "pallas"  # batched kernel serves pure-decode steps only
     if backend == "auto":
         if on_tpu():
             # decode: the stock ragged kernel's multi-page spans beat
@@ -177,6 +179,24 @@ def ragged_paged_attention_op(
         backend = "pallas"
     if backend == "decode" and alibi_sqrt:
         backend = "pallas"  # decode kernel has linear ALiBi only
+    if backend == "batched" and (
+        sinks is not None or alibi_slopes is not None
+    ):
+        backend = "pallas"  # batched decode kernel: no sinks/alibi
+    if backend == "batched":
+        from .pallas.batched_decode import batched_decode_attention
+
+        return batched_decode_attention(
+            q,
+            kv_pages,
+            md.kv_lens,
+            md.page_indices,
+            sm_scale=sm_scale,
+            sliding_window=sliding_window,
+            soft_cap=soft_cap,
+            k_scale=k_scale,
+            v_scale=v_scale,
+        )
     if backend == "ref":
         return _ref_ragged_paged_attention(
             q,
