@@ -119,7 +119,7 @@ def mixed_round(eng) -> float:
         eng.add_request(rid, pr, sp)
     fed = 4
     while eng.has_unfinished or fed < len(pending):
-        if fed < len(pending) and len(eng.requests) < 16:
+        if fed < len(pending) and eng.scheduler.num_unfinished < 16:
             rid, pr = pending[fed]
             eng.add_request(rid, pr, sp)
             fed += 1
@@ -152,17 +152,28 @@ def main():
         "|---|---|",
     ]
 
+    def log(msg):
+        import sys
+        print(f"[detail] {msg}", file=sys.stderr, flush=True)
+
     # latency mode: fetch_interval=2
+    log("build fi=2 engine")
     eng = build_engine(2, cfg, quant)
+    log("warmup")
     warm(eng)
+    log("warm c=1 variants")
+    ttft_run(eng, 1)  # discard: compiles the c=1 decode variants
+    log("ttft c=1")
     mean1, max1, _ = ttft_run(eng, 1)
     lines.append(f"| TTFT c=1 (fetch_interval=2, prompt {PROMPT_LEN}) | "
                  f"{mean1*1e3:.0f} ms |")
+    log("ttft c=16")
     mean16, max16, agg16 = ttft_run(eng, 16)
     lines.append(f"| TTFT c=16 mean / max (fetch_interval=2) | "
                  f"{mean16*1e3:.0f} / {max16*1e3:.0f} ms |")
     lines.append(f"| aggregate tok/s during the c=16 TTFT round | "
                  f"{agg16:.0f} |")
+    log("mixed round")
     mx = mixed_round(eng)
     lines.append(f"| mixed staggered round tok/s (fetch_interval=2) | "
                  f"{mx:.0f} |")
@@ -176,6 +187,7 @@ def main():
     lines.append("| fetch_interval | decode tok/s | stop-latency bound |")
     lines.append("|---|---|---|")
     for fi in (2, 32):
+        log(f"curve fi={fi}")
         eng = build_engine(fi, cfg, quant)
         warm(eng)
         tput = decode_tput(eng)

@@ -29,7 +29,8 @@ class LlavaForConditionalGeneration:
         self.dtype = dtype
         ex = config.extra
         text_cfg = dict(ex.get("text_config", {}))
-        text_cfg.setdefault("architectures", ["LlamaForCausalLM"])
+        if not text_cfg.get("architectures"):  # absent OR explicit None
+            text_cfg["architectures"] = ["LlamaForCausalLM"]
         vis_cfg = dict(ex.get("vision_config", {}))
         self.image_token_index = int(ex.get("image_token_index", 32000))
         self.feature_layer = int(ex.get("vision_feature_layer", -2))
