@@ -34,15 +34,24 @@ PROMPT_LEN = 64  # == bench.py geometry, reuses its compile cache
 GEN_LEN = 64
 
 
+_MODEL_CACHE = {}
+
+
 def build_engine(fetch_interval: int, cfg, quant):
     from vllm_rust_tpu.config import CacheConfig, EngineConfig, SchedulerConfig
     from vllm_rust_tpu.engine import LLMEngine
     from vllm_rust_tpu.models import from_config
 
-    model = from_config(cfg, dtype=jnp.bfloat16)
-    params = model.init_params(jax.random.PRNGKey(0))
-    if quant == "awq":
-        params = bench_mod.quantize_params_awq(model, params)
+    # one model + params shared across engines: a second 4 GB param set
+    # OOMs the 16 GB chip alongside the first engine's pools
+    key = id(cfg)
+    if key not in _MODEL_CACHE:
+        model = from_config(cfg, dtype=jnp.bfloat16)
+        params = model.init_params(jax.random.PRNGKey(0))
+        if quant == "awq":
+            params = bench_mod.quantize_params_awq(model, params)
+        _MODEL_CACHE[key] = (model, params)
+    model, params = _MODEL_CACHE[key]
     ec = EngineConfig(
         model=cfg,
         cache=CacheConfig(num_pages=2048, page_size=16),
@@ -165,16 +174,19 @@ def main():
     ttft_run(eng, 1)  # discard: compiles the c=1 decode variants
     log("ttft c=1")
     mean1, max1, _ = ttft_run(eng, 1)
+    log(f"TTFT c=1: {mean1*1e3:.0f} ms")
     lines.append(f"| TTFT c=1 (fetch_interval=2, prompt {PROMPT_LEN}) | "
                  f"{mean1*1e3:.0f} ms |")
     log("ttft c=16")
     mean16, max16, agg16 = ttft_run(eng, 16)
+    log(f"TTFT c=16: mean {mean16*1e3:.0f} max {max16*1e3:.0f} ms, agg {agg16:.0f} tok/s")
     lines.append(f"| TTFT c=16 mean / max (fetch_interval=2) | "
                  f"{mean16*1e3:.0f} / {max16*1e3:.0f} ms |")
     lines.append(f"| aggregate tok/s during the c=16 TTFT round | "
                  f"{agg16:.0f} |")
     log("mixed round")
     mx = mixed_round(eng)
+    log(f"mixed: {mx:.0f} tok/s")
     lines.append(f"| mixed staggered round tok/s (fetch_interval=2) | "
                  f"{mx:.0f} |")
     del eng
@@ -188,9 +200,12 @@ def main():
     lines.append("|---|---|---|")
     for fi in (2, 32):
         log(f"curve fi={fi}")
+        import gc
+        gc.collect()
         eng = build_engine(fi, cfg, quant)
         warm(eng)
         tput = decode_tput(eng)
+        log(f"fi={fi}: {tput:.0f} tok/s")
         lines.append(f"| {fi} | {tput:.0f} | ~{fi} steps |")
         del eng
 

@@ -352,7 +352,7 @@ class ExaoneMoeForCausalLM(Qwen3MoeForCausalLM):
     def _moe_ffn(self, lp_mlp, h):
         from .deepseek import deepseek_moe_ffn
 
-        return deepseek_moe_ffn(self, self.moe_spec, lp_mlp, h)
+        return deepseek_moe_ffn(self.config, self.moe_spec, lp_mlp, h)
 
     def _param_path(self, name: str):
         n = name.removeprefix("model.")
