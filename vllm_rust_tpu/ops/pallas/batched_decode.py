@@ -43,6 +43,10 @@ def _kernel(
     pages_ref,  # scalar prefetch [S*P] flat page table
     q_ref,  # [S, H, D] (VMEM, whole batch)
     kv_hbm_ref,  # [pages, ps, 2K, D] (ANY/HBM)
+    valid_ref,  # [1, S*G, span] i8 — this chunk's mask (precomputed
+    # in-graph OUTSIDE the kernel; XLA CSEs it across the 36 layer
+    # calls, so the per-chunk iota/div/mod/select work happens once
+    # per step instead of once per (layer, chunk))
     o_ref,  # [S, H, D]
     kv_buf,  # [2, PB, ps, 2K, D]
     sems,  # [2, PB]
@@ -95,23 +99,7 @@ def _kernel(
 
     wait_dma(c, slot)
 
-    # flat-slot geometry of this chunk's tokens
-    tok = jax.lax.broadcasted_iota(jnp.int32, (1, span), 1)  # [1, span]
-    flat_page = c * pb + tok // page_size
-    seq_of = flat_page // pages_per_seq  # [1, span]
-    kvpos = (flat_page % pages_per_seq) * page_size + tok % page_size
-    # per-token kv_len of the OWNING sequence (dynamic gather over the
-    # scalar-prefetched lens; span is small)
-    lens_of = jnp.zeros((1, span), jnp.int32)
-    for si in range(s_pad):
-        lens_of = jnp.where(seq_of == si, kv_lens_ref[si], lens_of)
-
-    row_seq = (
-        jax.lax.broadcasted_iota(jnp.int32, (s_pad * g, 1), 0) // g
-    )  # [S*G, 1]
-    valid = (seq_of == row_seq) & (kvpos < lens_of)  # [S*G, span]
-    if sliding_window is not None:
-        valid &= kvpos > (lens_of - 1 - sliding_window)
+    valid = valid_ref[0] > 0  # [S*G, span]
 
     kv = kv_buf[slot].reshape(span, 2 * num_kv_heads, d)
     for kh in range(num_kv_heads):
@@ -210,6 +198,10 @@ def batched_decode_attention(
         in_specs=[
             pl.BlockSpec((s, h, d), lambda c, lens, pages: (0, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (1, s * g, pb * page_size),
+                lambda c, lens, pages: (c, 0, 0),
+            ),
         ],
         out_specs=pl.BlockSpec((s, h, d), lambda c, lens, pages: (0, 0, 0)),
         scratch_shapes=[
@@ -220,6 +212,24 @@ def batched_decode_attention(
             pltpu.VMEM((num_kv, s * g, d), jnp.float32),
         ],
     )
+    # per-(chunk, row, token) validity, computed once per step (CSE'd
+    # across layers): ownership + length + optional sliding window
+    span = pb * page_size
+    tok = jnp.arange(n_chunks * span, dtype=jnp.int32).reshape(
+        n_chunks, 1, span
+    )
+    flat_page = tok // page_size
+    seq_of = flat_page // p
+    kvpos = (flat_page % p) * page_size + tok % page_size
+    lens_of = kv_lens[jnp.clip(seq_of, 0, s - 1)]
+    row_seq = (
+        jnp.arange(s * g, dtype=jnp.int32).reshape(1, s * g, 1) // g
+    )
+    valid = (seq_of == row_seq) & (kvpos < lens_of)
+    if sliding_window is not None:
+        valid = valid & (kvpos > (lens_of - 1 - sliding_window))
+    valid = valid.astype(jnp.int32)
+
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((s, h, d), q.dtype),
@@ -228,4 +238,4 @@ def batched_decode_attention(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret_kernels(),
-    )(kv_lens, page_indices.reshape(-1), q, kv_pages)
+    )(kv_lens, page_indices.reshape(-1), q, kv_pages, valid)
