@@ -21,6 +21,7 @@ from __future__ import annotations
 import contextlib
 import contextvars
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -230,8 +231,12 @@ def ragged_paged_attention_op(
             v_scale=v_scale,
             # conservative tiling: the library's tuned defaults assume more
             # scoped VMEM than this target exposes (16 MiB)
-            num_kv_pages_per_block=8,
-            num_queries_per_block=32,
+            num_kv_pages_per_block=int(
+                os.environ.get("VLLM_TPU_JAX_ATTN_KV_BLOCK", "8")
+            ),
+            num_queries_per_block=int(
+                os.environ.get("VLLM_TPU_JAX_ATTN_Q_BLOCK", "32")
+            ),
             vmem_limit_bytes=100 * 1024 * 1024,
         )
     if backend == "decode":
