@@ -84,12 +84,16 @@ def time_step(model, params, *, lm_head=True, attn=True,
             n = q8g.shape[2]
             return jnp.zeros((x.shape[0], n), jnp.bfloat16) + x.mean()
         ig.int8_group_matmul = zero_gemm
-    orig_op = pa.ragged_paged_attention_op
+    # layers/attention.py binds the op BY NAME at import time, so the
+    # patch must hit that module's global, not ops.paged_attention's
+    from vllm_rust_tpu.layers import attention as attn_mod
+
+    orig_op = attn_mod.ragged_paged_attention_op
     if not attn:
-        def identity_attn(q, kv_page, md_, **kw):
+        def identity_attn(q, kv_page, md_, *a, **kw):
             # keep the KV write out too: measures non-attention cost
             return q
-        pa.ragged_paged_attention_op = identity_attn
+        attn_mod.ragged_paged_attention_op = identity_attn
     try:
         def one(params, ids, kv):
             with pa.decode_mode():
@@ -124,7 +128,7 @@ def time_step(model, params, *, lm_head=True, attn=True,
             best = min(best, time.perf_counter() - t0)
         return best / ITERS * 1e3
     finally:
-        pa.ragged_paged_attention_op = orig_op
+        attn_mod.ragged_paged_attention_op = orig_op
         ig.int8_group_matmul = orig_gemm
 
 

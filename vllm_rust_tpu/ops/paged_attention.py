@@ -170,8 +170,12 @@ def ragged_paged_attention_op(
             # the per-(seq,page) decode grid is overhead-bound);
             # prefill keeps the in-house kernel (sequence-aligned q
             # blocks win there). Sinks/ALiBi route to the in-house
-            # kernel below either way.
-            backend = "jax" if _DECODE_ONLY.get() else "pallas"
+            # kernel below either way. VLLM_TPU_DECODE_BACKEND
+            # overrides the decode choice for A/B kernel experiments.
+            if _DECODE_ONLY.get():
+                backend = os.environ.get("VLLM_TPU_DECODE_BACKEND", "jax")
+            else:
+                backend = "pallas"
         else:
             backend = "ref"
     if backend == "jax" and (sinks is not None or alibi_slopes is not None):

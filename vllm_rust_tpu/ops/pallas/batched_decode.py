@@ -70,19 +70,37 @@ def _kernel(
     s_pad, h, d = q_ref.shape
     g = h // num_kv_heads
 
+    def page_live(chunk, j):
+        # page j of this chunk holds live tokens iff its first token
+        # position is below its owner's kv_len — all from SMEM scalars,
+        # so skipped pages never touch HBM at all
+        flat = chunk * pb + j
+        owner = flat // pages_per_seq
+        return (flat % pages_per_seq) * page_size < kv_lens_ref[owner]
+
     def start_dma(chunk, slot):
         for j in range(pb):
-            page = pages_ref[chunk * pb + j]
-            pltpu.make_async_copy(
-                kv_hbm_ref.at[page], kv_buf.at[slot, j], sems.at[slot, j]
-            ).start()
+            @pl.when(page_live(chunk, j))
+            def _go(j=j):
+                page = pages_ref[chunk * pb + j]
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[page], kv_buf.at[slot, j], sems.at[slot, j]
+                ).start()
 
     def wait_dma(chunk, slot):
         for j in range(pb):
-            page = pages_ref[chunk * pb + j]
-            pltpu.make_async_copy(
-                kv_hbm_ref.at[page], kv_buf.at[slot, j], sems.at[slot, j]
-            ).wait()
+            @pl.when(page_live(chunk, j))
+            def _go(j=j):
+                page = pages_ref[chunk * pb + j]
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[page], kv_buf.at[slot, j], sems.at[slot, j]
+                ).wait()
+
+    def chunk_live(chunk):
+        live = page_live(chunk, 0)
+        for j in range(1, pb):
+            live = jnp.logical_or(live, page_live(chunk, j))
+        return live
 
     slot = jax.lax.rem(c, 2)
 
@@ -99,6 +117,40 @@ def _kernel(
 
     wait_dma(c, slot)
 
+    # skipped pages hold stale/uninitialized VMEM — possibly NaN, which
+    # would poison the dots even at masked positions (0*NaN=NaN). Zero
+    # them so masked contributions are finite and the flash rescale
+    # (alpha=0 on a row's first live chunk) wipes any leading garbage.
+    for j in range(pb):
+        @pl.when(jnp.logical_not(page_live(c, j)))
+        def _zero(j=j):
+            kv_buf[slot, j] = jnp.zeros_like(kv_buf[slot, j])
+
+    @pl.when(chunk_live(c))
+    def _compute():
+        _chunk_compute(
+            q_ref, valid_ref, kv_buf, m_ref, l_ref, acc_ref, slot,
+            span=span, s_pad=s_pad, g=g, num_kv_heads=num_kv_heads, d=d,
+            sm_scale=sm_scale, soft_cap=soft_cap,
+            k_scale=k_scale, v_scale=v_scale,
+        )
+
+    @pl.when(c == n_chunks - 1)
+    def _finish():
+        for kh in range(num_kv_heads):
+            denom = jnp.maximum(l_ref[kh, :, :1], 1e-30)
+            o_ref[:, kh * g : (kh + 1) * g, :] = (
+                (acc_ref[kh] / denom).reshape(s_pad, g, -1).astype(
+                    o_ref.dtype
+                )
+            )
+
+
+def _chunk_compute(
+    q_ref, valid_ref, kv_buf, m_ref, l_ref, acc_ref, slot,
+    *, span, s_pad, g, num_kv_heads, d, sm_scale, soft_cap,
+    k_scale, v_scale,
+):
     valid = valid_ref[0] > 0  # [S*G, span]
 
     kv = kv_buf[slot].reshape(span, 2 * num_kv_heads, d)
@@ -139,16 +191,6 @@ def _kernel(
         l_ref[kh] = jnp.broadcast_to(l_new, l_ref.shape[1:])
         acc_ref[kh] = acc_ref[kh] * alpha + pv
 
-    @pl.when(c == n_chunks - 1)
-    def _finish():
-        for kh in range(num_kv_heads):
-            denom = jnp.maximum(l_ref[kh, :, :1], 1e-30)
-            o_ref[:, kh * g : (kh + 1) * g, :] = (
-                (acc_ref[kh] / denom).reshape(s_pad, g, -1).astype(
-                    o_ref.dtype
-                )
-            )
-
 
 @functools.partial(
     jax.jit,
@@ -173,9 +215,10 @@ def batched_decode_attention(
     num_kv = combined // 2
     p = page_indices.shape[1]
     g = h // num_kv
-    # chunk size: 8 pages (128 tokens at ps=16) amortizes DMA latency;
-    # shrink for tiny tables so pb divides S*P
-    pb = 8
+    # chunk size: 16 pages (256 tokens at ps=16) halves the per-chunk
+    # flash/bookkeeping overhead vs 8 (invalid pages cost nothing now
+    # that DMA skips them); shrink for tiny tables so pb divides S*P
+    pb = 16
     while (s * p) % pb:
         pb //= 2
     n_chunks = (s * p) // pb
@@ -228,7 +271,7 @@ def batched_decode_attention(
     valid = (seq_of == row_seq) & (kvpos < lens_of)
     if sliding_window is not None:
         valid = valid & (kvpos > (lens_of - 1 - sliding_window))
-    valid = valid.astype(jnp.int32)
+    valid = valid.astype(jnp.int8)  # 4x less mask traffic than i32
 
     return pl.pallas_call(
         kernel,
