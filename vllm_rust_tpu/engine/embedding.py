@@ -37,6 +37,7 @@ class EmbeddingRunner:
         kv_pages,
         input_ids,
         md: AttentionMetadata,
+        pool_skip,  # [S] i32 — leading tokens per seq excluded from mean
         *,
         pooling: str,
         normalize: bool,
@@ -51,10 +52,16 @@ class EmbeddingRunner:
         lengths = (md.cu_q_lens[1:] - md.cu_q_lens[:-1]).astype(jnp.float32)
 
         if pooling == "mean":
-            valid = token_idx < md.cu_q_lens[s]
+            # instruction-masked mean (GritLM, models/gritlm.py): tokens
+            # before cu_q_lens[i] + pool_skip[i] are excluded; plain mean
+            # is the pool_skip == 0 special case
+            valid = (token_idx < md.cu_q_lens[s]) & (
+                token_idx >= md.cu_q_lens[seq_id] + pool_skip[seq_id]
+            )
             h = jnp.where(valid[:, None], hidden.astype(jnp.float32), 0.0)
             sums = jnp.zeros((s, hidden.shape[1]), jnp.float32).at[seq_id].add(h)
-            emb = sums / jnp.maximum(lengths, 1.0)[:, None]
+            eff_len = lengths - pool_skip.astype(jnp.float32)
+            emb = sums / jnp.maximum(eff_len, 1.0)[:, None]
         elif pooling in ("last", "eos"):
             emb = hidden[md.logits_indices].astype(jnp.float32)
         elif pooling == "cls":
@@ -110,6 +117,13 @@ def engine_embed(
             i += 1
 
         t_pad = pick_bucket(total, cfg.token_buckets)
+        # GritLM-style dual-mode models exclude the instruction prefix
+        # from the pool (reference gritlm.rs:152-180 gritlm_mean_pool)
+        instr_fn = getattr(engine.model, "embed_instruction_len", None)
+        pool_skip = np.zeros(s_pad, np.int32)
+        if instr_fn is not None and pooling == "mean":
+            for j, toks in enumerate(group):
+                pool_skip[j] = min(instr_fn(toks), len(toks) - 1)
         input_ids = np.zeros(t_pad, np.int32)
         positions = np.zeros(t_pad, np.int32)
         slot_mapping = np.zeros(t_pad, np.int32)
@@ -152,6 +166,7 @@ def engine_embed(
                 engine.kv_pages,
                 jnp.asarray(input_ids),
                 md,
+                jnp.asarray(pool_skip),
                 pooling=pooling,
                 normalize=normalize,
             )

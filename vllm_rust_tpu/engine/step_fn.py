@@ -188,6 +188,30 @@ class StepFunction:
         fed = ring_tokens[jnp.clip(feedback_src, 0, 2 * k * s - 1)]
         input_ids = jnp.where(feedback_src >= 0, fed, input_ids)
 
+        # paged-attention pools are rank-4 arrays in the kv_pages list;
+        # SSM/hybrid layers contribute dicts of recurrent state (skip)
+        first_paged = next(
+            (p for p in kv_pages if hasattr(p, "ndim") and p.ndim == 4),
+            None,
+        )
+        if decode_only and first_paged is not None:
+            # Compact the live page list ONCE per dispatch for the
+            # decode-v2 kernel (XLA won't hoist this out of the window
+            # fori_loop below, and per-layer recompute defeats CSE in
+            # scanned callers). End-of-window lens make one compaction
+            # valid for every step: pages that fill mid-window are
+            # masked per step by the kernel's kvpos < len check.
+            from ..ops.pallas.decode_v2 import compact_decode_pages
+
+            md = dataclasses.replace(
+                md,
+                decode_prepared=compact_decode_pages(
+                    md.kv_lens + (n_steps - 1),
+                    md.page_indices,
+                    page_size=first_paged.shape[1],
+                ),
+            )
+
         fwd_flags = dict(
             use_penalties=use_penalties,
             use_top_filters=use_top_filters,

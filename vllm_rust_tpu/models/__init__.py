@@ -34,12 +34,17 @@ def _populate():
         Qwen3ForCausalLM,
     )
 
+    from .gritlm import GritLMForCausalLM
+
     _REGISTRY.update(
         {
             "LlamaForCausalLM": LlamaForCausalLM,
             "MistralForCausalLM": MistralForCausalLM,
             "Qwen2ForCausalLM": Qwen2ForCausalLM,
             "Qwen3ForCausalLM": Qwen3ForCausalLM,
+            # dual generative/embedding Llama (reference registry.rs:812,
+            # models/gritlm.rs)
+            "GritLM": GritLMForCausalLM,
         }
     )
     try:
@@ -346,6 +351,24 @@ def speculator_kind(arch: str) -> str | None:
     return SPECULATOR_ARCHS.get(arch)
 
 
+# Architectures the reference registers by name but ships no runnable
+# implementation for (registry.rs:1064 Terratorch entry is registry-only);
+# recognized here with an explicit error instead of the generic unknown-
+# architecture message.
+_KNOWN_UNSUPPORTED = {
+    "PrithviGeoSpatialMAE": (
+        "geospatial masked-autoencoder checkpoints (Terratorch) are "
+        "registry-recognized but have no serving implementation "
+        "(reference registry.rs:1064 — registry-only there as well)"
+    ),
+    "Terratorch": (
+        "Terratorch geospatial models are registry-recognized but have "
+        "no serving implementation (reference registry.rs:1064 — "
+        "registry-only there as well)"
+    ),
+}
+
+
 def _register_aliases():
     """Checkpoint families the reference registry itself groups under one
     implementation (registry.rs ArchitectureInfo arch_names lists)."""
@@ -393,6 +416,9 @@ def _register_aliases():
         "HF_ColBERT": "ColBERTModel",
         "H2OVLChatModel": "InternVLChatModel",
         "SkyworkR1VChatModel": "InternVLChatModel",
+        # NVLM-D is the InternVL architecture family (registry.rs:182)
+        "NVLM_D_Model": "InternVLChatModel",
+        "NVLM_D": "InternVLChatModel",
         "Llama4VLForConditionalGeneration": "Llama4ForConditionalGeneration",
         "MLlama4ForConditionalGeneration": "Llama4ForConditionalGeneration",
         "ModernBertForTokenClassification": "ModernBertModel",
@@ -439,6 +465,8 @@ def from_config(config: ModelConfig, **kwargs):
                 f"(kind={kind!r}); pass it as the draft/speculator model "
                 "of a target engine (spec_decode), not as a standalone LM"
             )
+        if arch in _KNOWN_UNSUPPORTED:
+            raise ValueError(f"{arch}: {_KNOWN_UNSUPPORTED[arch]}")
     raise ValueError(
         f"unsupported architecture(s) {config.architectures}; "
         f"supported: {supported_architectures()}"

@@ -51,6 +51,11 @@ class AttentionMetadata:
     # [S] engine sequence-slot ids (recurrent-state index for SSM layers;
     # reference ssm/SSMStateManager). None for paths without SSM support.
     slot_ids: jax.Array | None = None
+    # Optional compacted live-page arrays for the decode-v2 kernel
+    # (pages_flat, meta, contig, n_chunks — see ops/pallas/decode_v2.py
+    # compact_decode_pages). Attached once per decode dispatch by the
+    # engine step so per-layer attention calls skip the compaction.
+    decode_prepared: tuple | None = None
 
     @property
     def num_tokens(self) -> int:

@@ -35,6 +35,11 @@ _DECODE_ONLY: contextvars.ContextVar = contextvars.ContextVar(
     "decode_only", default=False
 )
 
+# Decode-backend override for A/B kernel experiments. Read ONCE at import
+# (process-start-only; ADVICE r3: reading it at trace time inside jit is
+# invisible to the cache key, so later changes silently did nothing).
+_DECODE_BACKEND = os.environ.get("VLLM_TPU_DECODE_BACKEND", "v2")
+
 
 @contextlib.contextmanager
 def decode_mode():
@@ -164,20 +169,60 @@ def ragged_paged_attention_op(
         backend = "pallas"  # batched kernel serves pure-decode steps only
     if backend == "auto":
         if on_tpu():
-            # decode: the stock ragged kernel's multi-page spans beat
-            # both in-house kernels at serving geometry (bench r3:
-            # jax 1688 > pallas 1589 > decode-kernel 1428 tok/s c=16 —
-            # the per-(seq,page) decode grid is overhead-bound);
-            # prefill keeps the in-house kernel (sequence-aligned q
-            # blocks win there). Sinks/ALiBi route to the in-house
-            # kernel below either way. VLLM_TPU_DECODE_BACKEND
-            # overrides the decode choice for A/B kernel experiments.
-            if _DECODE_ONLY.get():
-                backend = os.environ.get("VLLM_TPU_DECODE_BACKEND", "jax")
-            else:
-                backend = "pallas"
+            # decode: the in-house v2 kernel (r4) — single-program
+            # dynamic chunk loop + lane-aligned head slices + coalesced
+            # span DMA — measures 19-24 us/layer vs the stock ragged
+            # kernel's 37-42 at serving geometry (benchmarks/decode_lab
+            # r4); prefill keeps the in-house ragged kernel
+            # (sequence-aligned q blocks win there). Sinks/ALiBi route
+            # to the in-house ragged kernel below either way.
+            backend = _DECODE_BACKEND if _DECODE_ONLY.get() else "pallas"
         else:
             backend = "ref"
+    if backend == "v2":
+        from .pallas.decode_v2 import supports as v2_supports
+
+        s = md.kv_lens.shape[0]
+        if (
+            sinks is not None
+            or alibi_slopes is not None
+            or not _DECODE_ONLY.get()
+            or not v2_supports(
+                q.shape[-1], kv_pages.shape[1], kv_pages.dtype,
+                kv_pages.shape[2] // 2,
+            )
+        ):
+            backend = "jax" if on_tpu() else "ref"
+        else:
+            from .pallas.decode_v2 import decode_attention_v2
+
+            t = q.shape[0]
+            # decode-only batches map token row i -> sequence row i;
+            # align the token bucket to the seq bucket
+            q_s = (
+                q[:s]
+                if t >= s
+                else jnp.concatenate(
+                    [q, jnp.zeros((s - t, *q.shape[1:]), q.dtype)]
+                )
+            )
+            out = decode_attention_v2(
+                q_s,
+                kv_pages,
+                md.kv_lens,
+                md.page_indices,
+                md.decode_prepared,
+                sm_scale=sm_scale,
+                sliding_window=sliding_window,
+                soft_cap=soft_cap,
+                k_scale=k_scale,
+                v_scale=v_scale,
+            )
+            if t > s:
+                out = jnp.concatenate(
+                    [out, jnp.zeros((t - s, *out.shape[1:]), out.dtype)]
+                )
+            return out[:t]
     if backend == "jax" and (sinks is not None or alibi_slopes is not None):
         # the stock ragged kernel supports neither; the in-house kernel
         # handles both (incl. sqrt-ALiBi)
