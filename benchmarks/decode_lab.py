@@ -11,7 +11,7 @@ width 128 (max_model_len 2048) — the table is ~94% dead, which is what
 the engine actually hands the kernel.
 
 Usage: python benchmarks/decode_lab.py [variant ...]
-Variants: stock batched v2 v2pb16 ref
+Variants: stock v2 v2p v2pb16 ref (r4: batched/decode kernels deleted)
 Page patterns: interleaved (decode-realistic), runs4 (prefill runs of 4),
 contig (fully contiguous).
 """
@@ -102,12 +102,6 @@ def variant_fn(name, host_lens=None, host_tbl=None):
                 num_queries_per_block=32, vmem_limit_bytes=100 * 1024 * 1024,
             )
         return fn
-    if name == "batched":
-        from vllm_rust_tpu.ops.pallas.batched_decode import batched_decode_attention
-
-        return lambda q, kv, lens, tbl: batched_decode_attention(
-            q, kv, lens, tbl, sm_scale=SCALE
-        )
     if name.startswith("v2"):
         from vllm_rust_tpu.ops.pallas.decode_v2 import (
             decode_attention_v2,
@@ -188,7 +182,7 @@ def time_variant(name, pattern, iters=(100, 1100)):
 
 
 def main():
-    names = sys.argv[1:] or ["stock", "batched", "v2"]
+    names = sys.argv[1:] or ["stock", "v2p"]
     patterns = os.environ.get("LAB_PATTERNS", "interleaved,runs4,contig").split(",")
     for name in names:
         if name != "stock" and "!" not in name:

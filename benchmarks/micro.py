@@ -302,7 +302,7 @@ def bench_decode_attention():
     def attn(q, kv):
         with decode_mode():
             return ragged_paged_attention_op(
-                q, kv, md, sm_scale=d ** -0.5, backend="decode"
+                q, kv, md, sm_scale=d ** -0.5, backend="auto"
             )
 
     dt = timeit_chained(lambda q: attn(q, kv), q)

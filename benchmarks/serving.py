@@ -1,0 +1,218 @@
+"""Serving-realism benchmark: Poisson arrivals, EOS stops, percentiles.
+
+The TPU-native twin of the reference's benchmarks/bench_serving.py
+(TTFT/ITL/throughput P50/95/99 under request streams) — VERDICT r3 #2.
+Unlike bench.py (closed-batch decode) and detail.py (fixed stagger),
+this drives the engine with a seeded Poisson arrival process, mixed
+prompt/output lengths, and an EOS-terminating mode that measures stop
+overshoot (tokens decoded past a request's stop condition — invisible
+to every ignore_eos bench).
+
+EOS mode uses learned stops: greedy decode is deterministic, so a probe
+round records each request's trajectory and the measured round sets
+``stop_token_ids=[trajectory[stop_at]]`` — the request then stops at a
+real, host-detected stop token mid-stream, exactly like EOS traffic.
+
+Run:  python benchmarks/serving.py                  (writes stdout table)
+      SERVING_MODES=fi2,fi8 SERVING_N=32 python ... (subset)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import bench as bench_mod
+
+N_REQ = int(os.environ.get("SERVING_N", "48"))
+RATE = float(os.environ.get("SERVING_RATE", "8.0"))  # req/s
+GEN_LEN = 48
+MAX_SEQS = 16
+
+
+def build_engine(fetch_interval: int, cfg, quant, ring_buffers=0):
+    from vllm_rust_tpu.config import CacheConfig, EngineConfig, SchedulerConfig
+    from vllm_rust_tpu.engine import LLMEngine
+    from vllm_rust_tpu.models import from_config
+
+    key = id(cfg)
+    cache = getattr(build_engine, "_cache", {})
+    build_engine._cache = cache
+    if key not in cache:
+        model = from_config(cfg, dtype=jnp.bfloat16)
+        params = model.init_params(jax.random.PRNGKey(0))
+        if quant == "awq":
+            params = bench_mod.quantize_params_awq(model, params)
+        cache[key] = (model, params)
+    model, params = cache[key]
+    ec = EngineConfig(
+        model=cfg,
+        cache=CacheConfig(num_pages=2048, page_size=16),
+        scheduler=SchedulerConfig(max_num_seqs=MAX_SEQS, max_tokens_per_step=2048),
+        max_model_len=2048,
+        fetch_interval=fetch_interval,
+        decode_window=int(os.environ.get("BENCH_DECODE_WINDOW", "8")),
+        ring_buffers=ring_buffers,
+    )
+    return LLMEngine(model, params, ec)
+
+
+def gen_workload(seed=0):
+    """Deterministic Poisson stream: (arrival_s, prompt, max_tokens)."""
+    rng = np.random.default_rng(seed)
+    arrivals = np.cumsum(rng.exponential(1.0 / RATE, N_REQ))
+    reqs = []
+    for i in range(N_REQ):
+        plen = int(rng.choice([32, 64, 128, 192]))
+        prompt = [(11 * i + j) % 1000 + 1 for j in range(plen)]
+        reqs.append((float(arrivals[i]), prompt))
+    return reqs
+
+
+def drive(eng, reqs, sp_of, label):
+    """Feed the arrival stream in wall-clock time; collect per-token
+    delivery timestamps."""
+    from vllm_rust_tpu.request import SamplingParams  # noqa: F401
+
+    t_arrive, t_tokens, finished = {}, {}, {}
+    t0 = time.perf_counter()
+    fed = 0
+    while fed < len(reqs) or eng.has_unfinished:
+        now = time.perf_counter() - t0
+        while fed < len(reqs) and reqs[fed][0] <= now:
+            rid = f"{label}-{fed}"
+            t_arrive[rid] = time.perf_counter()
+            eng.add_request(rid, reqs[fed][1], sp_of(fed))
+            fed += 1
+        for out in eng.step():
+            now2 = time.perf_counter()
+            for _ in out.new_token_ids:
+                t_tokens.setdefault(out.request_id, []).append(now2)
+            if out.finished:
+                finished[out.request_id] = now2
+    makespan = time.perf_counter() - t0
+    return t_arrive, t_tokens, finished, makespan
+
+
+def pct(xs, p):
+    if not xs:
+        return float("nan")
+    return float(np.percentile(np.asarray(xs), p))
+
+
+def summarize(t_arrive, t_tokens, makespan, useful_limit=None):
+    ttfts, itls = [], []
+    n_tok = 0
+    n_useful = 0
+    for rid, times in t_tokens.items():
+        if rid not in t_arrive:
+            continue
+        ttfts.append(times[0] - t_arrive[rid])
+        itls.extend(b - a for a, b in zip(times, times[1:]))
+        n_tok += len(times)
+        if useful_limit is not None:
+            n_useful += min(len(times), useful_limit[rid])
+        else:
+            n_useful += len(times)
+    return {
+        "throughput_tok_s": n_tok / makespan,
+        "goodput_tok_s": n_useful / makespan,
+        "ttft_p50_ms": pct(ttfts, 50) * 1e3,
+        "ttft_p95_ms": pct(ttfts, 95) * 1e3,
+        "ttft_p99_ms": pct(ttfts, 99) * 1e3,
+        "itl_p50_ms": pct(itls, 50) * 1e3,
+        "itl_p95_ms": pct(itls, 95) * 1e3,
+        "itl_p99_ms": pct(itls, 99) * 1e3,
+    }
+
+
+def run_mode(cfg, quant, *, fi, ring_buffers=0, eos=False, label="m"):
+    from vllm_rust_tpu.request import SamplingParams
+
+    eng = build_engine(fi, cfg, quant, ring_buffers)
+    reqs = gen_workload()
+
+    # warmup: compile the shapes this stream will hit
+    sp = SamplingParams(max_tokens=GEN_LEN, temperature=0.0, ignore_eos=True)
+    for i in range(MAX_SEQS):
+        eng.add_request(f"w-{i}", reqs[i % len(reqs)][1], sp)
+    while eng.has_unfinished:
+        eng.step()
+
+    stop_tok = {}
+    if eos:
+        # probe round: learn each request's greedy trajectory (batch-mix
+        # differences can perturb late tokens; stop on an EARLY token and
+        # verify at measure time)
+        traj = {}
+        for i, (_, prompt) in enumerate(reqs):
+            eng.add_request(f"p-{i}", prompt, sp)
+        while eng.has_unfinished:
+            for out in eng.step():
+                traj.setdefault(out.request_id, []).extend(out.new_token_ids)
+        rng = np.random.default_rng(1)
+        for i in range(len(reqs)):
+            stop_at = int(rng.integers(8, GEN_LEN - 8))
+            stop_tok[i] = (stop_at, traj[f"p-{i}"][stop_at])
+
+    def sp_of(i):
+        if eos:
+            stop_at, tok = stop_tok[i]
+            return SamplingParams(
+                max_tokens=GEN_LEN, temperature=0.0,
+                stop_token_ids=[int(tok)],
+            )
+        return SamplingParams(max_tokens=GEN_LEN, temperature=0.0, ignore_eos=True)
+
+    t_arrive, t_tokens, finished, makespan = drive(eng, reqs, sp_of, label)
+    useful = None
+    if eos:
+        useful = {f"{label}-{i}": stop_tok[i][0] + 1 for i in range(len(reqs))}
+    stats = summarize(t_arrive, t_tokens, makespan, useful)
+    stats["wasted_steps_per_req"] = (
+        (eng.stats["generated_tokens"] - sum(useful.values())) / len(reqs)
+        if eos else 0.0
+    )
+    del eng
+    import gc
+    gc.collect()
+    return stats
+
+
+def main():
+    size = os.environ.get("BENCH_MODEL", "qwen3-4b-awq")
+    quant = "awq" if size.endswith("-awq") else None
+    base = size.removesuffix("-awq")
+    cfg = (
+        bench_mod.qwen3_4b_config()
+        if base == "qwen3-4b"
+        else bench_mod.qwen3_small_config()
+    )
+    modes = os.environ.get("SERVING_MODES", "fi2,fi8,fi8eos,fi32").split(",")
+    results = {}
+    for m in modes:
+        eos = m.endswith("eos")
+        fi = int(m.removesuffix("eos")[2:])
+        print(f"[serving] mode {m} ...", file=sys.stderr, flush=True)
+        results[m] = run_mode(cfg, quant, fi=fi, eos=eos, label=m)
+        print(f"[serving] {m}: {json.dumps(results[m])}", file=sys.stderr,
+              flush=True)
+    print(json.dumps({"workload": {"n": N_REQ, "rate_rps": RATE,
+                                   "gen_len": GEN_LEN, "model": size},
+                      "modes": results}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

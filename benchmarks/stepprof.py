@@ -52,15 +52,25 @@ def build(quant: str):
 
 def make_md():
     from vllm_rust_tpu.ops.attn_metadata import AttentionMetadata
+    from vllm_rust_tpu.ops.pallas.decode_v2 import prepare_decode_v2
 
+    kv_lens = jnp.full((S,), KLEN, jnp.int32)
+    pages = jnp.arange(S * PPS, dtype=jnp.int32).reshape(S, PPS)
+    # host-side compaction, as the engine step attaches it (step_fn.py)
+    prepared = tuple(
+        jnp.asarray(a)
+        for a in prepare_decode_v2(np.asarray(kv_lens), np.asarray(pages),
+                                   page_size=PS)
+    )
     return AttentionMetadata(
         slot_mapping=jnp.arange(S, dtype=jnp.int32) * PS,
-        kv_lens=jnp.full((S,), KLEN, jnp.int32),
-        page_indices=jnp.arange(S * PPS, dtype=jnp.int32).reshape(S, PPS),
+        kv_lens=kv_lens,
+        page_indices=pages,
         cu_q_lens=jnp.arange(S + 1, dtype=jnp.int32),
         num_seqs=jnp.array([S], jnp.int32),
         positions=jnp.full((S,), KLEN - 1, jnp.int32),
         logits_indices=jnp.arange(S, dtype=jnp.int32),
+        decode_prepared=prepared,
     )
 
 
@@ -84,16 +94,22 @@ def time_step(model, params, *, lm_head=True, attn=True,
             n = q8g.shape[2]
             return jnp.zeros((x.shape[0], n), jnp.bfloat16) + x.mean()
         ig.int8_group_matmul = zero_gemm
-    # layers/attention.py binds the op BY NAME at import time, so the
-    # patch must hit that module's global, not ops.paged_attention's
-    from vllm_rust_tpu.layers import attention as attn_mod
-
-    orig_op = attn_mod.ragged_paged_attention_op
+    # modules bind the op BY NAME at import time (layers/attention.py,
+    # models/deepseek.py, phi.py, gemma4.py, ...), so the patch must hit
+    # EVERY loaded module's global, not just ops.paged_attention's
+    # (advisor r3: patching only layers/attention silently measured full
+    # attention for models that from-import the op)
+    patched: list = []
     if not attn:
         def identity_attn(q, kv_page, md_, *a, **kw):
             # keep the KV write out too: measures non-attention cost
             return q
-        attn_mod.ragged_paged_attention_op = identity_attn
+        for name, mod in list(sys.modules.items()):
+            if name.startswith("vllm_rust_tpu") and hasattr(
+                mod, "ragged_paged_attention_op"
+            ):
+                patched.append((mod, mod.ragged_paged_attention_op))
+                mod.ragged_paged_attention_op = identity_attn
     try:
         def one(params, ids, kv):
             with pa.decode_mode():
@@ -128,7 +144,8 @@ def time_step(model, params, *, lm_head=True, attn=True,
             best = min(best, time.perf_counter() - t0)
         return best / ITERS * 1e3
     finally:
-        attn_mod.ragged_paged_attention_op = orig_op
+        for mod, orig in patched:
+            mod.ragged_paged_attention_op = orig
         ig.int8_group_matmul = orig_gemm
 
 

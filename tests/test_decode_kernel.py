@@ -1,4 +1,13 @@
-"""In-house decode paged-attention kernel vs the jittable reference."""
+"""Decode-shaped batches through the in-house ragged kernel vs the
+jittable reference.
+
+(r4: the dedicated per-(seq,page) decode kernel and the r3 batched-seq
+kernel were deleted — both measured slower than the stock kernel, and
+decode_v2 (tests/test_decode_v2.py) replaced them as the production
+path. The in-house ragged kernel remains the fallback for geometries /
+features v2 doesn't serve, so decode-shaped batches are pinned against
+the reference HERE through backend="pallas".)
+"""
 
 import jax
 import jax.numpy as jnp
@@ -7,10 +16,15 @@ import pytest
 
 from vllm_rust_tpu.ops.attn_metadata import AttentionMetadata
 from vllm_rust_tpu.ops.paged_attention import ragged_paged_attention_op
-from vllm_rust_tpu.ops.pallas.decode_attention import decode_paged_attention
 
 rng = np.random.default_rng(0)
 PAGE = 16
+
+
+def pallas_decode(q, kv_pages, md, sinks=None, alibi=None, **kw):
+    return ragged_paged_attention_op(
+        q, kv_pages, md, sinks, alibi, backend="pallas", **kw
+    )
 
 
 def decode_md(kv_lens, pages_rows, s_pad, p_width):
@@ -52,8 +66,8 @@ def test_decode_kernel_matches_ref(h, k, d, window, cap):
     kv_pages = jnp.asarray(rng.normal(size=(10, PAGE, 2 * k, d)), jnp.float32)
     md = decode_md(kv_lens, pages_rows, s_pad, p_width)
 
-    out_kernel = decode_paged_attention(
-        q, kv_pages, md.kv_lens, md.page_indices,
+    out_kernel = pallas_decode(
+        q, kv_pages, md,
         sm_scale=0.17, sliding_window=window, soft_cap=cap,
     )
     out_ref = ragged_paged_attention_op(
@@ -76,14 +90,11 @@ def test_decode_kernel_quantized_kv():
         np.clip(np.round(kv_f / scale), -128, 127), jnp.int8
     )
     md = decode_md(kv_lens, [[1, 2]], s_pad, p_width)
-    out_q = decode_paged_attention(
-        q, kv_int8, md.kv_lens, md.page_indices,
-        sm_scale=0.2, k_scale=scale, v_scale=scale,
+    out_q = pallas_decode(
+        q, kv_int8, md, sm_scale=0.2, k_scale=scale, v_scale=scale,
     )
     kv_deq = jnp.asarray(np.asarray(kv_int8, np.float32) * scale, jnp.float32)
-    out_f = decode_paged_attention(
-        q, kv_deq, md.kv_lens, md.page_indices, sm_scale=0.2
-    )
+    out_f = pallas_decode(q, kv_deq, md, sm_scale=0.2)
     np.testing.assert_allclose(
         np.asarray(out_q[:1]), np.asarray(out_f[:1]), rtol=1e-5, atol=1e-5
     )
@@ -101,9 +112,8 @@ def test_decode_kernel_alibi_matches_ref():
     md = decode_md(kv_lens, pages_rows, s_pad, p_width)
     slopes = jnp.asarray(alibi_slopes(h), jnp.float32)
 
-    out_kernel = decode_paged_attention(
-        q, kv_pages, md.kv_lens, md.page_indices, None, slopes,
-        sm_scale=0.17,
+    out_kernel = pallas_decode(
+        q, kv_pages, md, None, slopes, sm_scale=0.17,
     )
     out_ref = ragged_paged_attention_op(
         q, kv_pages, md, None, slopes, sm_scale=0.17, backend="ref"
@@ -152,72 +162,3 @@ def test_alibi_ref_matches_dense():
         jnp.asarray(slopes), sm_scale=0.25, backend="ref",
     )
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
-
-
-# ---------------------------------------------------------------------------
-# Batched-seq decode kernel (ops/pallas/batched_decode.py, r3)
-# ---------------------------------------------------------------------------
-
-
-def _batched_case(s=4, hq=8, hkv=4, d=128, ps=16, p=8, lens=(37, 5, 120, 64),
-                  window=None, cap=None, kv_dtype=None, scales=None):
-    import numpy as np
-
-    from vllm_rust_tpu.ops.attn_metadata import AttentionMetadata
-    from vllm_rust_tpu.ops.paged_attention import ragged_paged_attention_op
-    from vllm_rust_tpu.ops.pallas.batched_decode import (
-        batched_decode_attention,
-    )
-
-    rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.normal(size=(s, hq, d)), jnp.float32)
-    pool_dtype = jnp.float32 if kv_dtype is None else kv_dtype
-    kv = rng.normal(size=(64, ps, 2 * hkv, d))
-    if kv_dtype == jnp.int8:
-        kv = np.clip(np.rint(kv * 20), -127, 127)
-    kv = jnp.asarray(kv, pool_dtype)
-    kv_lens = np.zeros(s, np.int32)
-    kv_lens[: len(lens)] = lens
-    pages = np.zeros((s, p), np.int32)
-    used = 1
-    for i, ln in enumerate(lens):
-        n = -(-ln // ps)
-        pages[i, :n] = np.arange(used, used + n)
-        used += n
-    md = AttentionMetadata(
-        slot_mapping=jnp.zeros(s, jnp.int32),
-        kv_lens=jnp.asarray(kv_lens),
-        page_indices=jnp.asarray(pages),
-        cu_q_lens=jnp.asarray(np.minimum(np.arange(s + 1), len(lens)),
-                              jnp.int32),
-        num_seqs=jnp.asarray([len(lens)], jnp.int32),
-        positions=jnp.asarray(kv_lens - 1),
-        logits_indices=jnp.arange(s, dtype=jnp.int32),
-    )
-    kw = dict(sm_scale=d ** -0.5, sliding_window=window, soft_cap=cap)
-    if scales:
-        kw.update(k_scale=scales[0], v_scale=scales[1])
-    got = batched_decode_attention(
-        q, kv, md.kv_lens, md.page_indices, **kw
-    )
-    want = ragged_paged_attention_op(q, kv, md, backend="ref", **kw)
-    np.testing.assert_allclose(
-        np.asarray(got)[: len(lens)], np.asarray(want)[: len(lens)],
-        atol=2e-5, rtol=2e-5,
-    )
-
-
-def test_batched_decode_matches_ref():
-    _batched_case()
-
-
-def test_batched_decode_window_and_softcap():
-    _batched_case(window=48, cap=30.0)
-
-
-def test_batched_decode_int8_kv():
-    _batched_case(kv_dtype=jnp.int8, scales=(0.05, 0.05))
-
-
-def test_batched_decode_single_seq_small_table():
-    _batched_case(s=1, lens=(9,), p=2)

@@ -70,9 +70,9 @@ def test_sink_attention_ref_matches_manual():
 
 
 def test_decode_kernel_sinks_match_ref():
-    from vllm_rust_tpu.ops.paged_attention import _ref_ragged_paged_attention
-    from vllm_rust_tpu.ops.pallas.decode_attention import (
-        decode_paged_attention,
+    from vllm_rust_tpu.ops.paged_attention import (
+        _ref_ragged_paged_attention,
+        ragged_paged_attention_op,
     )
 
     s_, ps, h, kvh, d_ = 3, 16, 8, 2, 64
@@ -87,13 +87,8 @@ def test_decode_kernel_sinks_match_ref():
     sinks = jnp.asarray(rng.normal(size=h) * 2.0, jnp.float32)
     sm = d_**-0.5
 
-    got = decode_paged_attention(
-        q,
-        kv_pages,
-        md.kv_lens,
-        md.page_indices,
-        sinks,
-        sm_scale=sm,
+    got = ragged_paged_attention_op(
+        q, kv_pages, md, sinks, sm_scale=sm, backend="pallas",
     )
     want = _ref_ragged_paged_attention(
         q, kv_pages, md, sm_scale=sm, sliding_window=None, soft_cap=None,

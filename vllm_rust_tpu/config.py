@@ -220,6 +220,10 @@ class CacheConfig:
     # valid for the cache lifetime — contract #10). stored = value/scale.
     k_scale: float = 1.0
     v_scale: float = 1.0
+    # first-write calibration (r4): when serving a quantized KV dtype with
+    # no checkpoint scales (k/v_scale left at 1.0), measure per-batch K/V
+    # amax on the first prefill and pin amax/qmax as the scales.
+    kv_calibrate: bool = True
 
     @property
     def num_usable_pages(self) -> int:
@@ -329,6 +333,13 @@ class EngineConfig:
     # per-step dispatch. 1 = off. Reference: multi_step_count decode
     # (engine/strategy.rs hot loop).
     decode_window: int = 8
+    # token-ring buffer pool size (r4): the host may lag the device by up
+    # to ring_buffers-1 UNFETCHED cycles, so result transfers overlap
+    # dispatch instead of stalling it (the r3 triple-buffer blocked on
+    # the ~25 ms tunnel round trip every cycle — at fetch_interval=2
+    # that collapsed mixed/latency serving to 82 tok/s). 0 = auto:
+    # enough depth to cover one round trip at short fetch intervals.
+    ring_buffers: int = 0
     speculative: "SpeculativeConfig | None" = None
     # SPMD parallelism (reference distributed/process_group.rs ParallelConfig
     # — here just mesh axis sizes; XLA owns the collectives)

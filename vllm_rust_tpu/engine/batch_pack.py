@@ -173,7 +173,7 @@ def unpack_device(meta, layout: PackLayout, p_eff: int | None = None):
         frequency_penalty=floats[5 * s : 6 * s],
         seed=meta[sb + 6 * s : sb + 7 * s].astype(jnp.uint32),
         position=meta[sb + 7 * s : sb + 8 * s],
-        ban_eos=meta[sb + 4 * s : sb + 5 * s] > 0,
+        ban_eos=meta[sb + 4 * s : sb + 5 * s] == 2,
         typical_p=floats[6 * s : 7 * s],
         bias_ids=meta[bb : bb + s * BIAS_SLOTS].reshape(s, BIAS_SLOTS),
         bias_vals=floats[7 * s : (7 + BIAS_SLOTS) * s].reshape(
@@ -186,7 +186,11 @@ def unpack_device(meta, layout: PackLayout, p_eff: int | None = None):
     lp_targets = meta[tb + 5 * t : tb + 6 * t]
     slot_ids = meta[sb + 2 * s : sb + 3 * s]
     sample_mask = meta[sb + 3 * s : sb + 4 * s] > 0
+    # tri-state ban_eos row: 1 = seq stops at EOS (device watches for it
+    # in multi-step windows — on-device stop, reference
+    # engine/helpers.rs:2746-2795 per-step stop checks)
+    watch_eos = meta[sb + 4 * s : sb + 5 * s] == 1
     return (
         ring_slot, input_ids, feedback_src, md, si, slot_ids, sample_mask,
-        lora_idx, lp_targets,
+        lora_idx, lp_targets, watch_eos,
     )

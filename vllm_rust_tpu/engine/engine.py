@@ -154,10 +154,27 @@ class LLMEngine:
                 )
                 config.cache.num_pages = num_pages
                 self.degraded_kv = True
+        self._kv_calib_pending = False
         if config.cache.kv_dtype != "auto":
             # quantized KV: model passes static scales into the attention
             # write/read paths (pinned for the cache lifetime, contract #10)
             model.kv_scales = (config.cache.k_scale, config.cache.v_scale)
+            if (
+                config.cache.k_scale == 1.0
+                and config.cache.v_scale == 1.0
+                and config.cache.kv_calibrate
+            ):
+                # no checkpoint scales (kv_cache_scales.json): calibrate
+                # amax -> scale on the FIRST prefill batch, then pin
+                # (reference kv_cache/quantization.rs:80-100). int8 at
+                # scale 1.0 silently clips anything outside +-127.
+                self._kv_calib_pending = True
+                logger.warning(
+                    "kv_dtype=%s with no checkpoint scales: will calibrate "
+                    "K/V scales from the first prefill batch (one-time "
+                    "recompile of touched step variants)",
+                    config.cache.kv_dtype,
+                )
         self.scheduler = Scheduler(config.scheduler, self.kv, config.max_model_len)
         if config.scheduler.preemption_mode == "swap":
             from ..kv_cache.offload import CpuOffloadManager
@@ -209,13 +226,37 @@ class LLMEngine:
             self.fetch_interval,
             (2 + 2 * self.top_logprobs_k) * self.num_slots,
         )
-        self._ring_write = _place(jnp.zeros(ring_shape, jnp.int32))
-        self._ring_prev = _place(jnp.zeros(ring_shape, jnp.int32))
-        self._ring_spare = _place(jnp.zeros(ring_shape, jnp.int32))
+        # Ring POOL (r4): N rotating buffers. The host may lag the device
+        # by up to N-1 unfetched cycles, so the D2H round trip (~25 ms
+        # over the tunnel) overlaps dispatch instead of stalling it.
+        # Token feedback only ever references the current + previous
+        # cycle's rings (continuously-scheduled seqs), so extra depth is
+        # free; stale references from preempted/throttled seqs resolve
+        # through the host-side ring cache (_resolve_stale_pending).
+        self._num_rings = config.ring_buffers or (
+            6 if self.fetch_interval <= 8 else 3
+        )
+        self._num_rings = max(3, self._num_rings)
+        self._rings = [
+            _place(jnp.zeros(ring_shape, jnp.int32))
+            for _ in range(self._num_rings)
+        ]
+        self._ring_idx = 0
+        # (cycle_id, ring array, fetch-start monotonic time), oldest first
+        self._pending_fetches: deque[tuple[int, jax.Array, float]] = deque()
+        self._ring_cache: dict[int, np.ndarray] = {}  # cycle -> host copy
+        # adaptive estimate of the D2H round trip: process a cycle's
+        # results once its transfer has had this long to land, so
+        # np.asarray doesn't block the dispatch loop
+        self._rtt_est = 0.03
         self._place = _place
         self._cycle_id = 0
         self._cycle_pos = 0
         self._in_flight: deque[StepRecord] = deque()
+        self._pending_outputs: list[RequestOutput] = []
+        # on-device stop summaries awaiting an async poll (window steps)
+        self._stop_flags: deque = deque()
+        self._rotate_asap = False
         self._host_batches: dict[int, HostBatch] = {}
 
         self._step_count = 0
@@ -312,16 +353,24 @@ class LLMEngine:
 
     # -- the step ------------------------------------------------------------
 
+    @property
+    def _ring_write(self):
+        return self._rings[self._ring_idx]
+
+    @_ring_write.setter
+    def _ring_write(self, value):
+        self._rings[self._ring_idx] = value
+
+    @property
+    def _ring_prev(self):
+        return self._rings[(self._ring_idx - 1) % self._num_rings]
+
     def step(self) -> list[RequestOutput]:
         outputs: list[RequestOutput] = []
-        # process last cycle's results once the new cycle is under way —
-        # the fetch then waits only on long-finished work
-        if (
-            self._cycle_pos >= 1
-            and self._in_flight
-            and self._in_flight[0].cycle_id < self._cycle_id
-        ):
-            outputs.extend(self._process_old_cycle())
+        # process any cycle whose D2H transfer has had time to land —
+        # non-blocking in steady state (RTT-paced), never stalls dispatch
+        outputs.extend(self._process_arrived())
+        self._poll_stop_flags()
 
         decision = self.scheduler.schedule()
         self.stats["num_preemptions"] += len(decision.preempted)
@@ -333,8 +382,11 @@ class LLMEngine:
             # a full fetch_interval, while unconstrained seqs keep the
             # pipeline busy (wave scheduling, VERDICT r2 #5)
             rotate_at = 2 if decision.blocked else self.fetch_interval
+            if self._rotate_asap:
+                rotate_at = 1  # a seq stopped mid-window: fetch early
             if self._cycle_pos >= rotate_at:
                 self._rotate_rings()
+                self._rotate_asap = False
             for s in decision.scheduled:
                 if s.seq.slot < 0:
                     self._assign_slot(s.seq)
@@ -348,25 +400,77 @@ class LLMEngine:
         return outputs
 
     def _rotate_rings(self) -> None:
-        if self._in_flight and self._in_flight[0].cycle_id < self._cycle_id:
-            # straggler old-cycle records (only possible for very short
-            # cycles): resolve before their ring becomes the spare
-            self._process_old_cycle()
-        self._ring_write, self._ring_prev, self._ring_spare = (
-            self._ring_spare,
-            self._ring_write,
-            self._ring_prev,
-        )
-        self._cycle_id += 1
-        self._cycle_pos = 0
+        ring = self._rings[self._ring_idx]
         # Start the D2H of the just-finished ring NOW: the transfer's
-        # round trip (~25 ms over the axon tunnel) overlaps the next
-        # cycle's dispatches instead of stalling the host when
-        # _process_old_cycle asks for the data.
+        # round trip (~25 ms over the axon tunnel) overlaps subsequent
+        # dispatches; _process_arrived consumes it once it has landed.
         try:
-            self._ring_prev.copy_to_host_async()
+            ring.copy_to_host_async()
         except AttributeError:  # older jax / non-jax arrays in tests
             pass
+        self._pending_fetches.append((self._cycle_id, ring, time.monotonic()))
+        self._cycle_id += 1
+        self._cycle_pos = 0
+        self._ring_idx = (self._ring_idx + 1) % self._num_rings
+        # the buffer now becoming the write target holds the results of
+        # cycle (current - (num_rings-1)); they must be consumed before
+        # the device overwrites (and jit donation invalidates) it
+        reuse_cycle = self._cycle_id - (self._num_rings - 1)
+        while self._pending_fetches and self._pending_fetches[0][0] <= reuse_cycle:
+            self._pending_outputs.extend(self._consume_fetch())
+
+    def _poll_stop_flags(self) -> None:
+        """Non-blocking check of per-window on-device stop summaries: a
+        positive count means some watched seq hit EOS mid-window, so the
+        ring should rotate/fetch early instead of decoding out the cycle
+        (stop-overshoot fix; reference checks stops per step in-loop,
+        engine/helpers.rs:2746-2795 — here the check is a device scalar
+        polled without stalling dispatch)."""
+        while self._stop_flags:
+            arr = self._stop_flags[0]
+            try:
+                if not arr.is_ready():
+                    break
+            except AttributeError:
+                pass  # non-jax arrays in tests: treat as ready
+            self._stop_flags.popleft()
+            if int(np.asarray(arr)[0]) > 0:
+                self._rotate_asap = True
+
+    def _process_arrived(self, force: bool = False) -> list[RequestOutput]:
+        """Consume pending ring fetches whose transfer should have landed
+        (fetch-start older than the adaptive RTT estimate), plus anything
+        queued by a forced consume."""
+        outputs: list[RequestOutput] = []
+        if self._pending_outputs:
+            outputs.extend(self._pending_outputs)
+            self._pending_outputs.clear()
+        now = time.monotonic()
+        while self._pending_fetches:
+            _, _, t0 = self._pending_fetches[0]
+            if not force and (now - t0) < self._rtt_est:
+                break
+            outputs.extend(self._consume_fetch())
+        return outputs
+
+    def _consume_fetch(self) -> list[RequestOutput]:
+        """Blocking-fetch the oldest pending ring and process its records;
+        adapts the RTT estimate from the observed block time."""
+        cyc, ring, _ = self._pending_fetches.popleft()
+        tb = time.monotonic()
+        ring_h = np.asarray(ring)
+        blocked = time.monotonic() - tb
+        if blocked > 0.002:
+            self._rtt_est = min(0.25, self._rtt_est * 1.3 + 0.002)
+        else:
+            self._rtt_est = max(0.004, self._rtt_est * 0.98)
+        self._ring_cache[cyc] = ring_h
+        for old in [c for c in self._ring_cache if c < cyc - self._num_rings]:
+            del self._ring_cache[old]
+        outputs: list[RequestOutput] = []
+        while self._in_flight and self._in_flight[0].cycle_id <= cyc:
+            outputs.extend(self._process_record(self._in_flight.popleft(), ring_h))
+        return outputs
 
     # -- batch building / dispatch --------------------------------------------
 
@@ -379,7 +483,81 @@ class LLMEngine:
         hb.reset()
         return hb
 
+    def _calibrate_kv_scales(self, scheduled: list[ScheduledSeq]) -> None:
+        """First-write KV scale calibration (reference
+        kv_cache/quantization.rs:80-100): run the first real prompt chunk
+        through the model with a throwaway bf16 pool, collect per-layer
+        K/V amax via the kv_write tracing sink, pin scale = amax/qmax for
+        the cache lifetime (contract #10), and refresh the step-function
+        jit cache (the old cache baked scale 1.0 at trace time)."""
+        from ..ops.attn_metadata import AttentionMetadata
+        from ..ops.kv_write import amax_sink
+        from ..utils import cdiv
+
+        seq = max(scheduled, key=lambda s: s.num_tokens).seq
+        toks = seq.all_token_ids[: min(seq.num_prompt_tokens, 128)]
+        if len(toks) < 2:
+            return
+        ps = self.config.cache.page_size
+        n = len(toks)
+        npg = cdiv(n, ps)
+        pools = []
+        for p in self.kv_pages:
+            if hasattr(p, "ndim") and p.ndim == 4:
+                pools.append(
+                    jnp.zeros((npg + 1, *p.shape[1:]), jnp.bfloat16)
+                )
+            else:  # SSM recurrent-state dicts
+                pools.append(jax.tree_util.tree_map(jnp.zeros_like, p))
+        md = AttentionMetadata(
+            slot_mapping=jnp.arange(n, dtype=jnp.int32) + ps,
+            kv_lens=jnp.asarray([n], jnp.int32),
+            page_indices=jnp.arange(1, npg + 1, dtype=jnp.int32)[None, :],
+            cu_q_lens=jnp.asarray([0, n], jnp.int32),
+            num_seqs=jnp.asarray([1], jnp.int32),
+            positions=jnp.arange(n, dtype=jnp.int32),
+            logits_indices=jnp.asarray([n - 1], jnp.int32),
+            slot_ids=jnp.asarray([0], jnp.int32),
+        )
+        saved_scales = self.model.kv_scales
+        self.model.kv_scales = (None, None)  # bf16 probe pool: no scaling
+
+        def calib_fn(params, ids, pools):
+            with amax_sink() as sink:
+                self.model(params, ids, md, pools)
+            ks = jnp.stack([a for a, _ in sink]) if sink else jnp.ones((1,))
+            vs = jnp.stack([b for _, b in sink]) if sink else jnp.ones((1,))
+            return jnp.max(ks), jnp.max(vs)
+
+        k_amax, v_amax = jax.jit(calib_fn)(
+            self.params, jnp.asarray(toks, jnp.int32), pools
+        )
+        self.model.kv_scales = saved_scales
+        qmax = {"int8": 127.0, "fp8_e4m3": 448.0, "fp8_e5m2": 57344.0}[
+            self.config.cache.kv_dtype
+        ]
+        k_scale = max(float(k_amax) / qmax, 1e-8)
+        v_scale = max(float(v_amax) / qmax, 1e-8)
+        self.config.cache.k_scale = k_scale
+        self.config.cache.v_scale = v_scale
+        self.model.kv_scales = (k_scale, v_scale)
+        # old jit cache traced with the boot scales — rebuild so every
+        # variant retraces with the pinned values
+        self.step_fn = StepFunction(
+            self.model, self.eos_ids, top_logprobs_k=self.top_logprobs_k
+        )
+        self._kv_calib_pending = False
+        logger.info(
+            "KV scale calibration: amax k=%.4g v=%.4g -> scales "
+            "k=%.4g v=%.4g (pinned; step variants retrace)",
+            float(k_amax), float(v_amax), k_scale, v_scale,
+        )
+
     def _dispatch(self, scheduled: list[ScheduledSeq]) -> StepRecord:
+        if self._kv_calib_pending and any(
+            s.num_tokens > 1 for s in scheduled
+        ):
+            self._calibrate_kv_scales(scheduled)
         cfg = self.config
         s_pad = self.num_slots
         k = self.fetch_interval
@@ -431,11 +609,18 @@ class LLMEngine:
                     c, slot, row = seq.pending[gen_idx]
                     if c == self._cycle_id:
                         sel = 0
-                    else:
-                        assert c == self._cycle_id - 1, (
-                            "unresolved token older than one ring cycle"
-                        )
+                    elif c == self._cycle_id - 1:
                         sel = 1
+                    else:
+                        # stale (>=2 cycles old): the seq skipped cycles
+                        # (preempted / throttled / wave-blocked) while
+                        # the host lagged. Feed the concrete value from
+                        # the host-side ring cache instead of device
+                        # feedback (which only spans 2 rings).
+                        hb.input_ids[offset + j] = int(
+                            self._ring_host(c)[slot][row]
+                        )
+                        continue
                     hb.feedback_src[offset + j] = (sel * k + slot) * s_pad + row
                     hb.input_ids[offset + j] = 0
             hb.positions[offset : offset + n] = np.arange(start, end)
@@ -462,7 +647,13 @@ class LLMEngine:
             hb.frequency_penalty[i] = p.frequency_penalty
             hb.seeds[i] = self._seq_seed(seq)
             hb.rng_pos[i] = end
-            hb.ban_eos[i] = seq.num_generated < p.min_tokens
+            # tri-state (batch_pack): 2 = ban EOS (min_tokens active),
+            # 1 = watch EOS on device (normal stop-at-EOS traffic),
+            # 0 = neither (ignore_eos)
+            hb.ban_eos[i] = (
+                2 if seq.num_generated < p.min_tokens
+                else (0 if p.ignore_eos else 1)
+            )
             hb.typical_p[i] = p.typical_p
             use_penalties |= p.uses_penalties
             use_top_filters |= (not p.greedy) and (
@@ -630,6 +821,19 @@ class LLMEngine:
                 n_steps=window,
             )
         step_out = list(step_out)
+        if window > 1:
+            # per-window on-device stop summary: poll it asynchronously so
+            # a mid-window EOS triggers an early rotation/fetch instead of
+            # decoding to the cycle's end (stop-overshoot, VERDICT r3 #3)
+            n_stopped = step_out.pop()
+            if any(
+                not s_.seq.params.ignore_eos for s_ in scheduled
+            ):
+                try:
+                    n_stopped.copy_to_host_async()
+                except AttributeError:
+                    pass
+                self._stop_flags.append(n_stopped)
         if use_eplb:
             self._eplb_counts = step_out.pop()
         if use_prompt_lps:
@@ -801,28 +1005,34 @@ class LLMEngine:
 
     # -- output processing -----------------------------------------------------
 
-    def _process_old_cycle(self) -> list[RequestOutput]:
-        """Fetch the previous cycle's ring (one transfer) and process all
-        of its records."""
-        ring_h = np.asarray(self._ring_prev)
-        outputs: list[RequestOutput] = []
-        while self._in_flight and self._in_flight[0].cycle_id < self._cycle_id:
-            rec = self._in_flight.popleft()
-            outputs.extend(self._process_record(rec, ring_h))
-        return outputs
-
     def _flush(self) -> list[RequestOutput]:
         """Drain everything in flight (used when the scheduler has nothing
         to dispatch — e.g. all sequences awaiting finish processing)."""
-        outputs: list[RequestOutput] = []
-        if self._in_flight and self._in_flight[0].cycle_id < self._cycle_id:
-            outputs.extend(self._process_old_cycle())
+        outputs: list[RequestOutput] = self._process_arrived(force=True)
         if self._in_flight:
+            # records of the still-open current cycle: read the write ring
             ring_h = np.asarray(self._ring_write)
             while self._in_flight:
                 rec = self._in_flight.popleft()
                 outputs.extend(self._process_record(rec, ring_h))
         return outputs
+
+    def _ring_host(self, cycle: int) -> np.ndarray:
+        """Host copy of a past cycle's ring, for resolving stale pending
+        tokens of seqs that skipped >=2 cycles (preempted / throttled /
+        wave-blocked). Reading the ring does NOT process its records —
+        that still happens in fetch order."""
+        h = self._ring_cache.get(cycle)
+        if h is not None:
+            return h
+        for cyc, ring, _ in self._pending_fetches:
+            if cyc == cycle:
+                h = np.asarray(ring)
+                self._ring_cache[cycle] = h
+                return h
+        raise AssertionError(
+            f"ring for cycle {cycle} is gone (lag exceeded the ring pool)"
+        )
 
     def _process_record(
         self, record: StepRecord, ring_h: np.ndarray

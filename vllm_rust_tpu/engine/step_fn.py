@@ -176,6 +176,7 @@ class StepFunction:
             sample_mask,
             lora_idx,
             lp_targets,
+            watch_eos,
         ) = unpack_device(meta, layout, p_bucket)
         s = slot_ids.shape[0]
         k = ring.shape[0]
@@ -244,9 +245,13 @@ class StepFunction:
                 < md.num_seqs[0]
             )
 
-            def one(i, carry):
-                (kv_pages, token_counts, ring, ids, positions, kv_lens,
-                 slot_mapping, rng_pos) = carry
+            s = slot_ids.shape[0]
+            real_seq = jnp.arange(s, dtype=jnp.int32) < md.num_seqs[0]
+            eos_ids = tuple(self.eos_ids)
+
+            def one(carry):
+                (i, kv_pages, token_counts, ring, ids, positions, kv_lens,
+                 slot_mapping, rng_pos, stopped) = carry
                 md_i = dataclasses.replace(
                     md,
                     positions=positions,
@@ -262,6 +267,18 @@ class StepFunction:
                 row = self._ring_row(res, use_top_logprobs)
                 ring = ring.at[ring_slot + i, : row.shape[0]].set(row)
                 tokens = res[0]
+                # on-device stop (reference helpers.rs:2746-2795 per-step
+                # stop checks): a watched seq that just sampled EOS is
+                # finished — its later window iterations stop writing KV
+                # (null page) and, once EVERY real seq has stopped, the
+                # while_loop exits instead of burning the window's tail.
+                # Host-side stop strings/custom ids still resolve at ring
+                # processing; this covers the model-EOS common case.
+                if eos_ids:
+                    is_eos = jnp.zeros((s,), bool)
+                    for e in eos_ids:
+                        is_eos |= tokens == e
+                    stopped = stopped | (watch_eos & is_eos & real_seq)
                 # evolve next-step metadata ON DEVICE: the next token of
                 # seq j lands at position kv_lens[j]; its page comes from
                 # the device-resident table (host preallocated the window)
@@ -271,7 +288,11 @@ class StepFunction:
                 page = jnp.take_along_axis(
                     md.page_indices, pg_slot[:, None], axis=1
                 )[:, 0]
-                seq_slots = page * page_size + kv_lens % page_size
+                seq_slots = jnp.where(
+                    stopped[: page.shape[0]],
+                    0,  # stopped seqs: overshoot KV goes to the null page
+                    page * page_size + kv_lens % page_size,
+                )
                 next_slot_mapping = jnp.where(
                     mask_m,
                     jnp.zeros((t,), jnp.int32).at[:m].set(seq_slots[:m]),
@@ -282,17 +303,26 @@ class StepFunction:
                     jnp.zeros((t,), jnp.int32).at[:m].set(tokens[:m]),
                     0,
                 )
-                return (kv_pages, token_counts, ring, next_ids,
+                return (i + 1, kv_pages, token_counts, ring, next_ids,
                         positions + 1, kv_lens + 1, next_slot_mapping,
-                        rng_pos + 1)
+                        rng_pos + 1, stopped)
+
+            def cond(carry):
+                i, stopped = carry[0], carry[-1]
+                return (i < n_steps) & ~jnp.all(stopped | ~real_seq)
 
             carry = (
-                kv_pages, token_counts, ring, input_ids, md.positions,
-                md.kv_lens, md.slot_mapping, sampler_inputs.position,
+                jnp.int32(0), kv_pages, token_counts, ring, input_ids,
+                md.positions, md.kv_lens, md.slot_mapping,
+                sampler_inputs.position, jnp.zeros((s,), bool),
             )
-            carry = jax.lax.fori_loop(0, n_steps, one, carry)
-            kv_pages, token_counts, ring = carry[0], carry[1], carry[2]
-            return (kv_pages, token_counts, ring)
+            carry = jax.lax.while_loop(cond, one, carry)
+            kv_pages, token_counts, ring = carry[1], carry[2], carry[3]
+            stopped = carry[-1]
+            # tiny per-window stop summary: the engine polls it (async)
+            # to rotate/fetch early instead of decoding to the cycle end
+            n_stopped = jnp.sum(stopped.astype(jnp.int32)).reshape(1)
+            return (kv_pages, token_counts, ring, n_stopped)
 
         kv_pages, token_counts, eplb_counts, hidden, res = (
             self._forward_sample(

@@ -15,8 +15,30 @@ writes both K and V.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+
 import jax
 import jax.numpy as jnp
+
+# Trace-time K/V amax collection for first-write scale calibration
+# (reference kv_cache/quantization.rs:80-100 calibrates on first write
+# then pins). Same tracing-sink idiom as layers/moe.py counts_sink.
+_AMAX_SINK: contextvars.ContextVar = contextvars.ContextVar(
+    "kv_amax_sink", default=None
+)
+
+
+@contextlib.contextmanager
+def amax_sink():
+    """Collect per-layer (amax_k, amax_v) f32 scalars from every
+    write_kv_pages call traced inside the context."""
+    sink: list = []
+    tok = _AMAX_SINK.set(sink)
+    try:
+        yield sink
+    finally:
+        _AMAX_SINK.reset(tok)
 
 
 def write_kv_pages(
@@ -38,6 +60,15 @@ def write_kv_pages(
     num_pages, page_size, combined, head_dim = kv_pages.shape
     t, num_kv, _ = k.shape
     assert combined == 2 * num_kv, (combined, num_kv)
+
+    sink = _AMAX_SINK.get()
+    if sink is not None:
+        sink.append(
+            (
+                jnp.max(jnp.abs(k.astype(jnp.float32))),
+                jnp.max(jnp.abs(v.astype(jnp.float32))),
+            )
+        )
 
     if k_scale is not None:
         k = (k.astype(jnp.float32) / k_scale)

@@ -165,8 +165,6 @@ def ragged_paged_attention_op(
         # decode-only gather formulation (plain XLA; see below) with
         # the in-house kernel for prefill chunks
         backend = "ref" if _DECODE_ONLY.get() else "pallas"
-    if backend == "batched" and not _DECODE_ONLY.get():
-        backend = "pallas"  # batched kernel serves pure-decode steps only
     if backend == "auto":
         if on_tpu():
             # decode: the in-house v2 kernel (r4) — single-program
@@ -192,7 +190,9 @@ def ragged_paged_attention_op(
                 kv_pages.shape[2] // 2,
             )
         ):
-            backend = "jax" if on_tpu() else "ref"
+            # unsupported geometry / features: the in-house ragged kernel
+            # covers everything (sinks, ALiBi, any head_dim, packed KV)
+            backend = "pallas" if on_tpu() else "ref"
         else:
             from .pallas.decode_v2 import decode_attention_v2
 
@@ -227,26 +227,6 @@ def ragged_paged_attention_op(
         # the stock ragged kernel supports neither; the in-house kernel
         # handles both (incl. sqrt-ALiBi)
         backend = "pallas"
-    if backend == "decode" and alibi_sqrt:
-        backend = "pallas"  # decode kernel has linear ALiBi only
-    if backend == "batched" and (
-        sinks is not None or alibi_slopes is not None
-    ):
-        backend = "pallas"  # batched decode kernel: no sinks/alibi
-    if backend == "batched":
-        from .pallas.batched_decode import batched_decode_attention
-
-        return batched_decode_attention(
-            q,
-            kv_pages,
-            md.kv_lens,
-            md.page_indices,
-            sm_scale=sm_scale,
-            sliding_window=sliding_window,
-            soft_cap=soft_cap,
-            k_scale=k_scale,
-            v_scale=v_scale,
-        )
     if backend == "ref":
         return _ref_ragged_paged_attention(
             q,
@@ -287,22 +267,6 @@ def ragged_paged_attention_op(
                 os.environ.get("VLLM_TPU_JAX_ATTN_Q_BLOCK", "32")
             ),
             vmem_limit_bytes=100 * 1024 * 1024,
-        )
-    if backend == "decode":
-        from .pallas.decode_attention import decode_paged_attention
-
-        return decode_paged_attention(
-            q,
-            kv_pages,
-            md.kv_lens,
-            md.page_indices,
-            sinks,
-            alibi_slopes,
-            sm_scale=sm_scale,
-            sliding_window=sliding_window,
-            soft_cap=soft_cap,
-            k_scale=k_scale,
-            v_scale=v_scale,
         )
     if backend == "pallas":
         from .pallas.ragged_attention import ragged_paged_attention_pallas

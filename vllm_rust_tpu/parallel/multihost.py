@@ -279,10 +279,9 @@ def worker_loop(engine, *, _broadcast_fn=broadcast_step) -> None:
         if header is None or not header.alive:
             return
         if header.cycle_id != cycle_id:
-            # stay in ring lockstep with the coordinator's cycle
-            engine._ring_write, engine._ring_prev, engine._ring_spare = (
-                engine._ring_spare, engine._ring_write, engine._ring_prev
-            )
+            # stay in ring lockstep with the coordinator's cycle (workers
+            # never fetch results, so just advance the pool index)
+            engine._ring_idx = (engine._ring_idx + 1) % engine._num_rings
             cycle_id = header.cycle_id
         if header.eplb_reset:
             # mirror the coordinator's _eplb_refresh counts reset

@@ -98,6 +98,7 @@ class SpecStepFunction:
             sample_mask,
             _lora_idx,
             _lp_targets,
+            _watch_eos,
         ) = unpack_device(meta, layout)  # full page width (sync path)
         s = slot_ids.shape[0]
 
