@@ -1,0 +1,81 @@
+"""Same-process A/B of decode backends through the full engine.
+
+Chip sessions over the axon tunnel vary by +-10-20% between processes
+(r3 noted it; r4 measurements confirmed), so backend comparisons are
+only honest when both run in ONE process on the same session. This
+builds a fresh engine per backend (fresh jit cache; the decode-backend
+global is read at trace time) and runs the bench.py round.
+
+Run: AB_BACKENDS=v2,jax python benchmarks/ab_decode.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import bench as bench_mod
+
+
+def run_backend(backend, cfg, model, params):
+    from vllm_rust_tpu.config import CacheConfig, EngineConfig, SchedulerConfig
+    from vllm_rust_tpu.engine import LLMEngine
+    from vllm_rust_tpu.ops import paged_attention as pa
+    from vllm_rust_tpu.request import SamplingParams
+
+    pa._DECODE_BACKEND = backend
+    ec = EngineConfig(
+        model=cfg,
+        cache=CacheConfig(num_pages=2048, page_size=16),
+        scheduler=SchedulerConfig(max_num_seqs=16, max_tokens_per_step=2048),
+        max_model_len=2048,
+        fetch_interval=int(os.environ.get("BENCH_FETCH_INTERVAL", "32")),
+        decode_window=int(os.environ.get("BENCH_DECODE_WINDOW", "8")),
+    )
+    eng = LLMEngine(model, params, ec)
+
+    def round_(tag):
+        sp = SamplingParams(max_tokens=64, temperature=0.0, ignore_eos=True)
+        for i in range(16):
+            eng.add_request(f"{tag}-{i}", [(7 * i + j) % 1000 + 1 for j in range(64)], sp)
+        t0 = time.perf_counter()
+        n = 0
+        while eng.has_unfinished:
+            for out in eng.step():
+                n += len(out.new_token_ids)
+        return n / (time.perf_counter() - t0)
+
+    round_(f"warm-{backend}")
+    vals = [round_(f"b{backend}{i}") for i in range(3)]
+    del eng
+    import gc
+    gc.collect()
+    return vals
+
+
+def main():
+    backends = os.environ.get("AB_BACKENDS", "v2,jax,v2").split(",")
+    cfg = bench_mod.qwen3_4b_config()
+    from vllm_rust_tpu.models import from_config
+
+    model = from_config(cfg, dtype=jnp.bfloat16)
+    params = model.init_params(jax.random.PRNGKey(0))
+    params = bench_mod.quantize_params_awq(model, params)
+    for b in backends:
+        vals = run_backend(b, cfg, model, params)
+        print(f"backend={b}: " + " ".join(f"{v:.0f}" for v in vals) +
+              f"  (best {max(vals):.0f} tok/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -20,6 +20,11 @@ import jax  # noqa: E402
 # must run on the virtual CPU mesh, so override at config level too.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+# NOTE on CPU matmul precision: the backend's DEFAULT-precision dot takes
+# the avx512-bf16 oneDNN fast path on this host (~4e-4 relative error).
+# Parity-anchor tests that need true f32 matmuls opt in per-module with
+# the `f32_matmuls` fixture below — globally forcing "highest" blows the
+# fast tier's time budget (measured r4).
 
 # Persistent compilation cache: most of the suite's wall time is XLA CPU
 # compiles; repeat runs (the common case for the CI driver) hit the
@@ -70,3 +75,14 @@ def pytest_collection_modifyitems(config, items):
         fname = item.fspath.basename
         if any(s in fname for s in _SLOW_FILES):
             item.add_marker(pytest.mark.slow)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def f32_matmuls():
+    """True-f32 matmuls for greedy-exact HF parity anchors (the CPU
+    default-precision dot uses the avx512-bf16 fast path, ~4e-4 error)."""
+    with jax.default_matmul_precision("highest"):
+        yield

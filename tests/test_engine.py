@@ -272,6 +272,10 @@ def test_swap_preemption():
     assert eng.kv.offload.stats["swap_outs"] >= 1, "no swaps happened"
     assert eng.kv.offload.stats["swap_ins"] == eng.kv.offload.stats["swap_outs"]
     assert eng.kv.offload.used_bytes == 0
+    # r4: queued swapped seqs had their H2D issued ahead of the restore
+    # (reference offload.rs:59), so swap_in was a scatter, not a transfer
+    assert eng.kv.offload.stats["prefetches"] >= 1, "no prefetch happened"
+    assert not eng.kv.offload._prefetched  # all consumed or dropped
 
     # results identical to an unpressured recompute engine
     eng2 = make_engine(

@@ -372,6 +372,15 @@ class LLMEngine:
         outputs.extend(self._process_arrived())
         self._poll_stop_flags()
 
+        # prefetch host-resident KV of swapped seqs near the queue head:
+        # their H2D overlaps this step's dispatch instead of sitting on
+        # the restore's critical path (reference offload.rs:59)
+        offload = getattr(self.kv, "offload", None)
+        if offload is not None and offload.store:
+            for seq in self.scheduler.waiting[:2]:
+                if seq.swapped:
+                    offload.prefetch(seq.request_id)
+
         decision = self.scheduler.schedule()
         self.stats["num_preemptions"] += len(decision.preempted)
         for seq in decision.preempted:

@@ -39,7 +39,11 @@ class VlmEngine(SpecLLMEngine):
             model, params, config, tokenizer, proposer=_NullProposer()
         )
         h = model.text_config.hidden_size
-        self.max_mm_tokens = model.tokens_per_image * max_images_per_request
+        # anyres models produce more tokens than tokens_per_image
+        # (base view + tile grid + newline rows): size the slot buffer
+        # for the model's declared worst case
+        per_image = getattr(model, "max_image_tokens", model.tokens_per_image)
+        self.max_mm_tokens = per_image * max_images_per_request
         self.mm_buf = jnp.zeros(
             (self.num_slots + 1, self.max_mm_tokens, h), model.dtype
         )
@@ -61,46 +65,48 @@ class VlmEngine(SpecLLMEngine):
         self,
         request_id: str,
         prompt_ids: list[int],
-        images: list[np.ndarray],  # preprocessed [3, H, W] each
+        images: list,  # [3, H, W] arrays, or (pixel_values [P,3,S,S],
+        # (orig_h, orig_w)) tuples for anyres models (LLaVA-NeXT)
         params: SamplingParams | None = None,
     ) -> None:
         """Prompt ids contain one image-token per image; each expands to
-        ``tokens_per_image`` positions (reference processor.rs
-        process_content token expansion)."""
+        that image's token count (reference processor.rs process_content
+        token expansion). Images are encoded FIRST so anyres inputs —
+        whose token counts depend on the tile grid — expand exactly."""
         img_tok = self.model.image_token_index
-        n = self.model.tokens_per_image
+        n_placeholders = sum(1 for t in prompt_ids if t == img_tok)
+        if n_placeholders != len(images):
+            raise ValueError(
+                f"prompt has {n_placeholders} image tokens but "
+                f"{len(images)} images"
+            )
+        encoded = [self._encode_cached(img, request_id) for img in images]
+        lens = [int(e.shape[0]) for e in encoded]
+        if sum(lens) > self.max_mm_tokens:
+            raise ValueError(
+                f"{sum(lens)} image tokens exceed the {self.max_mm_tokens}-"
+                "token multimodal budget"
+            )
         expanded: list[int] = []
         spans: list[tuple[int, int]] = []
-        n_imgs = 0
+        it = iter(lens)
         for tok in prompt_ids:
             if tok == img_tok:
+                n = next(it)
                 spans.append((len(expanded), n))
                 expanded.extend([img_tok] * n)
-                n_imgs += 1
             else:
                 expanded.append(tok)
-        if n_imgs != len(images):
-            raise ValueError(
-                f"prompt has {n_imgs} image tokens but {len(images)} images"
-            )
-        if n_imgs * n > self.max_mm_tokens:
-            raise ValueError(
-                f"{n_imgs} images exceed the {self.max_mm_tokens}-token "
-                "multimodal budget"
-            )
-        if images:
-            embeds = jnp.concatenate(
-                [self._encode_cached(img, request_id) for img in images],
-                axis=0,
-            )
-            self._mm[request_id] = (embeds, spans)
+        if encoded:
+            self._mm[request_id] = (jnp.concatenate(encoded, axis=0), spans)
         self.add_request(request_id, expanded, params)
         if self._use_mrope and spans:
             from ..multimodal.mrope import mrope_positions
 
-            g = int(round(n ** 0.5))
             pos, delta = mrope_positions(
-                len(expanded), spans, [(1, g, g)] * len(spans)
+                len(expanded), spans,
+                [(1, int(round(n ** 0.5)), int(round(n ** 0.5)))
+                 for _, n in spans],
             )
             seq = self.requests[request_id]
             seq.mrope_pos, seq.mrope_delta = pos, delta
@@ -185,7 +191,23 @@ class VlmEngine(SpecLLMEngine):
     def _entry_bytes(self, e: jax.Array) -> int:
         return int(e.size) * e.dtype.itemsize
 
-    def _encode_cached(self, img: np.ndarray, request_id: str | None = None) -> jax.Array:
+    def _encode_cached(self, img, request_id: str | None = None) -> jax.Array:
+        if isinstance(img, tuple):  # anyres: (pixel_values [P,3,S,S], size)
+            pv, size = img
+            key = hashlib.sha256(
+                np.ascontiguousarray(pv).tobytes() + repr(tuple(size)).encode()
+            ).hexdigest()
+            e = self._encoder_cache.pop(key, None)
+            if e is None:
+                e = self.model.encode_anyres(
+                    self.params, jnp.asarray(pv), tuple(size)
+                )
+                self._cache_used += self._entry_bytes(e)
+            self._encoder_cache[key] = e
+            if request_id is not None:
+                self._cache_refs[key] = self._cache_refs.get(key, 0) + 1
+                self._req_keys.setdefault(request_id, []).append(key)
+            return e
         key = hashlib.sha256(np.ascontiguousarray(img).tobytes()).hexdigest()
         e = self._encoder_cache.pop(key, None)
         if e is None:

@@ -27,7 +27,12 @@ class CpuOffloadManager:
         self.used_bytes = 0
         # request_id -> list of per-layer host arrays [n_pages, ps, 2K, D]
         self.store: dict[str, list[np.ndarray]] = {}
-        self.stats = {"swap_outs": 0, "swap_ins": 0, "rejected": 0}
+        # request_id -> per-layer DEVICE arrays with the H2D already in
+        # flight (reference offload.rs:59 prefetches ahead of swap-in so
+        # the restore is off the critical path)
+        self._prefetched: dict[str, list[jax.Array]] = {}
+        self.stats = {"swap_outs": 0, "swap_ins": 0, "rejected": 0,
+                      "prefetches": 0}
 
     def can_swap_out(self, n_pages: int) -> bool:
         per_page = sum(
@@ -55,6 +60,18 @@ class CpuOffloadManager:
     def has(self, request_id: str) -> bool:
         return request_id in self.store
 
+    def prefetch(self, request_id: str) -> None:
+        """Start the H2D transfers for a soon-to-resume sequence NOW
+        (jax.device_put is asynchronous): by the time the scheduler
+        dispatches the restored sequence, the bytes are already on
+        device and swap_in only issues the in-place page scatter."""
+        if request_id in self._prefetched or request_id not in self.store:
+            return
+        self._prefetched[request_id] = [
+            jax.device_put(a) for a in self.store[request_id]
+        ]
+        self.stats["prefetches"] += 1
+
     def swap_in(self, request_id: str, pages: list[int]) -> None:
         """Scatter stored pages back into freshly allocated device pages.
 
@@ -63,18 +80,22 @@ class CpuOffloadManager:
         pool rewrite per layer (VERDICT r2 weak #9; the reference
         scatters only the affected blocks)."""
         layers = self.store.pop(request_id)
+        dev = self._prefetched.pop(request_id, None)
         self.used_bytes -= sum(a.nbytes for a in layers)
         idx = jnp.asarray(pages, jnp.int32)
         new_pools = []
-        for pool, host in zip(self.engine.kv_pages, layers):
-            new_pools.append(
-                _scatter_pages(pool, idx, jnp.asarray(host, pool.dtype))
-            )
+        src = dev if dev is not None else [
+            jnp.asarray(h, p.dtype)
+            for h, p in zip(layers, self.engine.kv_pages)
+        ]
+        for pool, vals in zip(self.engine.kv_pages, src):
+            new_pools.append(_scatter_pages(pool, idx, vals))
         self.engine.kv_pages = new_pools
         self.stats["swap_ins"] += 1
 
     def drop(self, request_id: str) -> None:
         layers = self.store.pop(request_id, None)
+        self._prefetched.pop(request_id, None)
         if layers is not None:
             self.used_bytes -= sum(a.nbytes for a in layers)
 

@@ -20,6 +20,13 @@ import numpy as np
 from .vlm_breadth import VlmBase, _rms_norm
 from .whisper import _conv1d, _layer_norm, _sinusoids, linear
 
+def _gelu_exact(x):
+    """HF ACT2FN["gelu"] (erf form) — Whisper's activation; jax.nn.gelu
+    defaults to the tanh approximation, which breaks exact parity."""
+    import jax.nn
+    return jax.nn.gelu(x, approximate=False)
+
+
 
 class WhisperStyleAudioEncoder:
     """Standalone Whisper audio encoder (conv1 → conv2/stride2 →
@@ -35,6 +42,9 @@ class WhisperStyleAudioEncoder:
         self.n_mels = int(cfg.get("num_mel_bins", 80))
         self.positions = int(cfg.get("max_source_positions", 1500))
         self.ffn_dim = int(cfg.get("encoder_ffn_dim", 4 * self.d_model))
+        # in-encoder average pooling before the final LN (Qwen2-Audio's
+        # avg_pooler); 1 = off (plain Whisper encoder)
+        self.pool_stride = 1
 
     @property
     def output_len(self) -> int:
@@ -118,8 +128,8 @@ class WhisperStyleAudioEncoder:
     def __call__(self, params, mel: jax.Array) -> jax.Array:
         """mel [n_mels, frames] -> hidden [positions, d_model]."""
         x = mel.T.astype(self.dtype)
-        x = jax.nn.gelu(_conv1d(x, params["conv1"], stride=1))
-        x = jax.nn.gelu(_conv1d(x, params["conv2"], stride=2))
+        x = _gelu_exact(_conv1d(x, params["conv1"], stride=1))
+        x = _gelu_exact(_conv1d(x, params["conv2"], stride=2))
         x = x + params["embed_positions"][: x.shape[0]].astype(x.dtype)
         nh = self.num_heads
         hd = self.d_model // nh
@@ -138,7 +148,13 @@ class WhisperStyleAudioEncoder:
                              lp["self_attn"]["out_proj"])
             res = x
             h = _layer_norm(x, lp["final_layer_norm"])
-            x = res + linear(jax.nn.gelu(linear(h, lp["fc1"])), lp["fc2"])
+            x = res + linear(_gelu_exact(linear(h, lp["fc1"])), lp["fc2"])
+        if self.pool_stride > 1:
+            # Qwen2-Audio pools BEFORE the final layer norm (HF
+            # Qwen2AudioEncoder.forward: avg_pooler then layer_norm)
+            s = self.pool_stride
+            t2 = x.shape[0]
+            x = x.reshape(t2 // s, s, -1).mean(axis=1)
         return _layer_norm(x, params["layer_norm"])
 
 
@@ -164,6 +180,7 @@ class Qwen2AudioForConditionalGeneration(AudioLmmBase):
         self._make_text_model(ex.get("text_config", {}), "Qwen2ForCausalLM")
         self.vision = WhisperStyleAudioEncoder(dict(ex.get("audio_config", {})),
                                                dtype=self.dtype)
+        self.vision.pool_stride = 2  # HF avg_pooler sits before the final LN
         self.image_token_index = int(ex.get("audio_token_index", 151646))
         self.tokens_per_image = self.vision.output_len // 2
 
@@ -179,8 +196,12 @@ class Qwen2AudioForConditionalGeneration(AudioLmmBase):
     def _route_weight(self, name: str):
         if name.startswith("audio_tower."):
             return "vision", name.removeprefix("audio_tower.")
-        if name.startswith(("language_model.", "model.language_model.")):
-            return "lm", "model." + name.split("language_model.", 1)[1]
+        if name.startswith("model.language_model."):
+            # new-style HF: model.language_model.layers.* (no inner model.)
+            return "lm", "model." + name.removeprefix("model.language_model.")
+        if name.startswith("language_model."):
+            # old-style HF: language_model.{model.*, lm_head.*} as-is
+            return "lm", name.removeprefix("language_model.")
         if name.startswith("lm_head."):
             return "lm", name
         if "multi_modal_projector.linear." in name:
@@ -190,8 +211,6 @@ class Qwen2AudioForConditionalGeneration(AudioLmmBase):
     def encode_images(self, params, mels: jax.Array) -> jax.Array:
         """mels [B, n_mels, frames] -> [B * tokens, lm_hidden]."""
         hidden = jax.vmap(lambda m: self.vision(params["vision_tower"], m))(mels)
-        b, t, d = hidden.shape
-        hidden = hidden.reshape(b, t // 2, 2, d).mean(axis=2)
         p = params["projector"]["linear"]
         x = hidden @ p["weight"] + p["bias"]
         return x.reshape(-1, x.shape[-1])

@@ -566,17 +566,25 @@ class Qwen2_5_VLForConditionalGeneration(Qwen2VLForConditionalGeneration):
 
 
 class InternVLChatModel(VlmBase):
-    """InternViT + pixel-shuffle 0.5 + MLP projector + Qwen2/InternLM2 LM
-    (reference models/internvl.rs)."""
+    """InternViT (BEiT-style tower, vision.py InternVLVisionTower) +
+    HF-exact pixel-shuffle 0.5 + LayerNorm/MLP projector + Qwen2/
+    InternLM2 LM (reference models/internvl.rs). Anchored greedy-exact
+    vs transformers InternVLForConditionalGeneration with a real image
+    in tests/test_hf_parity_vlm2.py (r4)."""
 
     def _build(self, ex: dict):
         llm_cfg = ex.get("llm_config", ex.get("text_config", {}))
         self._make_text_model(llm_cfg, "Qwen2ForCausalLM")
+        from .vision import InternVLVisionTower
+
         vis_cfg = dict(ex.get("vision_config", {}))
-        self.vision = SiglipVisionTower(vis_cfg, dtype=self.dtype)
+        self.vision = InternVLVisionTower(vis_cfg, dtype=self.dtype)
         self.downsample = float(ex.get("downsample_ratio", 0.5))
-        self.image_token_index = int(ex.get("image_token_index",
-                                            ex.get("img_context_token_id", 151667)))
+        self.image_token_index = int(
+            ex.get("image_token_id",
+                   ex.get("image_token_index",
+                          ex.get("img_context_token_id", 151667)))
+        )
         g = int(self.vision.num_patches**0.5)
         out = int(g * self.downsample)
         self.grid = g
@@ -598,8 +606,24 @@ class InternVLChatModel(VlmBase):
         }
 
     def _route_weight(self, name: str):
+        # current HF naming (InternVLForConditionalGeneration)
+        if name.startswith("model.vision_tower."):
+            return "vision", name.removeprefix("model.vision_tower.")
+        if name.startswith("model.language_model."):
+            return "lm", "model." + name.removeprefix("model.language_model.")
+        if name.startswith("lm_head."):
+            return "lm", name
+        if name.startswith("model.multi_modal_projector."):
+            rest = name.removeprefix("model.multi_modal_projector.")
+            mod, leaf = rest.split(".", 1)
+            dest = {"layer_norm": "norm", "linear_1": "fc1",
+                    "linear_2": "fc2"}.get(mod)
+            if dest:
+                return "proj", f"{dest}.{leaf}"
+            return None
+        # legacy community naming (OpenGVLab InternVLChatModel)
         if name.startswith("vision_model."):
-            return "vision", name  # tower loader strips the prefix
+            return "vision", name.removeprefix("vision_model.")
         if name.startswith("language_model."):
             return "lm", name.removeprefix("language_model.")
         if name.startswith("mlp1."):
@@ -612,14 +636,21 @@ class InternVLChatModel(VlmBase):
 
     def encode_images(self, params, pixel_values: jax.Array) -> jax.Array:
         feats = self.vision(params["vision_tower"], pixel_values)
-        b, n, h = feats.shape
-        g, s = self.grid, self.shuffle
-        x = feats.reshape(b, g // s, s, g // s, s, h).transpose(0, 1, 3, 2, 4, 5)
-        x = x.reshape(b, (g // s) ** 2, s * s * h)
+        feats = feats[:, 1:, :]  # drop CLS ("default" select strategy)
+        b, n, c = feats.shape
+        g = self.grid
+        s = self.downsample  # 0.5
+        # HF InternVLModel.pixel_shuffle, translated verbatim
+        x = feats.reshape(b, g, g, c)
+        x = x.reshape(b, g, int(g * s), int(c / s))
+        x = x.transpose(0, 2, 1, 3)
+        x = x.reshape(b, int(g * s), int(g * s), int(c / (s * s)))
+        x = x.transpose(0, 2, 1, 3)
+        x = x.reshape(b, self.tokens_per_image, int(c / (s * s)))
         p = params["projector"]
-        x = _layer_norm(x, p["norm"], 1e-6)
+        x = _layer_norm(x, p["norm"], 1e-5)
         x = _dense(x, p["fc1"])
-        x = jax.nn.gelu(x)
+        x = jax.nn.gelu(x, approximate=False)  # HF ACT2FN["gelu"] = erf
         x = _dense(x, p["fc2"])
         return x.reshape(-1, x.shape[-1])
 
@@ -634,9 +665,11 @@ class Idefics3ForConditionalGeneration(VlmBase):
     (reference models/idefics3.rs). SmolVLM shares the arch."""
 
     def _build(self, ex: dict):
+        from .vision import Idefics3VisionTower
+
         self._make_text_model(ex.get("text_config", {}), "LlamaForCausalLM")
-        self.vision = SiglipVisionTower(dict(ex.get("vision_config", {})),
-                                        dtype=self.dtype)
+        self.vision = Idefics3VisionTower(dict(ex.get("vision_config", {})),
+                                          dtype=self.dtype)
         self.scale_factor = int(ex.get("scale_factor", 2))
         self.image_token_index = int(ex.get("image_token_id", 128257))
         g = int(self.vision.num_patches**0.5)
@@ -665,8 +698,13 @@ class Idefics3ForConditionalGeneration(VlmBase):
         feats = self.vision(params["vision_tower"], pixel_values)
         b, n, h = feats.shape
         g, s = self.grid, self.scale_factor
+        # HF Idefics3Connector.pixel_shuffle, translated verbatim (the
+        # final permute restores row-major (h/s, w/s) token order — r4
+        # fix caught by the parity anchor)
         x = feats.reshape(b, g, g // s, s * h)
-        x = x.transpose(0, 2, 1, 3).reshape(b, g // s, g // s, s * s * h)
+        x = x.transpose(0, 2, 1, 3)
+        x = x.reshape(b, g // s, g // s, s * s * h)
+        x = x.transpose(0, 2, 1, 3)
         x = x.reshape(b, (g // s) ** 2, s * s * h)
         x = _dense(x, params["projector"]["proj"])
         return x.reshape(-1, x.shape[-1])
@@ -828,8 +866,13 @@ class Mistral3ForConditionalGeneration(PixtralForConditionalGeneration):
 
 
 class LlavaNextForConditionalGeneration(VlmBase):
-    """LLaVA-NeXT; serves the base-resolution patch (anyres grid tiles
-    are a preprocessing extension) (reference models/llava_next.rs)."""
+    """LLaVA-NeXT with full anyres serving (r4): plain [3, S, S] inputs
+    run the base-resolution path; (pixel_values [P, 3, S, S], image_size)
+    inputs run the HF-exact anyres pipeline — per-tile tower+projector,
+    spatial re-stitch, aspect unpad, image_newline rows — via
+    ``encode_anyres`` (multimodal/anyres.py; reference
+    models/llava_next.rs). Anchored greedy-exact vs transformers in
+    tests/test_hf_parity_vlm2.py."""
 
     def _build(self, ex: dict):
         self._make_text_model(ex.get("text_config", {}), "LlamaForCausalLM")
@@ -842,6 +885,22 @@ class LlavaNextForConditionalGeneration(VlmBase):
         self.feature_layer = int(ex.get("vision_feature_layer", -2))
         self.select_strategy = ex.get("vision_feature_select_strategy", "default")
         self.tokens_per_image = self.vision.num_patches
+        s = self.vision.image_size
+        self.grid_pinpoints = [
+            tuple(p) for p in ex.get("image_grid_pinpoints") or [(s, 2 * s), (2 * s, s), (2 * s, 2 * s)]
+        ]
+
+    @property
+    def max_image_tokens(self) -> int:
+        """Worst-case anyres token count: base + largest tile grid +
+        one newline per stitched row (engine mm-buffer sizing)."""
+        n = self.tokens_per_image
+        g = int(self.vision.num_patches ** 0.5)
+        s = self.vision.image_size
+        worst = max(
+            ((h // s) * (w // s), (h // s) * g) for h, w in self.grid_pinpoints
+        )
+        return n + worst[0] * n + worst[1]
 
     def _init_projector(self, rng, scale):
         h_v, h_t = self.vision.hidden_size, self.text_config.hidden_size
@@ -880,16 +939,39 @@ class LlavaNextForConditionalGeneration(VlmBase):
                 )
         return proj
 
-    def encode_images(self, params, pixel_values: jax.Array) -> jax.Array:
+    def _project(self, params, pixel_values: jax.Array) -> jax.Array:
+        """tower + projector, per patch: [P, 3, S, S] -> [P, n, Ht]."""
         feats = self.vision(params["vision_tower"], pixel_values,
                             feature_layer=self.feature_layer)
         if self.select_strategy == "default" and self.vision.use_class_token:
             feats = feats[:, 1:]
         p = params["projector"]
         x = _dense(feats, p["linear_1"])
-        x = jax.nn.gelu(x)
-        x = _dense(x, p["linear_2"])
+        x = jax.nn.gelu(x, approximate=False)  # HF ACT2FN["gelu"] = erf
+        return _dense(x, p["linear_2"])
+
+    def encode_images(self, params, pixel_values: jax.Array) -> jax.Array:
+        x = self._project(params, pixel_values)
         return x.reshape(-1, x.shape[-1])
+
+    def encode_anyres(self, params, pixel_values: jax.Array,
+                      image_size: tuple[int, int]) -> jax.Array:
+        """Full anyres serving: patch 0 is the base view, patches 1..P
+        the best-fit grid tiles (HF pack_image_features semantics)."""
+        from ..multimodal.anyres import pack_anyres_features
+
+        per_patch = np.asarray(
+            self._project(params, pixel_values), np.float32
+        )
+        packed = pack_anyres_features(
+            per_patch,
+            tuple(image_size),
+            self.grid_pinpoints,
+            self.vision.image_size,
+            int(self.vision.num_patches ** 0.5),
+            np.asarray(params["projector"]["image_newline"], np.float32),
+        )
+        return jnp.asarray(packed, self.dtype)
 
 
 def register_vlm_breadth(registry: dict) -> None:

@@ -23,6 +23,13 @@ from ..layers.attention import AttentionSpec, attention_block
 from ..layers.linear import linear
 from ..ops.attn_metadata import AttentionMetadata
 
+def _gelu_exact(x):
+    """HF ACT2FN["gelu"] (erf form) — Whisper's activation; jax.nn.gelu
+    defaults to the tanh approximation, which breaks exact parity."""
+    import jax.nn
+    return jax.nn.gelu(x, approximate=False)
+
+
 
 def _layer_norm(x, p, eps=1e-5):
     xf = x.astype(jnp.float32)
@@ -240,8 +247,8 @@ class WhisperForConditionalGeneration:
         """Audio encoder: mel [n_mels, 3000] -> hidden [enc_len, d]."""
         enc = params["encoder"]
         x = mel.T.astype(self.dtype)  # [T, n_mels]
-        x = jax.nn.gelu(_conv1d(x, enc["conv1"], stride=1))
-        x = jax.nn.gelu(_conv1d(x, enc["conv2"], stride=2))  # [1500, dm]
+        x = _gelu_exact(_conv1d(x, enc["conv1"], stride=1))
+        x = _gelu_exact(_conv1d(x, enc["conv2"], stride=2))  # [1500, dm]
         x = x + enc["embed_positions"][: x.shape[0]]
         nh, hd = self.enc_heads, self.d_model // self.enc_heads
         t = x.shape[0]
@@ -262,7 +269,7 @@ class WhisperForConditionalGeneration:
             )
             res = x
             h = _layer_norm(x, lp["final_layer_norm"])
-            x = res + linear(jax.nn.gelu(linear(h, lp["fc1"])), lp["fc2"])
+            x = res + linear(_gelu_exact(linear(h, lp["fc1"])), lp["fc2"])
         return _layer_norm(x, params["encoder"]["layer_norm"])
 
     def cross_kv(self, params, enc_hidden: jax.Array) -> list[jax.Array]:
@@ -314,7 +321,7 @@ class WhisperForConditionalGeneration:
             )
             res = x
             h = _layer_norm(x, lp["final_layer_norm"])
-            x = res + linear(jax.nn.gelu(linear(h, lp["fc1"])), lp["fc2"])
+            x = res + linear(_gelu_exact(linear(h, lp["fc1"])), lp["fc2"])
             new_states.append(
                 {"kv": kv, "cross": st["cross"], "enc_len": st["enc_len"]}
             )
@@ -328,18 +335,30 @@ class WhisperForConditionalGeneration:
 
 
 def _conv1d(x: jax.Array, p: dict, stride: int) -> jax.Array:
-    """x [T, Cin], weight [K, Cin, Cout], 'same' padding."""
+    """x [T, Cin], weight [K, Cin, Cout], 'same' padding.
+
+    Implemented as shifted-view matmuls rather than lax.conv: on CPU the
+    XLA conv routes through oneDNN with ~3e-4 f32 noise (breaks
+    HF-parity anchors), and on TPU a K=3 conv is just 3 MXU matmuls
+    anyway."""
     w = p["weight"]
-    k = w.shape[0]
+    k, cin, cout = w.shape
     pad = k // 2
-    y = jax.lax.conv_general_dilated(
-        x[None],  # [1, T, Cin]
-        w,  # [K, Cin, Cout]
-        window_strides=(stride,),
-        padding=[(pad, pad)],
-        dimension_numbers=("NWC", "WIO", "NWC"),
-    )[0]
-    return y + p["bias"]
+    t = x.shape[0]
+    xp = jnp.pad(x, ((pad, pad), (0, 0)))
+    out_t = (t + 2 * pad - k) // stride + 1
+    y = jnp.zeros((out_t, cout), jnp.float32)
+    for j in range(k):
+        xs = jax.lax.slice(xp, (j, 0), (j + (out_t - 1) * stride + 1, cin),
+                           (stride, 1))
+        # HIGHEST: the CPU backend's default-precision dot takes the
+        # avx512-bf16 fast path (~4e-4 error) — enough to flip greedy
+        # HF-parity anchors
+        y = y + jnp.dot(
+            xs.astype(jnp.float32), w[j].astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return (y + p["bias"]).astype(x.dtype)
 
 
 def _sinusoids(length: int, channels: int) -> jnp.ndarray:
