@@ -27,20 +27,29 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import bench as bench_mod
 
 
-def run_backend(backend, cfg, model, params):
+def run_backend(spec, cfg, model, params):
+    """spec: backend[:window[:fetch_interval]] e.g. v2, v2:16, v2:32:64."""
     from vllm_rust_tpu.config import CacheConfig, EngineConfig, SchedulerConfig
     from vllm_rust_tpu.engine import LLMEngine
     from vllm_rust_tpu.ops import paged_attention as pa
     from vllm_rust_tpu.request import SamplingParams
 
+    parts = spec.split(":")
+    backend = parts[0]
+    window = int(parts[1]) if len(parts) > 1 else int(
+        os.environ.get("BENCH_DECODE_WINDOW", "8")
+    )
+    fi = int(parts[2]) if len(parts) > 2 else int(
+        os.environ.get("BENCH_FETCH_INTERVAL", "32")
+    )
     pa._DECODE_BACKEND = backend
     ec = EngineConfig(
         model=cfg,
         cache=CacheConfig(num_pages=2048, page_size=16),
         scheduler=SchedulerConfig(max_num_seqs=16, max_tokens_per_step=2048),
         max_model_len=2048,
-        fetch_interval=int(os.environ.get("BENCH_FETCH_INTERVAL", "32")),
-        decode_window=int(os.environ.get("BENCH_DECODE_WINDOW", "8")),
+        fetch_interval=fi,
+        decode_window=window,
     )
     eng = LLMEngine(model, params, ec)
 
@@ -55,8 +64,17 @@ def run_backend(backend, cfg, model, params):
                 n += len(out.new_token_ids)
         return n / (time.perf_counter() - t0)
 
-    round_(f"warm-{backend}")
-    vals = [round_(f"b{backend}{i}") for i in range(3)]
+    round_(f"warm-{spec}")
+    n_rounds = int(os.environ.get("AB_ROUNDS", "3"))
+    vals = []
+    for i in range(n_rounds):
+        t0 = time.perf_counter()
+        v = round_(f"b{spec.replace(":", "_")}{i}")
+        vals.append(v)
+        print(f"  [{spec}] round {i}: {v:.0f} tok/s "
+              f"(rtt_est {eng._rtt_est*1e3:.1f} ms, "
+              f"in_flight {len(eng._in_flight)}, "
+              f"round wall {time.perf_counter()-t0:.2f}s)", flush=True)
     del eng
     import gc
     gc.collect()

@@ -4,22 +4,27 @@ Reference: crates/core/src/engine/strategy.rs:426 run_engine_loop +
 helpers.rs (admission, batch build, sampling glue) + ADR 0008 (async
 scheduling overlap) + ADR 0017 (deferred DtoH / device-side feedback).
 
-TPU design — the token-ring pipeline:
+TPU design — the token-ring pipeline (r4: ring POOL):
   - Steps are dispatched without waiting for results; sampled tokens stay
     on device in a ring buffer and feed later steps' inputs via in-kernel
     gathers.
   - The host fetches one WHOLE ring (K steps × S seqs of packed
     token+logprob) in a single transfer per cycle, then detokenizes,
-    checks stop conditions and finishes requests — K steps late.
-  - Rings triple-buffer (write / prev / spare) so fetching one cycle's
-    results never blocks dispatching the next, and feedback can reach
-    tokens up to 2K steps unresolved (covers sequences that skip steps
-    and preemption re-prefills).
+    checks stop conditions and finishes requests.
+  - Rings rotate through an N-buffer POOL: the host may lag the device by
+    up to N-1 unfetched cycles, so the D2H round trip (~25 ms over the
+    tunnel) overlaps dispatch instead of stalling it (processing is
+    RTT-paced via an adaptive estimate). Device token feedback only ever
+    reads the current + previous ring; older references (preempted or
+    throttled seqs) resolve through a host-side ring cache.
 
-A sequence may overshoot its stop condition by up to 2K decode steps;
-overshoot samples are discarded at processing time. Stop-condition
-latency is K steps — set fetch_interval=2 for latency-sensitive serving,
-8+ for throughput.
+Stop conditions: multi-step windows check model-EOS ON DEVICE (null-page
+the overshoot KV, early-exit when every watched seq stopped, and export a
+stop count the host polls to rotate/fetch early). Host-side stop strings
+and custom ids still resolve at ring processing: a sequence may overshoot
+those by up to K·(pool lag) decode steps, discarded at processing time.
+Set fetch_interval small for latency-sensitive serving, 8+ for
+throughput; the pool keeps short intervals from serializing on the RTT.
 """
 
 from __future__ import annotations
@@ -464,14 +469,30 @@ class LLMEngine:
 
     def _consume_fetch(self) -> list[RequestOutput]:
         """Blocking-fetch the oldest pending ring and process its records;
-        adapts the RTT estimate from the observed block time."""
-        cyc, ring, _ = self._pending_fetches.popleft()
+        adapts the RTT estimate from (transfer age + observed block) —
+        an upper bound on the actual round trip. A pure multiplicative
+        ratchet is wrong here: forced fetches (flush, pool reuse) always
+        block, and would drive the estimate to its cap (seen r4)."""
+        cyc, ring, t0 = self._pending_fetches.popleft()
         tb = time.monotonic()
+        try:
+            computed = ring.is_ready()
+        except AttributeError:
+            computed = True
         ring_h = np.asarray(ring)
-        blocked = time.monotonic() - tb
-        if blocked > 0.002:
-            self._rtt_est = min(0.25, self._rtt_est * 1.3 + 0.002)
+        now = time.monotonic()
+        blocked = now - tb
+        if not computed:
+            # the device hadn't even produced the ring yet (forced fetch
+            # at a drain): the block measures compute, not transfer —
+            # not an RTT sample
+            pass
+        elif blocked > 0.002:
+            # the transfer wasn't done at age (tb - t0): rtt ~ age + block
+            sample = min(now - t0, 0.25)
+            self._rtt_est = min(0.25, 0.7 * self._rtt_est + 0.3 * sample)
         else:
+            # landed before we asked: our estimate is at/above the truth
             self._rtt_est = max(0.004, self._rtt_est * 0.98)
         self._ring_cache[cyc] = ring_h
         for old in [c for c in self._ring_cache if c < cyc - self._num_rings]:
@@ -828,6 +849,12 @@ class LLMEngine:
                 use_prompt_logprobs=use_prompt_lps,
                 use_eplb=use_eplb,
                 n_steps=window,
+                # EOS-watching window variant (while_loop + early exit)
+                # only when some scheduled seq actually stops at EOS;
+                # ignore_eos traffic gets the unrolled fori variant
+                # (cross-step weight-prefetch pipelining)
+                watch_stops=window > 1
+                and any(not s_.seq.params.ignore_eos for s_ in scheduled),
             )
         step_out = list(step_out)
         if window > 1:

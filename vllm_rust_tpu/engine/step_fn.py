@@ -47,7 +47,7 @@ class StepFunction:
                 "layout", "p_bucket", "use_penalties", "use_top_filters",
                 "use_grammar", "use_lora", "decode_only", "use_bias",
                 "use_typical", "use_top_logprobs", "use_prompt_logprobs",
-                "use_eplb", "n_steps",
+                "use_eplb", "n_steps", "watch_stops",
             ),
             donate_argnames=("kv_pages", "token_counts", "ring",
                              "eplb_counts"),
@@ -165,6 +165,7 @@ class StepFunction:
         use_prompt_logprobs: bool,
         use_eplb: bool,
         n_steps: int = 1,
+        watch_stops: bool = False,
     ):
         (
             ring_slot,
@@ -316,7 +317,18 @@ class StepFunction:
                 md.positions, md.kv_lens, md.slot_mapping,
                 sampler_inputs.position, jnp.zeros((s,), bool),
             )
-            carry = jax.lax.while_loop(cond, one, carry)
+            if watch_stops:
+                carry = jax.lax.while_loop(cond, one, carry)
+            else:
+                # nothing to stop on (ignore_eos traffic): a partially
+                # UNROLLED fori lets XLA pipeline the next step's weight
+                # prefetch across the iteration boundary (the while_loop
+                # body is a pipeline barrier — r3 attributed ~1.3 ms/step
+                # of window-boundary DMA waits)
+                carry = jax.lax.fori_loop(
+                    0, n_steps, lambda _i, c: one(c), carry,
+                    unroll=min(4, n_steps),
+                )
             kv_pages, token_counts, ring = carry[1], carry[2], carry[3]
             stopped = carry[-1]
             # tiny per-window stop summary: the engine polls it (async)
@@ -387,6 +399,7 @@ class StepFunction:
         use_prompt_logprobs: bool = False,
         use_eplb: bool = False,
         n_steps: int = 1,
+        watch_stops: bool = False,
     ):
         return self._jit(
             *args,
@@ -403,4 +416,5 @@ class StepFunction:
             use_prompt_logprobs=use_prompt_logprobs,
             use_eplb=use_eplb,
             n_steps=n_steps,
+            watch_stops=watch_stops,
         )

@@ -46,6 +46,7 @@ class LLM:
         dummy_weights: bool = False,
         seed: int = 0,
         fetch_interval: int = 8,
+        ring_buffers: int = 0,
         speculative: "SpeculativeConfig | dict | None" = None,
         tensor_parallel_size: int = 1,
         data_parallel_size: int = 1,
@@ -143,6 +144,7 @@ class LLM:
             max_model_len=max_model_len,
             seed=seed,
             fetch_interval=fetch_interval,
+            ring_buffers=ring_buffers,
             attention_backend=attention_backend,
             enable_prefix_caching=enable_prefix_caching,
             tensor_parallel_size=tensor_parallel_size,

@@ -1290,6 +1290,11 @@ def run_server(args=None) -> None:
     g = parser.add_argument_group("engine")
     g.add_argument("--fetch-interval", "--multi-step-count", type=int,
                    default=4, dest="fetch_interval")
+    g.add_argument("--ring-buffers", type=int, default=0,
+                   dest="ring_buffers",
+                   help="token-ring pool size (0 = auto): the host may "
+                   "lag the device by N-1 unfetched cycles, overlapping "
+                   "the D2H round trip with dispatch")
     g.add_argument("--attention-backend", default="auto",
                    choices=["auto", "pallas", "jax", "ref"])
     # CUDA-graph era flags: XLA traces+compiles everything up front, so
@@ -1378,6 +1383,7 @@ def run_server(args=None) -> None:
             dummy_weights=ns.dummy_weights or ns.load_format == "dummy",
             seed=ns.seed,
             fetch_interval=ns.fetch_interval,
+            ring_buffers=ns.ring_buffers,
             speculative=speculative,
             tensor_parallel_size=ns.tensor_parallel_size,
             data_parallel_size=ns.data_parallel_size,
