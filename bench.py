@@ -138,8 +138,13 @@ def run_bench(model_cfg, *, concurrency=16, prompt_len=64, gen_len=64,
         return n_tokens, dt
 
     run_round("warmup")  # compile
-    n_tokens, dt = run_round("bench")
-    return n_tokens / dt
+    # best-of-N: single rounds swing ±10% with tunnel/session noise
+    # (docs/perf/r4-decode-attribution.md, same-process A/B evidence)
+    best = 0.0
+    for i in range(int(os.environ.get("BENCH_ROUNDS", "3"))):
+        n_tokens, dt = run_round(f"bench{i}")
+        best = max(best, n_tokens / dt)
+    return best
 
 
 def main():

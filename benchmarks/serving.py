@@ -89,6 +89,8 @@ def drive(eng, reqs, sp_of, label):
     t_arrive, t_tokens, finished = {}, {}, {}
     t0 = time.perf_counter()
     fed = 0
+    debug = os.environ.get("SERVING_DEBUG") == "1"
+    last_dbg = t0
     while fed < len(reqs) or eng.has_unfinished:
         now = time.perf_counter() - t0
         while fed < len(reqs) and reqs[fed][0] <= now:
@@ -102,6 +104,19 @@ def drive(eng, reqs, sp_of, label):
                 t_tokens.setdefault(out.request_id, []).append(now2)
             if out.finished:
                 finished[out.request_id] = now2
+        if debug and time.perf_counter() - last_dbg > 2.0:
+            last_dbg = time.perf_counter()
+            n_tok = sum(len(v) for v in t_tokens.values())
+            print(
+                f"  [dbg {now:6.1f}s] fed={fed} fin={len(finished)} "
+                f"tok={n_tok} cyc={eng._cycle_id}+{eng._cycle_pos} "
+                f"pend_fetch={len(eng._pending_fetches)} "
+                f"in_flight={len(eng._in_flight)} "
+                f"wait={len(eng.scheduler.waiting)} "
+                f"run={len(eng.scheduler.running)} "
+                f"rtt={eng._rtt_est*1e3:.0f}ms",
+                file=sys.stderr, flush=True,
+            )
     makespan = time.perf_counter() - t0
     return t_arrive, t_tokens, finished, makespan
 
@@ -176,6 +191,11 @@ def run_mode(cfg, quant, *, fi, ring_buffers=0, eos=False, label="m"):
             )
         return SamplingParams(max_tokens=GEN_LEN, temperature=0.0, ignore_eos=True)
 
+    # full warm pass over the SAME arrival stream: mixed prefill+decode
+    # batch mixes each compile their own step variant, and a mid-measure
+    # compile costs 20-60 s over the tunnel — the measured pass must see
+    # only warm variants (bench_serving measures serving, not XLA)
+    drive(eng, reqs, sp_of, f"{label}-warm")
     t_arrive, t_tokens, finished, makespan = drive(eng, reqs, sp_of, label)
     useful = None
     if eos:
@@ -212,6 +232,50 @@ def main():
     print(json.dumps({"workload": {"n": N_REQ, "rate_rps": RATE,
                                    "gen_len": GEN_LEN, "model": size},
                       "modes": results}, indent=1))
+    write_bench_detail_section(size, results)
+
+
+def write_bench_detail_section(size, results):
+    """Rewrite the serving section of BENCH_DETAIL.md (marker-delimited)."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_DETAIL.md",
+    )
+    begin, end = "<!-- serving:begin -->", "<!-- serving:end -->"
+    lines = [
+        begin,
+        "",
+        "## Serving realism (benchmarks/serving.py)",
+        "",
+        f"Poisson arrivals {RATE} req/s, {N_REQ} requests, prompts "
+        f"32-192, gen {GEN_LEN}, {size}; `eos` modes stop mid-stream on "
+        "learned stop tokens (measures stop overshoot). Each mode runs a "
+        "full warm pass first (mixed batch-mix variants each compile a "
+        "step; a mid-measure compile is 20-60 s over the tunnel).",
+        "",
+        "| mode | tok/s | goodput | TTFT p50/p95/p99 ms | ITL p50/p95/p99 ms | wasted steps/req |",
+        "|---|---|---|---|---|---|",
+    ]
+    for m, r in results.items():
+        lines.append(
+            f"| {m} | {r['throughput_tok_s']:.0f} | {r['goodput_tok_s']:.0f} "
+            f"| {r['ttft_p50_ms']:.0f}/{r['ttft_p95_ms']:.0f}/{r['ttft_p99_ms']:.0f} "
+            f"| {r['itl_p50_ms']:.1f}/{r['itl_p95_ms']:.1f}/{r['itl_p99_ms']:.1f} "
+            f"| {r['wasted_steps_per_req']:.1f} |"
+        )
+    lines += ["", f"Generated {time.strftime('%Y-%m-%d %H:%M')}.", end]
+    block = "\n".join(lines)
+    try:
+        text = open(path).read()
+    except FileNotFoundError:
+        text = "# BENCH_DETAIL\n"
+    if begin in text and end in text:
+        pre = text.split(begin)[0]
+        post = text.split(end, 1)[1]
+        text = pre + block + post
+    else:
+        text = text.rstrip() + "\n\n" + block + "\n"
+    open(path, "w").write(text)
 
 
 if __name__ == "__main__":

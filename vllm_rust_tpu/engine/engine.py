@@ -348,6 +348,11 @@ class LLMEngine:
 
     @property
     def has_unfinished(self) -> bool:
+        if self._pending_outputs:
+            # outputs parked by a rotation-forced consume: the caller
+            # must step() once more to receive them (else a request's
+            # final STOP output would be silently swallowed)
+            return True
         if self.scheduler.has_work:
             return True
         return any(
@@ -402,7 +407,10 @@ class LLMEngine:
                 self._rotate_rings()
                 self._rotate_asap = False
             for s in decision.scheduled:
-                if s.seq.slot < 0:
+                # rotation may have force-consumed results that FINISHED
+                # this seq (its slot is released); assigning it another
+                # would leak the slot (_dispatch filters it out anyway)
+                if s.seq.finish_reason is None and s.seq.slot < 0:
                     self._assign_slot(s.seq)
             recs = self._dispatch(decision.scheduled)
             self._in_flight.extend(recs)
@@ -584,6 +592,13 @@ class LLMEngine:
         )
 
     def _dispatch(self, scheduled: list[ScheduledSeq]) -> StepRecord:
+        # ring rotation between schedule() and here may force-consume a
+        # pending fetch (pool reuse) whose results FINISH a scheduled
+        # seq (its pages are freed, its overshoot tokens truncated) —
+        # dispatching it would read past its trimmed token list
+        scheduled = [s for s in scheduled if s.seq.finish_reason is None]
+        if not scheduled:
+            return []
         if self._kv_calib_pending and any(
             s.num_tokens > 1 for s in scheduled
         ):
@@ -912,6 +927,13 @@ class LLMEngine:
                 )
             )
         self._cycle_pos += window
+        if any(s.is_final_prompt_chunk for s in scheduled):
+            # a prompt just sampled its FIRST token: close the cycle at
+            # the next step so TTFT pays ~one rotation + RTT instead of
+            # waiting out the remaining fetch_interval (the ring pool
+            # absorbs the extra fetch; at fetch_interval=32 this is the
+            # difference between ~100 ms and ~300+ ms first-token time)
+            self._rotate_asap = True
         return recs
 
     def _fill_mrope(
