@@ -93,3 +93,25 @@ def test_window_eos_one_seq_stops_others_run():
     assert fins["r0"] == FinishReason.STOP
     # the ignore_eos seq decodes its full budget with identical tokens
     assert toks["r1"] == t1
+
+
+def test_window_custom_stop_token_on_device():
+    """Per-seq stop_token_ids are watched ON DEVICE in windows (r4):
+    identical stop semantics, exact tokens, STOP reason."""
+    prompt = [3, 5, 7, 11]
+    model, params, ec = build(eos_id=2)
+    eng = LLMEngine(model, params, ec)
+    sp = SamplingParams(max_tokens=24, temperature=0.0, ignore_eos=True)
+    toks, _ = run(eng, [prompt], [sp])
+    traj = toks["r0"]
+    stop_at = next(i for i in range(5, len(traj)) if traj[i] not in traj[:i])
+    stop_tok = traj[stop_at]
+
+    eng = LLMEngine(model, params, ec)
+    sp = SamplingParams(
+        max_tokens=24, temperature=0.0, ignore_eos=True,
+        stop_token_ids=[stop_tok],
+    )
+    toks, fins = run(eng, [prompt], [sp])
+    assert toks["r0"] == traj[: stop_at + 1]
+    assert fins["r0"] == FinishReason.STOP

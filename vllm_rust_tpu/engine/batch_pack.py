@@ -49,7 +49,7 @@ class PackLayout:
 
     @property
     def page_base(self) -> int:
-        return self.seq_base + 9 * self.s + 1
+        return self.seq_base + 10 * self.s + 1
 
     @property
     def bias_id_base(self) -> int:
@@ -92,7 +92,11 @@ class HostBatch:
         self.top_k = self.buf[sb + 5 * s : sb + 6 * s]
         self.seeds = self.buf[sb + 6 * s : sb + 7 * s].view(np.uint32)
         self.rng_pos = self.buf[sb + 7 * s : sb + 8 * s]
-        self.cu_q_lens = self.buf[sb + 8 * s : sb + 9 * s + 1]
+        # per-seq single stop-token id the DEVICE watches in decode
+        # windows (-1 = none); multi-token stops / stop strings stay
+        # host-side
+        self.watch_stop = self.buf[sb + 8 * s : sb + 9 * s]
+        self.cu_q_lens = self.buf[sb + 9 * s : sb + 10 * s + 1]
         self.page_indices = self.buf[pb : pb + s * p].reshape(s, p)
         bb = L.bias_id_base
         self.bias_ids = self.buf[bb : bb + s * BIAS_SLOTS].reshape(
@@ -113,6 +117,7 @@ class HostBatch:
     def reset(self):
         self.buf.fill(0)
         self.feedback_src.fill(-1)
+        self.watch_stop.fill(-1)
         self.lora_idx.fill(-1)
         self.lp_targets.fill(-1)
         self.bias_ids.fill(-1)
@@ -156,7 +161,7 @@ def unpack_device(meta, layout: PackLayout, p_eff: int | None = None):
         slot_mapping=meta[tb + 3 * t : tb + 4 * t],
         kv_lens=meta[sb : sb + s],
         page_indices=page_indices,
-        cu_q_lens=meta[sb + 8 * s : sb + 9 * s + 1],
+        cu_q_lens=meta[sb + 9 * s : sb + 10 * s + 1],
         num_seqs=meta[1:2],
         positions=positions,
         logits_indices=meta[sb + s : sb + 2 * s],
@@ -190,7 +195,8 @@ def unpack_device(meta, layout: PackLayout, p_eff: int | None = None):
     # in multi-step windows — on-device stop, reference
     # engine/helpers.rs:2746-2795 per-step stop checks)
     watch_eos = meta[sb + 4 * s : sb + 5 * s] == 1
+    watch_stop = meta[sb + 8 * s : sb + 9 * s]  # per-seq stop id, -1=none
     return (
         ring_slot, input_ids, feedback_src, md, si, slot_ids, sample_mask,
-        lora_idx, lp_targets, watch_eos,
+        lora_idx, lp_targets, watch_eos, watch_stop,
     )

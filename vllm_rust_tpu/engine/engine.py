@@ -402,7 +402,10 @@ class LLMEngine:
             # pipeline busy (wave scheduling, VERDICT r2 #5)
             rotate_at = 2 if decision.blocked else self.fetch_interval
             if self._rotate_asap:
-                rotate_at = 1  # a seq stopped mid-window: fetch early
+                # stop / first-token signal: fetch early, but keep the
+                # 2-step floor so arrival-heavy traffic doesn't degrade
+                # into per-step fetches
+                rotate_at = 2
             if self._cycle_pos >= rotate_at:
                 self._rotate_rings()
                 self._rotate_asap = False
@@ -695,10 +698,13 @@ class LLMEngine:
             # tri-state (batch_pack): 2 = ban EOS (min_tokens active),
             # 1 = watch EOS on device (normal stop-at-EOS traffic),
             # 0 = neither (ignore_eos)
-            hb.ban_eos[i] = (
-                2 if seq.num_generated < p.min_tokens
-                else (0 if p.ignore_eos else 1)
-            )
+            banning = seq.num_generated < p.min_tokens
+            hb.ban_eos[i] = 2 if banning else (0 if p.ignore_eos else 1)
+            if p.stop_token_ids and not banning:
+                # the device additionally watches ONE custom stop id per
+                # seq in decode windows; further ids / stop strings
+                # resolve host-side as before
+                hb.watch_stop[i] = p.stop_token_ids[0]
             hb.typical_p[i] = p.typical_p
             use_penalties |= p.uses_penalties
             use_top_filters |= (not p.greedy) and (
@@ -775,6 +781,13 @@ class LLMEngine:
                 mt = p.min_tokens - seq.num_generated
                 if 0 < mt < window:
                     window = max(1, mt)  # ban_eos stays valid all window
+            # quantize DOWN to a power of two: every distinct n_steps is
+            # its own jitted variant (a 36-layer graph, 20-60 s to
+            # compile over the tunnel) — arbitrary 1..W windows near
+            # budget/ring boundaries were compiling mid-serve and
+            # collapsing mixed-traffic throughput (r4 serving bench)
+            while window & (window - 1):
+                window &= window - 1
             if window > 1:
                 # preallocate the window's pages so the device-side slot
                 # lookup never runs off the table
@@ -869,7 +882,11 @@ class LLMEngine:
                 # ignore_eos traffic gets the unrolled fori variant
                 # (cross-step weight-prefetch pipelining)
                 watch_stops=window > 1
-                and any(not s_.seq.params.ignore_eos for s_ in scheduled),
+                and any(
+                    not s_.seq.params.ignore_eos
+                    or s_.seq.params.stop_token_ids
+                    for s_ in scheduled
+                ),
             )
         step_out = list(step_out)
         if window > 1:

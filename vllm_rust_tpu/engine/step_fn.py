@@ -178,6 +178,7 @@ class StepFunction:
             lora_idx,
             lp_targets,
             watch_eos,
+            watch_stop,
         ) = unpack_device(meta, layout, p_bucket)
         s = slot_ids.shape[0]
         k = ring.shape[0]
@@ -275,11 +276,13 @@ class StepFunction:
                 # while_loop exits instead of burning the window's tail.
                 # Host-side stop strings/custom ids still resolve at ring
                 # processing; this covers the model-EOS common case.
-                if eos_ids:
-                    is_eos = jnp.zeros((s,), bool)
-                    for e in eos_ids:
-                        is_eos |= tokens == e
-                    stopped = stopped | (watch_eos & is_eos & real_seq)
+                is_eos = jnp.zeros((s,), bool)
+                for e in eos_ids:
+                    is_eos |= tokens == e
+                hit = (watch_eos & is_eos) | (
+                    (watch_stop >= 0) & (tokens == watch_stop)
+                )
+                stopped = stopped | (hit & real_seq)
                 # evolve next-step metadata ON DEVICE: the next token of
                 # seq j lands at position kv_lens[j]; its page comes from
                 # the device-resident table (host preallocated the window)

@@ -897,10 +897,9 @@ class LlavaNextForConditionalGeneration(VlmBase):
         n = self.tokens_per_image
         g = int(self.vision.num_patches ** 0.5)
         s = self.vision.image_size
-        worst = max(
-            ((h // s) * (w // s), (h // s) * g) for h, w in self.grid_pinpoints
-        )
-        return n + worst[0] * n + worst[1]
+        max_tiles = max((h // s) * (w // s) for h, w in self.grid_pinpoints)
+        max_rows = max((h // s) * g for h, w in self.grid_pinpoints)
+        return n + max_tiles * n + max_rows
 
     def _init_projector(self, rng, scale):
         h_v, h_t = self.vision.hidden_size, self.text_config.hidden_size

@@ -99,6 +99,7 @@ class SpecStepFunction:
             _lora_idx,
             _lp_targets,
             _watch_eos,
+            _watch_stop,
         ) = unpack_device(meta, layout)  # full page width (sync path)
         s = slot_ids.shape[0]
 
