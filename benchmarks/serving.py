@@ -196,13 +196,15 @@ def run_mode(cfg, quant, *, fi, ring_buffers=0, eos=False, label="m"):
     # compile costs 20-60 s over the tunnel — the measured pass must see
     # only warm variants (bench_serving measures serving, not XLA)
     drive(eng, reqs, sp_of, f"{label}-warm")
+    gen_before = eng.stats["generated_tokens"]
     t_arrive, t_tokens, finished, makespan = drive(eng, reqs, sp_of, label)
     useful = None
     if eos:
         useful = {f"{label}-{i}": stop_tok[i][0] + 1 for i in range(len(reqs))}
     stats = summarize(t_arrive, t_tokens, makespan, useful)
     stats["wasted_steps_per_req"] = (
-        (eng.stats["generated_tokens"] - sum(useful.values())) / len(reqs)
+        (eng.stats["generated_tokens"] - gen_before - sum(useful.values()))
+        / len(reqs)
         if eos else 0.0
     )
     del eng

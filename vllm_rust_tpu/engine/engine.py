@@ -238,9 +238,10 @@ class LLMEngine:
         # cycle's rings (continuously-scheduled seqs), so extra depth is
         # free; stale references from preempted/throttled seqs resolve
         # through the host-side ring cache (_resolve_stale_pending).
-        self._num_rings = config.ring_buffers or (
-            6 if self.fetch_interval <= 8 else 3
-        )
+        # 6 deep regardless of interval: early rotations (stops, first
+        # tokens, budget-reached) make short effective cycles common
+        # even at large fetch_interval, and a ring is a few KB
+        self._num_rings = config.ring_buffers or 6
         self._num_rings = max(3, self._num_rings)
         self._rings = [
             _place(jnp.zeros(ring_shape, jnp.int32))
@@ -446,18 +447,25 @@ class LLMEngine:
 
     def _poll_stop_flags(self) -> None:
         """Non-blocking check of per-window on-device stop summaries: a
-        positive count means some watched seq hit EOS mid-window, so the
-        ring should rotate/fetch early instead of decoding out the cycle
-        (stop-overshoot fix; reference checks stops per step in-loop,
-        engine/helpers.rs:2746-2795 — here the check is a device scalar
-        polled without stalling dispatch)."""
+        positive count means some watched seq hit a stop mid-window, so
+        the ring should rotate/fetch early instead of decoding out the
+        cycle (stop-overshoot fix; reference checks stops per step
+        in-loop, engine/helpers.rs:2746-2795). The scalar's D2H still
+        costs a round trip over the tunnel, so it is only read after
+        compute-ready + one RTT of grace — never stalling dispatch."""
+        now = time.monotonic()
         while self._stop_flags:
-            arr = self._stop_flags[0]
+            arr, ready_since = self._stop_flags[0]
             try:
                 if not arr.is_ready():
                     break
             except AttributeError:
                 pass  # non-jax arrays in tests: treat as ready
+            if ready_since is None:
+                self._stop_flags[0] = (arr, now)
+                break
+            if now - ready_since < self._rtt_est:
+                break
             self._stop_flags.popleft()
             if int(np.asarray(arr)[0]) > 0:
                 self._rotate_asap = True
@@ -901,7 +909,7 @@ class LLMEngine:
                     n_stopped.copy_to_host_async()
                 except AttributeError:
                     pass
-                self._stop_flags.append(n_stopped)
+                self._stop_flags.append((n_stopped, None))
         if use_eplb:
             self._eplb_counts = step_out.pop()
         if use_prompt_lps:
@@ -944,12 +952,18 @@ class LLMEngine:
                 )
             )
         self._cycle_pos += window
-        if any(s.is_final_prompt_chunk for s in scheduled):
-            # a prompt just sampled its FIRST token: close the cycle at
-            # the next step so TTFT pays ~one rotation + RTT instead of
-            # waiting out the remaining fetch_interval (the ring pool
-            # absorbs the extra fetch; at fetch_interval=32 this is the
-            # difference between ~100 ms and ~300+ ms first-token time)
+        if any(s.is_final_prompt_chunk for s in scheduled) or any(
+            s.seq.num_generated >= s.seq.params.max_tokens
+            for s in scheduled
+        ):
+            # Close the cycle early (2-step floor) when latency-critical
+            # results were just produced: a prompt's FIRST token (TTFT
+            # pays ~one rotation + RTT instead of the remaining
+            # fetch_interval) or a sequence REACHING its token budget —
+            # finished-but-unfetched seqs hold their slot and pages until
+            # the host processes them, which at fetch_interval=32 starved
+            # admissions and inverted the mixed-traffic throughput curve
+            # (r4 serving bench: fi32 37 tok/s < fi2 129 before this).
             self._rotate_asap = True
         return recs
 
@@ -1360,6 +1374,47 @@ class LLMEngine:
                 ),
             )
         n_variants = 0
+        if variants and self.config.decode_window > 1:
+            # decode-window variants: every power-of-two n_steps the
+            # engine can emit, with and without on-device stop watching
+            # (each is its own jitted step; compiling one mid-serve costs
+            # 20-60 s over the tunnel — r4 serving-bench finding)
+            n0 = min(self.config.token_buckets[0], 8)
+            prompt = [(i % (vocab - 2)) + 1 for i in range(max(n0 - 4, 1))]
+            wtoks = 2 * self.config.decode_window + 2
+            for sp in (
+                SamplingParams(max_tokens=wtoks, temperature=0.0,
+                               ignore_eos=True),
+                SamplingParams(max_tokens=wtoks, temperature=0.0,
+                               ignore_eos=True,
+                               stop_token_ids=[vocab - 1]),
+            ):
+                try:
+                    self.generate([prompt], [sp])
+                    n_variants += 1
+                except Exception as e:
+                    logger.warning("warmup window variant failed: %s", e)
+            # mixed prefill+decode: a long prompt admitted while another
+            # request decodes (decode_only=False at a bigger bucket)
+            try:
+                long_n = min(
+                    self.config.token_buckets[min(1, len(self.config.token_buckets) - 1)],
+                    self.config.max_model_len - 8,
+                )
+                sp_mix = SamplingParams(max_tokens=4, temperature=0.0,
+                                        ignore_eos=True)
+                self.add_request("warm-mix-a", prompt, sp_mix)
+                self.step()
+                self.add_request(
+                    "warm-mix-b",
+                    [(i % (vocab - 2)) + 1 for i in range(max(long_n, 1))],
+                    sp_mix,
+                )
+                while self.has_unfinished:
+                    self.step()
+                n_variants += 1
+            except Exception as e:
+                logger.warning("warmup mixed variant failed: %s", e)
         if variants:
             n0 = min(self.config.token_buckets[0], 8)
             prompt = [(i % (vocab - 2)) + 1 for i in range(max(n0 - 4, 1))]
