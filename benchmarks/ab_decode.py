@@ -36,6 +36,11 @@ def run_backend(spec, cfg, model, params):
 
     parts = spec.split(":")
     backend = parts[0]
+    if backend.endswith("!watch"):
+        backend = backend[:-6]
+        os.environ["VLLM_TPU_FORCE_WATCH"] = "1"
+    else:
+        os.environ.pop("VLLM_TPU_FORCE_WATCH", None)
     window = int(parts[1]) if len(parts) > 1 else int(
         os.environ.get("BENCH_DECODE_WINDOW", "8")
     )

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import contextlib
 import logging
+import os
 import time
 import zlib
 from collections import deque
@@ -889,11 +890,16 @@ class LLMEngine:
                 # only when some scheduled seq actually stops at EOS;
                 # ignore_eos traffic gets the unrolled fori variant
                 # (cross-step weight-prefetch pipelining)
+                # VLLM_TPU_FORCE_WATCH=1: A/B knob for the unrolled
+                # no-watch window variant (benchmarks/ab_decode.py)
                 watch_stops=window > 1
-                and any(
-                    not s_.seq.params.ignore_eos
-                    or s_.seq.params.stop_token_ids
-                    for s_ in scheduled
+                and (
+                    os.environ.get("VLLM_TPU_FORCE_WATCH") == "1"
+                    or any(
+                        not s_.seq.params.ignore_eos
+                        or s_.seq.params.stop_token_ids
+                        for s_ in scheduled
+                    )
                 ),
             )
         step_out = list(step_out)
