@@ -149,7 +149,7 @@ def main():
     )
 
     lines = [
-        "# BENCH_DETAIL — serving latency/throughput detail (r3)",
+        "# BENCH_DETAIL — serving latency/throughput detail (r4)",
         "",
         f"Model geometry: {size} (dummy weights), prompt {PROMPT_LEN}, "
         f"gen {GEN_LEN}, page 16, v5e single chip via the axon tunnel.",
@@ -215,8 +215,16 @@ def main():
     lines.append(f"Generated by benchmarks/detail.py on "
                  f"{time.strftime('%Y-%m-%d %H:%M')} (decode_window="
                  f"{os.environ.get('BENCH_DECODE_WINDOW', '8')}).")
+    # preserve the marker-delimited serving section (benchmarks/serving.py)
+    tail = ""
+    try:
+        prev = open(out).read()
+        if "<!-- serving:begin -->" in prev:
+            tail = "\n" + prev[prev.index("<!-- serving:begin -->"):]
+    except FileNotFoundError:
+        pass
     with open(out, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + tail)
     print("\n".join(lines))
 
 
