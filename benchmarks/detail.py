@@ -115,27 +115,34 @@ def decode_tput(eng) -> float:
     return n / (time.perf_counter() - t0)
 
 
-def mixed_round(eng) -> float:
+def mixed_round(eng, base=300) -> float:
     """Staggered arrivals: 32 requests fed 4-at-a-time as others decode
-    (chunked-prefill + decode interleaving under continuous batching)."""
+    (chunked-prefill + decode interleaving under continuous batching).
+    Runs a warm pass first: each distinct batch mix is its own jitted
+    step variant and a mid-measure compile costs 20-60 s over the
+    tunnel (r4 serving-bench finding)."""
     from vllm_rust_tpu.request import SamplingParams
 
     sp = SamplingParams(max_tokens=32, temperature=0.0, ignore_eos=True)
-    pending = [(f"m-{i}", _prompt(300 + i)) for i in range(32)]
-    n = 0
-    t0 = time.perf_counter()
-    for rid, pr in pending[:4]:
-        eng.add_request(rid, pr, sp)
-    fed = 4
-    while eng.has_unfinished or fed < len(pending):
-        if fed < len(pending) and eng.scheduler.num_unfinished < 16:
-            rid, pr = pending[fed]
+
+    def one_pass(tag):
+        pending = [(f"{tag}-{i}", _prompt(base + i)) for i in range(32)]
+        n = 0
+        t0 = time.perf_counter()
+        for rid, pr in pending[:4]:
             eng.add_request(rid, pr, sp)
-            fed += 1
-        for out in eng.step():
-            n += len(out.new_token_ids)
-    dt = time.perf_counter() - t0
-    return n / dt
+        fed = 4
+        while eng.has_unfinished or fed < len(pending):
+            if fed < len(pending) and eng.scheduler.num_unfinished < 16:
+                rid, pr = pending[fed]
+                eng.add_request(rid, pr, sp)
+                fed += 1
+            for out in eng.step():
+                n += len(out.new_token_ids)
+        return n / (time.perf_counter() - t0)
+
+    one_pass("mw")  # warm: compile the batch-mix variants
+    return one_pass("m")
 
 
 def main():
