@@ -66,7 +66,11 @@ def build_engine(fetch_interval: int, cfg, quant, ring_buffers=0):
         decode_window=int(os.environ.get("BENCH_DECODE_WINDOW", "8")),
         ring_buffers=ring_buffers,
     )
-    return LLMEngine(model, params, ec)
+    eng = LLMEngine(model, params, ec)
+    # boot warmup: window variants (pow2 n_steps x watch/no-watch) and a
+    # mixed prefill+decode shape — serving must not compile mid-measure
+    eng.warmup(gen_tokens=2)
+    return eng
 
 
 def gen_workload(seed=0):
@@ -202,9 +206,12 @@ def run_mode(cfg, quant, *, fi, ring_buffers=0, eos=False, label="m"):
     if eos:
         useful = {f"{label}-{i}": stop_tok[i][0] + 1 for i in range(len(reqs))}
     stats = summarize(t_arrive, t_tokens, makespan, useful)
+    # overshoot = samples the engine resolved minus tokens actually
+    # delivered (post-stop samples are discarded at processing and never
+    # delivered, so the difference IS the wasted decode work)
+    delivered = sum(len(v) for v in t_tokens.values())
     stats["wasted_steps_per_req"] = (
-        (eng.stats["generated_tokens"] - gen_before - sum(useful.values()))
-        / len(reqs)
+        (eng.stats["generated_tokens"] - gen_before - delivered) / len(reqs)
         if eos else 0.0
     )
     del eng

@@ -422,8 +422,14 @@ class LLMEngine:
             self._step_count += len(recs)
             self.stats["num_steps"] += len(recs)
         elif self._in_flight:
-            # nothing schedulable until lagging results are processed
-            outputs.extend(self._flush())
+            # nothing schedulable until lagging results are processed:
+            # consume the OLDEST landed cycle (one bounded wait) rather
+            # than draining every in-flight window — wave-blocked seqs
+            # unblock as soon as their cycle arrives
+            if self._pending_fetches:
+                outputs.extend(self._consume_fetch())
+            else:
+                outputs.extend(self._flush())
         return outputs
 
     def _rotate_rings(self) -> None:
