@@ -181,10 +181,22 @@ def run_mode(cfg, quant, *, fi, ring_buffers=0, eos=False, label="m"):
         while eng.has_unfinished:
             for out in eng.step():
                 traj.setdefault(out.request_id, []).extend(out.new_token_ids)
-        rng = np.random.default_rng(1)
         for i in range(len(reqs)):
-            stop_at = int(rng.integers(8, GEN_LEN - 8))
-            stop_tok[i] = (stop_at, traj[f"p-{i}"][stop_at])
+            t = traj[f"p-{i}"]
+            # the stop must fire AT stop_at: pick a token whose FIRST
+            # occurrence is there (dummy-weight greedy output repeats
+            # heavily; a duplicated value stops at its first occurrence
+            # — an earlier version of this bench measured 1-2 token
+            # requests because of exactly that)
+            stop_at = next(
+                (j for j in range(8, len(t)) if t[j] not in t[:j]),
+                None,
+            )
+            if stop_at is None:
+                stop_at = len(t) - 1  # degenerate: stops at max_tokens
+                stop_tok[i] = (stop_at, -1)
+            else:
+                stop_tok[i] = (stop_at, t[stop_at])
 
     def sp_of(i):
         if eos:

@@ -715,7 +715,11 @@ class LLMEngine:
             # 0 = neither (ignore_eos)
             banning = seq.num_generated < p.min_tokens
             hb.ban_eos[i] = 2 if banning else (0 if p.ignore_eos else 1)
-            if p.stop_token_ids and not banning:
+            if (
+                p.stop_token_ids
+                and not banning
+                and p.stop_token_ids[0] >= 0
+            ):
                 # the device additionally watches ONE custom stop id per
                 # seq in decode windows; further ids / stop strings
                 # resolve host-side as before
