@@ -1410,6 +1410,24 @@ class LLMEngine:
                     n_variants += 1
                 except Exception as e:
                     logger.warning("warmup window variant failed: %s", e)
+            # page-bucket growth: decode windows recompile when the
+            # bucketed page-table width crosses 8 -> 16 -> 32; touch the
+            # widths real contexts will hit (a mid-serve compile of one
+            # of these cost a measured ~24 s stall)
+            ps = self.config.cache.page_size
+            for pages in (12, 24):
+                plen = pages * ps - self.config.decode_window - 4
+                if plen + wtoks + 2 >= self.config.max_model_len:
+                    continue
+                try:
+                    self.generate(
+                        [[(i % (vocab - 2)) + 1 for i in range(plen)]],
+                        [SamplingParams(max_tokens=wtoks, temperature=0.0,
+                                        ignore_eos=True)],
+                    )
+                    n_variants += 1
+                except Exception as e:
+                    logger.warning("warmup page-bucket variant failed: %s", e)
             # mixed prefill+decode: a long prompt admitted while another
             # request decodes (decode_only=False at a bigger bucket)
             try:
