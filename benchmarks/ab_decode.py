@@ -76,9 +76,14 @@ def run_backend(spec, cfg, model, params):
         t0 = time.perf_counter()
         v = round_(f"b{spec.replace(":", "_")}{i}")
         vals.append(v)
+        try:  # decay forensics: device-buffer population per round
+            n_live = len(jax.live_arrays())
+        except Exception:
+            n_live = -1
         print(f"  [{spec}] round {i}: {v:.0f} tok/s "
               f"(rtt_est {eng._rtt_est*1e3:.1f} ms, "
               f"in_flight {len(eng._in_flight)}, "
+              f"live_bufs {n_live}, "
               f"round wall {time.perf_counter()-t0:.2f}s)", flush=True)
     del eng
     import gc

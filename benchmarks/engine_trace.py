@@ -6,6 +6,10 @@ time is known from stepprof.py; the delta to bench.py's tok/s lives in
 the host loop, and this prints it per phase.
 
 Run: python benchmarks/engine_trace.py   (TPU; reuses bench compile cache)
+     SERVING=1 python benchmarks/engine_trace.py
+        — drive the serving bench's Poisson fi8 workload instead of the
+        closed batch, with per-dispatch-kind attribution (mixed vs
+        window sizes, rotations, fetch blocking): VERDICT r4 #2.
 """
 
 from __future__ import annotations
@@ -52,20 +56,35 @@ def main():
         fetch_interval=int(os.environ.get("BENCH_FETCH_INTERVAL", "32")),
         decode_window=int(os.environ.get("BENCH_DECODE_WINDOW", "8")),
     )
+    serving = os.environ.get("SERVING") == "1"
+    if serving:
+        ec.fetch_interval = int(os.environ.get("BENCH_FETCH_INTERVAL", "8"))
     eng = LLMEngine(model, params, ec)
 
     # instrument: wrap _dispatch and _consume_fetch with timers
     timers = {"dispatch": 0.0, "fetch_block": 0.0, "step_other": 0.0,
-              "n_dispatch": 0, "n_steps": 0, "n_fetches": 0}
+              "n_dispatch": 0, "n_steps": 0, "n_fetches": 0,
+              "n_rotations": 0}
+    by_kind: dict[str, list[float]] = {}
     orig_dispatch = eng._dispatch
     orig_consume = eng._consume_fetch
+    orig_rotate = eng._rotate_rings
 
     def timed_dispatch(scheduled):
         t0 = time.perf_counter()
         recs = orig_dispatch(scheduled)
-        timers["dispatch"] += time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        timers["dispatch"] += dt
         timers["n_dispatch"] += 1
         timers["n_steps"] += len(recs)
+        if scheduled:
+            if all(s.num_tokens == 1 for s in scheduled):
+                kind = f"decode_w{len(recs)}"
+            elif any(s.num_tokens == 1 for s in scheduled):
+                kind = "mixed"
+            else:
+                kind = "prefill"
+            by_kind.setdefault(kind, []).append(dt)
         return recs
 
     def timed_consume():
@@ -75,8 +94,13 @@ def main():
         timers["n_fetches"] += 1
         return out
 
+    def counted_rotate():
+        timers["n_rotations"] += 1
+        return orig_rotate()
+
     eng._dispatch = timed_dispatch
     eng._consume_fetch = timed_consume
+    eng._rotate_rings = counted_rotate
 
     def run_round(tag, n=16, gen=64):
         sp = SamplingParams(max_tokens=gen, temperature=0.0, ignore_eos=True)
@@ -95,10 +119,33 @@ def main():
         dt = time.perf_counter() - t0
         return n_tok, dt, n_step_calls
 
-    run_round("warmup")  # compile
-    for k in timers:
-        timers[k] = 0 if isinstance(timers[k], int) else 0.0
-    n_tok, dt, n_calls = run_round("bench")
+    def run_poisson(tag):
+        """The serving bench's fi8 Poisson stream (seeded identically)."""
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import serving as serving_mod
+        from vllm_rust_tpu.request import SamplingParams
+
+        reqs = serving_mod.gen_workload()
+        sp_of = lambda i: SamplingParams(  # noqa: E731
+            max_tokens=serving_mod.GEN_LEN, temperature=0.0, ignore_eos=True
+        )
+        _, t_tokens, _, makespan = serving_mod.drive(eng, reqs, sp_of, tag)
+        n_tok = sum(len(v) for v in t_tokens.values())
+        return n_tok, makespan, 0
+
+    if serving:
+        eng.warmup(gen_tokens=2)
+        run_poisson("warmup")  # compile every batch-mix variant
+        for k in timers:
+            timers[k] = 0 if isinstance(timers[k], int) else 0.0
+        by_kind.clear()
+        n_tok, dt, n_calls = run_poisson("bench")
+    else:
+        run_round("warmup")  # compile
+        for k in timers:
+            timers[k] = 0 if isinstance(timers[k], int) else 0.0
+        by_kind.clear()
+        n_tok, dt, n_calls = run_round("bench")
     print(f"tok/s            : {n_tok/dt:.0f}  ({n_tok} tokens in {dt*1e3:.0f} ms)")
     print(f"step() calls     : {n_calls}; dispatches {timers['n_dispatch']} "
           f"covering {timers['n_steps']} device steps")
@@ -109,7 +156,15 @@ def main():
     print(f"other loop time  : {(dt - timers['dispatch'] - timers['fetch_block'])*1e3:.1f} ms")
     print(f"device steps/s   : {timers['n_steps']/dt:.1f} -> "
           f"{timers['n_steps'] and dt/timers['n_steps']*1e3:.2f} ms/step incl. gaps")
+    print(f"rotations        : {timers['n_rotations']} "
+          f"({timers['n_steps']/max(timers['n_rotations'],1):.1f} steps/cycle)")
     print(f"rtt_est          : {eng._rtt_est*1e3:.1f} ms; rings {eng._num_rings}")
+    if by_kind:
+        print("dispatch kinds:")
+        for kind in sorted(by_kind):
+            xs = by_kind[kind]
+            print(f"  {kind:12s}: n={len(xs):4d}  host total "
+                  f"{sum(xs)*1e3:7.1f} ms  mean {sum(xs)/len(xs)*1e3:6.2f} ms")
 
 
 if __name__ == "__main__":

@@ -222,9 +222,11 @@ def run_mode(cfg, quant, *, fi, ring_buffers=0, eos=False, label="m"):
     # delivered (post-stop samples are discarded at processing and never
     # delivered, so the difference IS the wasted decode work)
     delivered = sum(len(v) for v in t_tokens.values())
+    # only eos modes MEASURE overshoot; non-eos modes report n/a (NaN),
+    # not a flattering 0.0 (VERDICT r4 weak #4)
     stats["wasted_steps_per_req"] = (
         (eng.stats["generated_tokens"] - gen_before - delivered) / len(reqs)
-        if eos else 0.0
+        if eos else float("nan")
     )
     del eng
     import gc
@@ -278,11 +280,13 @@ def write_bench_detail_section(size, results):
         "|---|---|---|---|---|---|",
     ]
     for m, r in results.items():
+        w = r["wasted_steps_per_req"]
+        wasted = "n/a" if w != w else f"{w:.1f}"  # NaN = not measured
         lines.append(
             f"| {m} | {r['throughput_tok_s']:.0f} | {r['goodput_tok_s']:.0f} "
             f"| {r['ttft_p50_ms']:.0f}/{r['ttft_p95_ms']:.0f}/{r['ttft_p99_ms']:.0f} "
             f"| {r['itl_p50_ms']:.1f}/{r['itl_p95_ms']:.1f}/{r['itl_p99_ms']:.1f} "
-            f"| {r['wasted_steps_per_req']:.1f} |"
+            f"| {wasted} |"
         )
     lines += ["", f"Generated {time.strftime('%Y-%m-%d %H:%M')}.", end]
     block = "\n".join(lines)

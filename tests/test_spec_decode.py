@@ -420,3 +420,53 @@ def test_eagle_checkpoint_loading():
     assert mp["eh_proj"]["weight"].shape == (2 * h, h)
     assert float(mp["norm"][0]) == 4.0
     assert mp["lm_head"]["weight"].shape == (h, dmc.vocab_size)
+
+
+def _eos_of(prompt):
+    """The token a greedy tiny model repeats (used as a synthetic EOS)."""
+    toks = run_greedy(build(False), prompt, n=4)
+    return toks[0]
+
+
+def _build_with_eos(spec: bool, eos: int):
+    mc = tiny_llama_config()
+    mc.eos_token_id = eos
+    cfg = EngineConfig(
+        model=mc,
+        cache=CacheConfig(num_pages=32, page_size=16),
+        scheduler=SchedulerConfig(max_num_seqs=4, max_tokens_per_step=64),
+        max_model_len=128,
+        token_buckets=(16, 32, 64),
+    )
+    model = from_config(mc, dtype=jnp.float32)
+    params = model.init_params(jax.random.PRNGKey(0))
+    if spec:
+        return SpecLLMEngine(
+            model, params, cfg, proposer=NgramProposer(num_draft_tokens=3)
+        )
+    return LLMEngine(model, params, cfg)
+
+
+def test_min_tokens_bans_eos_normal_and_spec():
+    """min_tokens must ban EOS for at least min_tokens positions in BOTH
+    engines (ADVICE r4 #1: the spec engine wrote boolean ban_eos after
+    the field became tri-state, silently unbanning position 0)."""
+    prompt = [1, 2, 3, 4]
+    eos = _eos_of(prompt)
+    for spec in (False, True):
+        # without min_tokens: greedy emits the repeated token and stops
+        base = _build_with_eos(spec, eos).generate(
+            [prompt], SamplingParams(max_tokens=16, temperature=0.0)
+        )[0]
+        assert len(base.token_ids) < 8, (spec, base.token_ids)
+        out = _build_with_eos(spec, eos).generate(
+            [prompt],
+            SamplingParams(max_tokens=16, temperature=0.0, min_tokens=8),
+        )[0]
+        assert len(out.token_ids) >= 8, (
+            f"spec={spec}: min_tokens=8 violated: {out.token_ids}"
+        )
+        assert eos not in out.token_ids[:7], (
+            f"spec={spec}: EOS emitted inside the banned window: "
+            f"{out.token_ids}"
+        )

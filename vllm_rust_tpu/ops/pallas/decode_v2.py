@@ -38,10 +38,11 @@ Reference counterpart: paged_attention.cu V2's partitioned decode
 (crates/core/kernels/paged_attention.cu:1-1199) — re-thought for the MXU:
 batched [S*G, span] dots instead of a warp-per-sequence layout.
 
-Covers GQA/MQA, length masking, sliding window, logit softcap, fp8/int8
-KV static scales (scalar scales fold into scores/output, so quantized
-pools skip the per-element dequant). Sinks/ALiBi and non-128-multiple
-head dims route to the in-house ragged kernel (ops/paged_attention.py).
+Covers GQA/MQA, length masking, sliding window, logit softcap. The
+k_scale/v_scale hooks exist for quantized pools, but supports() gates on
+16/32-bit KV dtypes (1-byte pools would need packed strided loads), so
+fp8/int8 KV currently routes to the in-house ragged kernel along with
+sinks/ALiBi and non-128-multiple head dims (ops/paged_attention.py).
 """
 
 from __future__ import annotations
@@ -132,7 +133,13 @@ def _kernel(
             o_ref[kh] = q_ref[kh]
         return
 
-    start_dma(0, 0)
+    # n_chunks can be 0 in direct/test calls (all kv_lens zero): an
+    # unconditional start here would leave the DMA semaphore unconsumed
+    # at kernel exit (the fori_loop below never waits it) — undefined
+    # behavior in Mosaic
+    @pl.when(n_chunks > 0)
+    def _first():
+        start_dma(0, 0)
 
     row_seq = jax.lax.broadcasted_iota(jnp.int32, (sg, 1), 0) // g  # [SG,1]
 

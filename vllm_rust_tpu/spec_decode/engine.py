@@ -252,7 +252,9 @@ class SpecLLMEngine(LLMEngine):
             hb.frequency_penalty[i] = p.frequency_penalty
             hb.seeds[i] = self._seq_seed(seq)
             hb.rng_pos[i] = seq.total_len
-            hb.ban_eos[i] = seq.num_generated < p.min_tokens
+            # tri-state (batch_pack): 2 = ban EOS; spec decode never uses
+            # the device EOS-watch (1), so 0 otherwise
+            hb.ban_eos[i] = 2 if seq.num_generated < p.min_tokens else 0
             ban_rem[i] = max(0, p.min_tokens - seq.num_generated)
             if not is_final_chunk and not is_decode:
                 # non-final prefill chunk: the draft module's next-token
@@ -318,7 +320,7 @@ class SpecLLMEngine(LLMEngine):
             hb.min_p[r] = p.min_p
             hb.seeds[r] = self._seq_seed(seq)
             hb.rng_pos[r] = seq.total_len
-            hb.ban_eos[r] = seq.num_generated < p.min_tokens
+            hb.ban_eos[r] = 2 if seq.num_generated < p.min_tokens else 0
             ban_rem[r] = max(0, p.min_tokens - seq.num_generated)
             tree_alt.setdefault(i, []).append((r, nd))
             self.stats["draft_tokens"] += nd
