@@ -119,7 +119,9 @@ def run_bench(model_cfg, *, concurrency=16, prompt_len=64, gen_len=64,
         # (~25 ms over the tunnel) over 32 steps — +11% measured vs 8.
         # Latency-sensitive serving keeps the smaller CLI default.
         fetch_interval=int(os.environ.get("BENCH_FETCH_INTERVAL", "32")),
-        decode_window=int(os.environ.get("BENCH_DECODE_WINDOW", "8")),
+        # window 16 beats 8 by ~6% in same-process A/B (r5: fewer
+        # dispatch boundaries; docs/perf/r5 attribution)
+        decode_window=int(os.environ.get("BENCH_DECODE_WINDOW", "16")),
         attention_backend=os.environ.get("BENCH_ATTENTION_BACKEND", "auto"),
     )
     eng = LLMEngine(model, params, cfg)

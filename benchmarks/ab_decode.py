@@ -85,6 +85,15 @@ def run_backend(spec, cfg, model, params):
               f"in_flight {len(eng._in_flight)}, "
               f"live_bufs {n_live}, "
               f"round wall {time.perf_counter()-t0:.2f}s)", flush=True)
+    if os.environ.get("AB_DELETE") == "1":
+        # decay forensics: explicitly free this engine's device state
+        # before the next engine allocates, so the server-side allocator
+        # sees the HBM back immediately (GC timing otherwise decides)
+        for arr in [*eng.kv_pages, *eng._rings, eng.token_counts]:
+            try:
+                arr.delete()
+            except Exception:
+                pass
     del eng
     import gc
     gc.collect()

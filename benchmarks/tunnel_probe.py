@@ -4,16 +4,8 @@ The r4 xprof attribution blamed 23% device IDLE on "dispatch-boundary
 serialization": host transfer RPCs (packed-meta H2D, ring D2H) queueing
 against in-flight executions. This probe measures the semantics
 directly so the engine fix targets the real behavior instead of a
-guess:
-
-  1. H2D latency with an idle device (baseline).
-  2. H2D latency issued WHILE a long execution is in flight — if the
-     client blocks until the device drains, the delta is the in-flight
-     execution's remaining time (the serialization hypothesis).
-  3. Same, from a separate thread (does the GIL/client allow overlap?).
-  4. Execute-enqueue latency while another execution is in flight (can
-     the host run ahead of the device at all?).
-  5. D2H (np.asarray of a device array produced by in-flight compute).
+guess. All synchronization is via tiny D2H fetches (np.asarray) —
+block_until_ready returns early over this tunnel (r3 finding).
 
 Run: python benchmarks/tunnel_probe.py   (needs the TPU chip)
 """
@@ -38,14 +30,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 @jax.jit
 def heavy(x):
-    # ~40 chained 4k matmuls: long enough (~100 ms) to race RPCs against
+    # chained 4k matmuls, long enough (~tens of ms) to race RPCs against
     for _ in range(40):
         x = jnp.tanh(x @ x) * 0.5 + x * 0.5
-    return x
+    return x[:1, :1]  # tiny output: fetch = sync, negligible D2H payload
 
 
 def ms(t):
-    return f"{t * 1e3:7.2f} ms"
+    return f"{t * 1e3:8.2f} ms"
 
 
 def main():
@@ -55,83 +47,93 @@ def main():
                     jnp.bfloat16)
     meta = np.zeros(1024, np.int32)  # the packed-meta H2D analogue (4 KB)
 
-    y = heavy(x)
-    y.block_until_ready()  # warm compile
+    np.asarray(heavy(x))  # warm compile
+    # exec+fetch wall and pure-RTT baseline
     t0 = time.perf_counter()
     y = heavy(x)
-    y.block_until_ready()
-    exec_time = time.perf_counter() - t0
-    print(f"heavy() device time          : {ms(exec_time)}")
-
-    # 1. idle H2D
-    for _ in range(3):
-        jnp.asarray(meta).block_until_ready()
+    np.asarray(y)
+    exec_fetch = time.perf_counter() - t0
     t0 = time.perf_counter()
-    a = jnp.asarray(meta)
-    t_enq = time.perf_counter() - t0
-    a.block_until_ready()
-    t_done = time.perf_counter() - t0
-    print(f"H2D idle: enqueue {ms(t_enq)}  landed {ms(t_done)}")
+    np.asarray(y)  # already materialized: pure D2H round trip
+    rtt = time.perf_counter() - t0
+    exec_time = exec_fetch - rtt
+    print(f"exec+fetch {ms(exec_fetch)}   rtt {ms(rtt)}   "
+          f"=> exec ~{ms(exec_time)}")
 
-    # 2. H2D while compute in flight
-    y = heavy(x)
-    time.sleep(0.005)
+    # host-side cost of one H2D, idle device
     t0 = time.perf_counter()
     a = jnp.asarray(meta)
-    t_enq = time.perf_counter() - t0
-    a.block_until_ready()
-    t_done = time.perf_counter() - t0
-    y.block_until_ready()
-    print(f"H2D in-flight: enqueue {ms(t_enq)}  landed {ms(t_done)}"
-          f"   (exec was {ms(exec_time)})")
+    h2d_idle_enq = time.perf_counter() - t0
+    np.asarray(a)
 
-    # 3. H2D from a thread while compute in flight
+    # host-side cost of one H2D while heavy runs
+    y = heavy(x)
+    time.sleep(0.002)
+    t0 = time.perf_counter()
+    a = jnp.asarray(meta)
+    h2d_busy_enq = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(a)  # when does the transfer LAND relative to the exec?
+    h2d_busy_land = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(y)
+    rest = time.perf_counter() - t0
+    print(f"H2D enqueue: idle {ms(h2d_idle_enq)}  busy {ms(h2d_busy_enq)}")
+    print(f"H2D while busy: fetch-of-meta blocked {ms(h2d_busy_land)}; "
+          f"exec remainder after {ms(rest)}")
+    print("  (if blocked ~exec time: transfers serialize behind executions)")
+
+    # back-to-back executes, no H2D between: pipeline wall
+    t0 = time.perf_counter()
+    y1 = heavy(x)
+    y2 = heavy(x)
+    np.asarray(y2)
+    wall2 = time.perf_counter() - t0
+    # with an H2D + fresh np buffer between (the engine window boundary)
+    t0 = time.perf_counter()
+    y1 = heavy(x)
+    a = jnp.asarray(meta.copy())
+    y2 = heavy(x)
+    np.asarray(y2)
+    wall2_h2d = time.perf_counter() - t0
+    # with a D2H of y1 between (the ring-fetch boundary)
+    t0 = time.perf_counter()
+    y1 = heavy(x)
+    y2 = heavy(x)
+    np.asarray(y1)
+    t_mid = time.perf_counter() - t0
+    np.asarray(y2)
+    wall2_d2h = time.perf_counter() - t0
+    print(f"2x exec wall: bare {ms(wall2)}  +H2D {ms(wall2_h2d)}  "
+          f"+D2H-of-first {ms(wall2_d2h)} (first landed at {ms(t_mid)})")
+
+    # how far ahead can the host run? dispatch 8 executes, time each enqueue
+    enq = []
+    t_start = time.perf_counter()
+    ys = []
+    for i in range(8):
+        t0 = time.perf_counter()
+        ys.append(heavy(x))
+        enq.append(time.perf_counter() - t0)
+    np.asarray(ys[-1])
+    wall8 = time.perf_counter() - t_start
+    print(f"8x exec: enqueues {' '.join(f'{e*1e3:.1f}' for e in enq)} ms; "
+          f"wall {ms(wall8)} (8x exec = {ms(8 * exec_time)})")
+
+    # threaded H2D while busy (does a dispatch thread help?)
     res = {}
 
     def put():
         t0 = time.perf_counter()
-        a = jnp.asarray(meta)
+        a = jnp.asarray(meta.copy())
         res["enq"] = time.perf_counter() - t0
-        a.block_until_ready()
-        res["done"] = time.perf_counter() - t0
 
     y = heavy(x)
-    time.sleep(0.005)
     th = threading.Thread(target=put)
-    t0 = time.perf_counter()
     th.start()
     th.join()
-    y.block_until_ready()
-    print(f"H2D threaded in-flight: enqueue {ms(res['enq'])}  "
-          f"landed {ms(res['done'])}")
-
-    # 4. enqueue a second execution while the first runs
-    y1 = heavy(x)
-    time.sleep(0.005)
-    t0 = time.perf_counter()
-    y2 = heavy(x)
-    t_enq = time.perf_counter() - t0
-    y2.block_until_ready()
-    t_done = time.perf_counter() - t0
-    print(f"execute while in-flight: enqueue {ms(t_enq)}  both done "
-          f"{ms(t_done)}  (2x exec = {ms(2 * exec_time)})")
-
-    # 5. D2H of the in-flight result (the ring-fetch analogue)
-    y1 = heavy(x)
-    t0 = time.perf_counter()
-    _ = np.asarray(y1[:1, :256])
-    print(f"D2H of in-flight result      : {ms(time.perf_counter() - t0)}")
-
-    # 6. chained dispatches with one H2D in between (the engine's window
-    # boundary shape): does the H2D delay the second execution?
-    y1 = heavy(x)
-    a = jnp.asarray(meta)
-    y2 = heavy(x)
-    t0 = time.perf_counter()
-    y2.block_until_ready()
-    t_pipeline = time.perf_counter() - t0
-    print(f"exec,H2D,exec pipeline drain : {ms(t_pipeline)} "
-          f"(2x exec = {ms(2 * exec_time)}; bigger gap = H2D barrier)")
+    np.asarray(y)
+    print(f"threaded H2D enqueue while busy: {ms(res['enq'])}")
 
 
 if __name__ == "__main__":

@@ -803,20 +803,40 @@ class LLMEngine:
                      or use_prompt_lps or use_eplb)
             and self.multihost is None
         ):
-            window = min(
+            hard = min(
                 self.config.decode_window,
                 self.fetch_interval - self._cycle_pos,  # ring room
             )
+            soft = hard
             for s_ in scheduled:
                 seq = s_.seq
                 p = seq.params
-                window = min(window, p.max_tokens - seq.num_generated + 1)
-                window = min(
-                    window, self.config.max_model_len - seq.total_len + 1
+                # max_tokens is a SOFT cap: overshoot steps are discarded
+                # at processing (LENGTH truncation), so the window may
+                # round up past it when that saves dispatch boundaries
+                soft = min(soft, p.max_tokens - seq.num_generated + 1)
+                # model_len / min_tokens caps are HARD: page tables end
+                # at max_model_len, and ban_eos must stay valid all window
+                hard = min(
+                    hard, self.config.max_model_len - seq.total_len + 1
                 )
                 mt = p.min_tokens - seq.num_generated
-                if 0 < mt < window:
-                    window = max(1, mt)  # ban_eos stays valid all window
+                if 0 < mt < hard:
+                    hard = max(1, mt)
+            window = min(hard, soft)
+            if 1 < window < hard and (window & (window - 1)):
+                # Budget-bound non-pow2 remainder: quantizing DOWN emits
+                # a descending dispatch ramp (e.g. 15 -> 8,4,2,1 = 4
+                # dispatch boundaries at ~7 ms each, r5 engine trace);
+                # rounding UP runs (c - window) overshoot steps (~6.6 ms
+                # each, results discarded at LENGTH truncation) in ONE
+                # dispatch. Round up when the waste costs less than the
+                # boundaries it removes.
+                c = 1 << window.bit_length()
+                waste = c - window
+                saved = bin(window).count("1") - 1
+                if c <= hard and waste <= saved:
+                    window = c
             # quantize DOWN to a power of two: every distinct n_steps is
             # its own jitted variant (a 36-layer graph, 20-60 s to
             # compile over the tunnel) — arbitrary 1..W windows near
