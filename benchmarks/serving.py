@@ -37,7 +37,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import bench as bench_mod
 
 N_REQ = int(os.environ.get("SERVING_N", "48"))
-RATE = float(os.environ.get("SERVING_RATE", "8.0"))  # req/s
+RATES = [float(r) for r in os.environ.get("SERVING_RATES", os.environ.get("SERVING_RATE", "8")).split(",")]
 GEN_LEN = 48
 MAX_SEQS = 16
 
@@ -73,10 +73,10 @@ def build_engine(fetch_interval: int, cfg, quant, ring_buffers=0):
     return eng
 
 
-def gen_workload(seed=0):
+def gen_workload(rate=8.0, seed=0):
     """Deterministic Poisson stream: (arrival_s, prompt, max_tokens)."""
     rng = np.random.default_rng(seed)
-    arrivals = np.cumsum(rng.exponential(1.0 / RATE, N_REQ))
+    arrivals = np.cumsum(rng.exponential(1.0 / rate, N_REQ))
     reqs = []
     for i in range(N_REQ):
         plen = int(rng.choice([32, 64, 128, 192]))
@@ -132,7 +132,9 @@ def pct(xs, p):
 
 
 def summarize(t_arrive, t_tokens, makespan, useful_limit=None):
-    ttfts, itls = [], []
+    from vllm_rust_tpu.engine.pacing import paced_times
+
+    ttfts, itls, itls_paced = [], [], []
     n_tok = 0
     n_useful = 0
     for rid, times in t_tokens.items():
@@ -140,6 +142,17 @@ def summarize(t_arrive, t_tokens, makespan, useful_limit=None):
             continue
         ttfts.append(times[0] - t_arrive[rid])
         itls.extend(b - a for a, b in zip(times, times[1:]))
+        # paced delivery: what a streaming client sees through the SSE
+        # pacer (engine/pacing.py — the PRODUCTION policy replayed over
+        # this request's recorded burst timeline, not a reimplementation)
+        bursts = []
+        for t in times:
+            if bursts and t == bursts[-1][0]:
+                bursts[-1][1] += 1
+            else:
+                bursts.append([t, 1])
+        pt = paced_times([(t, n) for t, n in bursts])
+        itls_paced.extend(b - a for a, b in zip(pt, pt[1:]))
         n_tok += len(times)
         if useful_limit is not None:
             n_useful += min(len(times), useful_limit[rid])
@@ -154,14 +167,23 @@ def summarize(t_arrive, t_tokens, makespan, useful_limit=None):
         "itl_p50_ms": pct(itls, 50) * 1e3,
         "itl_p95_ms": pct(itls, 95) * 1e3,
         "itl_p99_ms": pct(itls, 99) * 1e3,
+        "itl_paced_p50_ms": pct(itls_paced, 50) * 1e3,
+        "itl_paced_p95_ms": pct(itls_paced, 95) * 1e3,
     }
 
 
-def run_mode(cfg, quant, *, fi, ring_buffers=0, eos=False, label="m"):
+_ENGINES = {}
+
+
+def run_mode(cfg, quant, *, fi, ring_buffers=0, eos=False, label="m",
+             rate=8.0):
     from vllm_rust_tpu.request import SamplingParams
 
-    eng = build_engine(fi, cfg, quant, ring_buffers)
-    reqs = gen_workload()
+    key = (fi, ring_buffers)
+    if key not in _ENGINES:
+        _ENGINES[key] = build_engine(fi, cfg, quant, ring_buffers)
+    eng = _ENGINES[key]
+    reqs = gen_workload(rate)
 
     # warmup: compile the shapes this stream will hit
     sp = SamplingParams(max_tokens=GEN_LEN, temperature=0.0, ignore_eos=True)
@@ -228,9 +250,6 @@ def run_mode(cfg, quant, *, fi, ring_buffers=0, eos=False, label="m"):
         (eng.stats["generated_tokens"] - gen_before - delivered) / len(reqs)
         if eos else float("nan")
     )
-    del eng
-    import gc
-    gc.collect()
     return stats
 
 
@@ -244,15 +263,27 @@ def main():
         else bench_mod.qwen3_small_config()
     )
     modes = os.environ.get("SERVING_MODES", "fi2,fi8,fi8eos,fi32").split(",")
+    # load sweep (VERDICT r4 weak #3 / next #8): the full mode set runs
+    # at the max rate; the sweep modes (default fi8) run at every rate so
+    # the table exposes the knee (max sustainable rate at TTFT SLO)
+    sweep_modes = os.environ.get("SERVING_SWEEP", "fi8").split(",")
     results = {}
-    for m in modes:
-        eos = m.endswith("eos")
-        fi = int(m.removesuffix("eos")[2:])
-        print(f"[serving] mode {m} ...", file=sys.stderr, flush=True)
-        results[m] = run_mode(cfg, quant, fi=fi, eos=eos, label=m)
-        print(f"[serving] {m}: {json.dumps(results[m])}", file=sys.stderr,
-              flush=True)
-    print(json.dumps({"workload": {"n": N_REQ, "rate_rps": RATE,
+    for rate in RATES:
+        for m in modes:
+            if rate != max(RATES) and m not in sweep_modes:
+                continue
+            eos = m.endswith("eos")
+            fi = int(m.removesuffix("eos")[2:])
+            key = f"{m}@r{rate:g}"
+            print(f"[serving] mode {key} ...", file=sys.stderr, flush=True)
+            results[key] = run_mode(
+                cfg, quant, fi=fi, eos=eos, label=key.replace("@", "-"),
+                rate=rate,
+            )
+            results[key]["rate"] = rate
+            print(f"[serving] {key}: {json.dumps(results[key])}",
+                  file=sys.stderr, flush=True)
+    print(json.dumps({"workload": {"n": N_REQ, "rates_rps": RATES,
                                    "gen_len": GEN_LEN, "model": size},
                       "modes": results}, indent=1))
     write_bench_detail_section(size, results)
@@ -270,24 +301,45 @@ def write_bench_detail_section(size, results):
         "",
         "## Serving realism (benchmarks/serving.py)",
         "",
-        f"Poisson arrivals {RATE} req/s, {N_REQ} requests, prompts "
-        f"32-192, gen {GEN_LEN}, {size}; `eos` modes stop mid-stream on "
-        "learned stop tokens (measures stop overshoot). Each mode runs a "
-        "full warm pass first (mixed batch-mix variants each compile a "
-        "step; a mid-measure compile is 20-60 s over the tunnel).",
+        f"Poisson arrivals (rates {RATES} req/s), {N_REQ} requests, "
+        f"prompts 32-192, gen {GEN_LEN}, {size}; `eos` modes stop "
+        "mid-stream on learned stop tokens (measures stop overshoot). "
+        "Each mode runs a full warm pass first (mixed batch-mix variants "
+        "each compile a step; a mid-measure compile is 20-60 s over the "
+        "tunnel). `ITL paced` is the stream a paced SSE client observes "
+        "(engine/pacing.py replayed over the recorded burst timeline); "
+        "`ITL` is raw host delivery (ring-cycle bursts).",
         "",
-        "| mode | tok/s | goodput | TTFT p50/p95/p99 ms | ITL p50/p95/p99 ms | wasted steps/req |",
-        "|---|---|---|---|---|---|",
+        "| mode | rate | tok/s | goodput | TTFT p50/p95/p99 ms | ITL p50/p95/p99 ms | ITL paced p50/p95 ms | wasted steps/req |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for m, r in results.items():
         w = r["wasted_steps_per_req"]
         wasted = "n/a" if w != w else f"{w:.1f}"  # NaN = not measured
         lines.append(
-            f"| {m} | {r['throughput_tok_s']:.0f} | {r['goodput_tok_s']:.0f} "
+            f"| {m} | {r.get('rate', '?'):g} "
+            f"| {r['throughput_tok_s']:.0f} | {r['goodput_tok_s']:.0f} "
             f"| {r['ttft_p50_ms']:.0f}/{r['ttft_p95_ms']:.0f}/{r['ttft_p99_ms']:.0f} "
             f"| {r['itl_p50_ms']:.1f}/{r['itl_p95_ms']:.1f}/{r['itl_p99_ms']:.1f} "
+            f"| {r['itl_paced_p50_ms']:.1f}/{r['itl_paced_p95_ms']:.1f} "
             f"| {wasted} |"
         )
+    # knee: max rate whose TTFT p95 meets the 2 s SLO, per swept mode
+    by_mode = {}
+    for key, r in results.items():
+        m = key.split("@")[0]
+        by_mode.setdefault(m, []).append(r)
+    knees = []
+    for m, rs in by_mode.items():
+        ok = [r["rate"] for r in rs if r["ttft_p95_ms"] < 2000]
+        if len(rs) > 1:
+            knees.append(
+                f"{m}: max sustainable rate at TTFT p95 < 2 s = "
+                f"{max(ok):g} req/s" if ok else f"{m}: no tested rate meets "
+                "the 2 s TTFT SLO"
+            )
+    if knees:
+        lines += ["", "Knee (load sweep): " + "; ".join(knees)]
     lines += ["", f"Generated {time.strftime('%Y-%m-%d %H:%M')}.", end]
     block = "\n".join(lines)
     try:

@@ -65,8 +65,16 @@ class AsyncLLMEngine:
         priority: int = 0,
         images: list | None = None,
         video: list | None = None,
+        paced: bool = False,
     ) -> AsyncIterator[RequestOutput]:
-        """Yields RequestOutput deltas; the final one has finished=True."""
+        """Yields RequestOutput deltas; the final one has finished=True.
+
+        ``paced``: smooth ring-cycle token bursts into per-token flushes
+        (engine/pacing.py) — the SSE endpoints enable this so streaming
+        clients see steady deltas instead of one lump per fetch cycle
+        (reference api/streaming.rs per-token deltas). Sleeps are cut
+        short the moment a newer burst arrives, so completion time is
+        unchanged."""
         request_id = request_id or f"req-{uuid.uuid4().hex[:16]}"
         q: asyncio.Queue = asyncio.Queue()
         self._streams[request_id] = q
@@ -90,14 +98,34 @@ class AsyncLLMEngine:
         if cmd.error is not None:
             self._streams.pop(request_id, None)
             raise cmd.error
+        pacer = None
+        if paced:
+            from .pacing import TokenPacer
+
+            pacer = TokenPacer()
+        loop = asyncio.get_event_loop()
         try:
             while True:
-                out = await q.get()
-                if isinstance(out, Exception):
-                    raise out
-                yield out
-                if out.finished:
-                    return
+                burst = await q.get()
+                if isinstance(burst, Exception):
+                    raise burst
+                offsets = (
+                    pacer.schedule(loop.time(), len(burst))
+                    if pacer is not None
+                    else None
+                )
+                t0 = loop.time()
+                for i, out in enumerate(burst):
+                    if offsets is not None and not out.finished:
+                        # sleep toward this token's flush slot, but yield
+                        # immediately once a newer burst is queued
+                        delay = t0 + offsets[i] - loop.time()
+                        while delay > 0 and q.empty():
+                            await asyncio.sleep(min(delay, 0.005))
+                            delay = t0 + offsets[i] - loop.time()
+                    yield out
+                    if out.finished:
+                        return
         finally:
             self._streams.pop(request_id, None)
             if not self._stopping:
@@ -146,12 +174,13 @@ class AsyncLLMEngine:
             raise cmd.error
         try:
             while True:
-                out = await q.get()
-                if isinstance(out, Exception):
-                    raise out
-                yield out
-                if out.finished:
-                    return
+                burst = await q.get()
+                if isinstance(burst, Exception):
+                    raise burst
+                for out in burst:
+                    yield out
+                    if out.finished:
+                        return
         finally:
             self._streams.pop(request_id, None)
             if not self._stopping:
@@ -250,8 +279,14 @@ class AsyncLLMEngine:
                     metrics.BATCH_SIZE.observe(
                         len(self.engine.scheduler.running)
                     )
+                    # group one step()'s outputs per request: the stream
+                    # consumer receives whole bursts so the pacer
+                    # (engine/pacing.py) can spread their flushes
+                    bursts: dict[str, list[RequestOutput]] = {}
                     for out in self.engine.step():
-                        self._route(out)
+                        bursts.setdefault(out.request_id, []).append(out)
+                    for outs in bursts.values():
+                        self._route(outs)
             except Exception:
                 logger.exception("engine loop error")
                 # propagate to all open streams, then keep serving
@@ -336,19 +371,21 @@ class AsyncLLMEngine:
         elif cmd.kind == "resume":
             self._paused = False
 
-    def _route(self, out: RequestOutput) -> None:
-        timer = self._timers.get(out.request_id)
+    def _route(self, outs: list[RequestOutput]) -> None:
+        rid = outs[0].request_id
+        finished = outs[-1].finished
+        timer = self._timers.get(rid)
         if timer is not None:
-            timer.on_output(len(out.new_token_ids))
-            if out.finished:
-                self._finish_timer(out.request_id)
-        q = self._streams.get(out.request_id)
+            timer.on_output(sum(len(o.new_token_ids) for o in outs))
+            if finished:
+                self._finish_timer(rid)
+        q = self._streams.get(rid)
         if q is not None:
-            self._push(q, out)
-        elif not out.finished:
+            self._push(q, outs)
+        elif not finished:
             # stream receiver gone → abort and reclaim (reference
             # strategy.rs:520-531 reap loop)
-            self.engine.abort_request(out.request_id)
+            self.engine.abort_request(rid)
 
     def _finish_timer(self, request_id: str, error: bool = False) -> None:
         timer = self._timers.pop(request_id, None)

@@ -188,6 +188,7 @@ class Server:
         encoder=None,
         response_role: str = "assistant",
         stream_interval: int = 1,
+        stream_pacing: bool = True,
         max_logprobs: int = 20,
         return_tokens_as_token_ids: bool = False,
         enable_auto_tool_choice: bool = False,
@@ -199,6 +200,8 @@ class Server:
         self.api_key = api_key
         self.response_role = response_role
         self.stream_interval = max(1, stream_interval)
+        # pace ring-cycle bursts into per-token SSE deltas (engine/pacing.py)
+        self.stream_pacing = stream_pacing
         self.max_logprobs = max_logprobs
         self.return_tokens_as_token_ids = return_tokens_as_token_ids
         self.enable_auto_tool_choice = enable_auto_tool_choice
@@ -452,7 +455,9 @@ class Server:
         resp = await self._sse_response(request)
         n_tokens = 0
         buf = ""  # --stream-interval: coalesce N tokens per SSE chunk
-        async for out in self.engine.generate_stream(prompt, params, rid):
+        async for out in self.engine.generate_stream(
+            prompt, params, rid, paced=self.stream_pacing
+        ):
             n_tokens += 1
             buf += out.new_text
             if not out.finished and n_tokens % self.stream_interval:
@@ -684,7 +689,8 @@ class Server:
         finish_reason = None
         buf = ""  # --stream-interval: feed the parsers every N tokens
         async for out in self.engine.generate_stream(
-            prompt, params, rid, images=images, video=video
+            prompt, params, rid, images=images, video=video,
+            paced=self.stream_pacing,
         ):
             n_tokens += 1
             buf += out.new_text or ""
@@ -993,7 +999,9 @@ class Server:
         )
         n = 0
         last = None
-        async for out in self.engine.generate_stream(prompt, params, rid):
+        async for out in self.engine.generate_stream(
+            prompt, params, rid, paced=self.stream_pacing
+        ):
             n += 1
             last = out
             if out.new_text:
@@ -1052,6 +1060,7 @@ def build_app(
     requests_per_second: float = 0.0,
     response_role: str = "assistant",
     stream_interval: int = 1,
+    stream_pacing: bool = True,
     max_logprobs: int = 20,
     return_tokens_as_token_ids: bool = False,
     enable_auto_tool_choice: bool = False,
@@ -1069,6 +1078,7 @@ def build_app(
         encoder=encoder,
         response_role=response_role,
         stream_interval=stream_interval,
+        stream_pacing=stream_pacing,
         max_logprobs=max_logprobs,
         return_tokens_as_token_ids=return_tokens_as_token_ids,
         enable_auto_tool_choice=enable_auto_tool_choice,
@@ -1254,6 +1264,8 @@ def run_server(args=None) -> None:
                    help="path to a jinja2 chat template overriding the "
                         "tokenizer's")
     g.add_argument("--response-role", default="assistant")
+    g.add_argument("--no-stream-pacing", action="store_true",
+                   help="disable per-token pacing of ring-cycle SSE bursts")
     g.add_argument("--stream-interval", type=int, default=1,
                    help="emit one SSE chunk per N generated tokens")
     g.add_argument("--max-logprobs", type=int, default=20)
@@ -1443,6 +1455,7 @@ def run_server(args=None) -> None:
             requests_per_second=ns.requests_per_second,
             response_role=ns.response_role,
             stream_interval=ns.stream_interval,
+            stream_pacing=not ns.no_stream_pacing,
             max_logprobs=ns.max_logprobs,
             return_tokens_as_token_ids=ns.return_tokens_as_token_ids,
             enable_auto_tool_choice=ns.enable_auto_tool_choice,
