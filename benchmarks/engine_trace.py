@@ -70,6 +70,8 @@ def main():
     orig_consume = eng._consume_fetch
     orig_rotate = eng._rotate_rings
 
+    slow: list[tuple] = []
+
     def timed_dispatch(scheduled):
         t0 = time.perf_counter()
         recs = orig_dispatch(scheduled)
@@ -85,6 +87,13 @@ def main():
             else:
                 kind = "prefill"
             by_kind.setdefault(kind, []).append(dt)
+            if dt > 0.05:
+                total = sum(s.num_tokens for s in scheduled)
+                from vllm_rust_tpu.utils import pick_bucket
+
+                t_pad = pick_bucket(total, eng.config.token_buckets)
+                pb = eng._page_bucket(scheduled)
+                slow.append((dt, kind, t_pad, pb, len(scheduled)))
         return recs
 
     def timed_consume():
@@ -165,6 +174,10 @@ def main():
             xs = by_kind[kind]
             print(f"  {kind:12s}: n={len(xs):4d}  host total "
                   f"{sum(xs)*1e3:7.1f} ms  mean {sum(xs)/len(xs)*1e3:6.2f} ms")
+    if slow:
+        print("slow dispatches (>50 ms): dt  kind  t_pad  p_bucket  n_seqs")
+        for dt, kind, t_pad, pb, ns in sorted(slow, reverse=True)[:20]:
+            print(f"  {dt*1e3:8.1f} ms  {kind:10s} t{t_pad:5d} p{pb:4d} s{ns}")
 
 
 if __name__ == "__main__":

@@ -36,12 +36,23 @@ class WhisperStyleAudioEncoder:
 
     def __init__(self, cfg: dict, dtype: Any = jnp.float32):
         self.dtype = dtype
-        self.d_model = int(cfg.get("d_model", 384))
-        self.num_layers = int(cfg.get("encoder_layers", 4))
-        self.num_heads = int(cfg.get("encoder_attention_heads", 4))
+        # Whisper-lineage configs use d_model/encoder_* names; Voxtral's
+        # encoder config exports hidden_size/num_hidden_layers/... (r5
+        # wave-3 anchor caught the mismatch)
+        self.d_model = int(cfg.get("d_model", cfg.get("hidden_size", 384)))
+        self.num_layers = int(
+            cfg.get("encoder_layers", cfg.get("num_hidden_layers", 4))
+        )
+        self.num_heads = int(
+            cfg.get("encoder_attention_heads",
+                    cfg.get("num_attention_heads", 4))
+        )
         self.n_mels = int(cfg.get("num_mel_bins", 80))
         self.positions = int(cfg.get("max_source_positions", 1500))
-        self.ffn_dim = int(cfg.get("encoder_ffn_dim", 4 * self.d_model))
+        self.ffn_dim = int(
+            cfg.get("encoder_ffn_dim",
+                    cfg.get("intermediate_size", 4 * self.d_model))
+        )
         # in-encoder average pooling before the final LN (Qwen2-Audio's
         # avg_pooler); 1 = off (plain Whisper encoder)
         self.pool_stride = 1
@@ -290,8 +301,14 @@ class VoxtralForConditionalGeneration(AudioLmmBase):
         self._make_text_model(ex.get("text_config", {}), "MistralForCausalLM")
         self.vision = WhisperStyleAudioEncoder(dict(ex.get("audio_config", {})),
                                                dtype=self.dtype)
-        self.downsample = int(ex.get("downsample_factor", 4))
-        self.image_token_index = int(ex.get("audio_token_index", 24))
+        # HF groups encoder frames so each projector input row is
+        # audio_config.intermediate_size wide (modeling_voxtral.py:452):
+        # 5120/1280 = 4 on the real checkpoint; derive, don't hardcode
+        default_ds = max(1, self.vision.ffn_dim // self.vision.d_model)
+        self.downsample = int(ex.get("downsample_factor", default_ds))
+        self.image_token_index = int(
+            ex.get("audio_token_index", ex.get("audio_token_id", 24) or 24)
+        )
         self.tokens_per_image = self.vision.output_len // self.downsample
 
     def _init_projector(self, rng, scale):
@@ -307,7 +324,13 @@ class VoxtralForConditionalGeneration(AudioLmmBase):
         if name.startswith("audio_tower."):
             return "vision", name.removeprefix("audio_tower.")
         if name.startswith(("language_model.", "model.language_model.")):
-            return "lm", "model." + name.split("language_model.", 1)[1]
+            # Voxtral checkpoints nest a full CausalLM under
+            # language_model. ("language_model.model.embed_tokens...",
+            # "language_model.lm_head.") — don't re-prefix those
+            sub = name.split("language_model.", 1)[1]
+            if not sub.startswith(("model.", "lm_head.")):
+                sub = "model." + sub
+            return "lm", sub
         if name.startswith("lm_head."):
             return "lm", name
         if name.startswith("multi_modal_projector."):

@@ -837,8 +837,8 @@ class PixtralForConditionalGeneration(VlmBase):
         }
 
     def _route_weight(self, name: str):
-        if name.startswith("vision_tower."):
-            return "vision", name.removeprefix("vision_tower.")
+        if "vision_tower." in name:  # Mistral3 nests under model.
+            return "vision", name.split("vision_tower.", 1)[1]
         if name.startswith(("language_model.", "model.language_model.")):
             return "lm", "model." + name.split("language_model.", 1)[1]
         if name.startswith("lm_head."):
@@ -851,13 +851,82 @@ class PixtralForConditionalGeneration(VlmBase):
         feats = self.vision(params["vision_tower"], pixel_values)
         p = params["projector"]
         x = _dense(feats, p["linear_1"])
-        x = jax.nn.gelu(x)
+        x = jax.nn.gelu(x, approximate=False)  # HF ACT2FN["gelu"] is exact
         x = _dense(x, p["linear_2"])
         return x.reshape(-1, x.shape[-1])
 
 
 class Mistral3ForConditionalGeneration(PixtralForConditionalGeneration):
-    pass
+    """Mistral-Small-3.1 vision: Pixtral tower, then (unlike Pixtral)
+    RMSNorm over vision features -> spatial patch merger (unfold m x m
+    blocks, channel-major, through merging_layer) -> 2-layer projector
+    (HF Mistral3MultiModalProjector / Mistral3PatchMerger; reference
+    models/pixtral.rs Mistral3 branch). r5 anchor caught the previous
+    pass-through (no norm/merger, 4x token overcount)."""
+
+    def _build(self, ex: dict):
+        super()._build(ex)
+        self.merge = int(ex.get("spatial_merge_size", 2))
+        self.proj_bias = bool(ex.get("multimodal_projector_bias", False))
+        self.tokens_per_image = self.vision.num_patches // self.merge**2
+
+    def _init_projector(self, rng, scale):
+        h_v, h_t = self.vision.hidden_size, self.text_config.hidden_size
+        m = self.merge
+        r1, r2, r3 = (
+            jax.random.split(rng, 3) if rng is not None else (None,) * 3
+        )
+        proj = {
+            "norm": jnp.ones((h_v,), self.dtype),
+            "merging_layer": {
+                "weight": self._w(r3, (h_v * m * m, h_v), scale)
+            },
+            "linear_1": {"weight": self._w(r1, (h_v, h_t), scale)},
+            "linear_2": {"weight": self._w(r2, (h_t, h_t), scale)},
+        }
+        if self.proj_bias:
+            proj["linear_1"]["bias"] = jnp.zeros((h_t,), self.dtype)
+            proj["linear_2"]["bias"] = jnp.zeros((h_t,), self.dtype)
+        return proj
+
+    def _load_projector(self, raw):
+        proj = self._init_projector(None, 0.0)
+        for name, arr in raw:
+            a = np.asarray(arr)
+            if name == "norm.weight":
+                proj["norm"] = jnp.asarray(a, self.dtype)
+            elif name.startswith("patch_merger.merging_layer."):
+                leaf = name.rsplit(".", 1)[1]
+                proj["merging_layer"][leaf] = jnp.asarray(
+                    a.T if leaf == "weight" else a, self.dtype
+                )
+            else:
+                block, leaf = name.split(".", 1)
+                if block in proj and isinstance(proj[block], dict):
+                    proj[block][leaf] = jnp.asarray(
+                        a.T if leaf == "weight" else a, self.dtype
+                    )
+        return proj
+
+    def encode_images(self, params, pixel_values: jax.Array) -> jax.Array:
+        feats = self.vision(params["vision_tower"], pixel_values)
+        b, n, d = feats.shape
+        p = params["projector"]
+        x = _rms_norm(feats, p["norm"], eps=1e-5)
+        # PatchMerger: unfold m x m spatial blocks, channel-major rows
+        # (torch.nn.functional.unfold layout: d outer, then ki, kj)
+        g = int(n**0.5)
+        m = self.merge
+        x = x.reshape(b, g, g, d).transpose(0, 3, 1, 2)  # [b, d, g, g]
+        x = x.reshape(b, d, g // m, m, g // m, m)
+        x = x.transpose(0, 2, 4, 1, 3, 5).reshape(
+            b, (g // m) ** 2, d * m * m
+        )
+        x = _dense(x, p["merging_layer"])
+        x = _dense(x, p["linear_1"])
+        x = jax.nn.gelu(x, approximate=False)
+        x = _dense(x, p["linear_2"])
+        return x.reshape(-1, x.shape[-1])
 
 
 # ---------------------------------------------------------------------------

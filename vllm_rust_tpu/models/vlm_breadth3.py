@@ -264,11 +264,22 @@ class Glm41VisionTower:
                 else:
                     params["downsample"]["bias"] = jnp.asarray(a, self.dtype)
             elif name.startswith("merger."):
-                node = params["merger"][parts[1]]
-                if parts[1] == "post_projection_norm":
-                    node[parts[-1]] = jnp.asarray(a, self.dtype)
+                if parts[1] in ("gate_proj", "up_proj"):
+                    # HF ships split gate/up; fused here (gate | up)
+                    node = params["merger"]["gate_up_proj"]
+                    half = node["weight"].shape[1] // 2
+                    off = 0 if parts[1] == "gate_proj" else half
+                    node["weight"] = (
+                        node["weight"]
+                        .at[:, off : off + half]
+                        .set(jnp.asarray(a.T, self.dtype))
+                    )
                 else:
-                    node["weight"] = jnp.asarray(a.T, self.dtype)
+                    node = params["merger"][parts[1]]
+                    if parts[1] == "post_projection_norm":
+                        node[parts[-1]] = jnp.asarray(a, self.dtype)
+                    else:
+                        node["weight"] = jnp.asarray(a.T, self.dtype)
             elif name.startswith("blocks."):
                 lp = params["layers"][int(parts[1])]
                 sub = parts[2]
@@ -281,8 +292,34 @@ class Glm41VisionTower:
                         lp[parts[3]][parts[-1]] = jnp.asarray(
                             a.T if parts[-1] == "weight" else a, self.dtype)
                 elif sub == "mlp":
-                    lp[parts[3]][parts[-1]] = jnp.asarray(
-                        a.T if parts[-1] == "weight" else a, self.dtype)
+                    pname = parts[3]
+                    if pname in ("gate_proj", "up_proj"):
+                        # HF ships split gate/up; our tower fuses them
+                        # into gate_up_proj [h, 2*mlp_dim] (gate | up)
+                        node = lp["gate_up_proj"]
+                        half = node["weight"].shape[1] // 2
+                        off = 0 if pname == "gate_proj" else half
+                        if parts[-1] == "weight":
+                            node["weight"] = (
+                                node["weight"]
+                                .at[:, off : off + half]
+                                .set(jnp.asarray(a.T, self.dtype))
+                            )
+                        else:
+                            node.setdefault(
+                                "bias",
+                                jnp.zeros(
+                                    (node["weight"].shape[1],), self.dtype
+                                ),
+                            )
+                            node["bias"] = (
+                                node["bias"]
+                                .at[off : off + half]
+                                .set(jnp.asarray(a, self.dtype))
+                            )
+                    else:
+                        lp[pname][parts[-1]] = jnp.asarray(
+                            a.T if parts[-1] == "weight" else a, self.dtype)
         return params
 
 
