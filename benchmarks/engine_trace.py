@@ -144,10 +144,12 @@ def main():
 
     if serving:
         eng.warmup(gen_tokens=2)
+        eng.warmup_variants()
         run_poisson("warmup")  # compile every batch-mix variant
         for k in timers:
             timers[k] = 0 if isinstance(timers[k], int) else 0.0
         by_kind.clear()
+        slow.clear()
         n_tok, dt, n_calls = run_poisson("bench")
     else:
         run_round("warmup")  # compile

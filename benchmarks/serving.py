@@ -70,6 +70,10 @@ def build_engine(fetch_interval: int, cfg, quant, ring_buffers=0):
     # boot warmup: window variants (pow2 n_steps x watch/no-watch) and a
     # mixed prefill+decode shape — serving must not compile mid-measure
     eng.warmup(gen_tokens=2)
+    # r5: exhaustive variant lattice — the Poisson rounds were still
+    # losing ~2.5 s per unwarmed (n_steps, p_bucket, t_pad) combo
+    nv = eng.warmup_variants()
+    print(f"[serving] warmed {nv} step variants", file=sys.stderr, flush=True)
     return eng
 
 

@@ -299,7 +299,7 @@ def test_voxtral_engine_greedy_matches_hf_with_audio(f32_matmuls):
     hf_new = hf_out[0, len(ids) :].tolist()
 
     prompt = [1, 2, IMG_TOK, 3, 4, 5]
-    got = _drive_engine(model, params, mc, prompt, [mel], max_new)
+    got = _drive_engine(model, params, mc, prompt, None, max_new, audio=[mel])
     assert got == hf_new, f"greedy diverged: {got} vs {hf_new}"
 
 
@@ -372,6 +372,186 @@ def test_mistral3_engine_greedy_matches_hf_with_image(f32_matmuls):
             attention_mask=torch.ones(1, len(ids), dtype=torch.long),
             pixel_values=torch.tensor(image)[None],
             image_sizes=torch.tensor([[32, 32]], dtype=torch.long),
+            max_new_tokens=max_new,
+            do_sample=False,
+        )
+    hf_new = hf_out[0, len(ids) :].tolist()
+
+    prompt = [1, 2, IMG_TOK, 3, 4, 5]
+    got = _drive_engine(model, params, mc, prompt, [image], max_new)
+    assert got == hf_new, f"greedy diverged: {got} vs {hf_new}"
+
+
+# ---------------------------------------------------------------------------
+# Qwen2.5-Omni thinker (audio path: encoder -> pool -> proj -> Qwen2 LM)
+# ---------------------------------------------------------------------------
+
+
+def tiny_hf_omni_thinker():
+    from transformers import Qwen2_5OmniThinkerForConditionalGeneration
+    from transformers.models.qwen2_5_omni.configuration_qwen2_5_omni import (
+        Qwen2_5OmniThinkerConfig,
+    )
+
+    torch.manual_seed(0)
+    aud = dict(
+        d_model=32,
+        encoder_layers=2,
+        encoder_attention_heads=4,
+        num_mel_bins=16,
+        max_source_positions=8,
+        encoder_ffn_dim=64,
+        n_window=50,  # larger than the test input: windowed == full attn
+        output_dim=64,
+    )
+    vis = dict(
+        depth=2,
+        hidden_size=32,
+        intermediate_size=64,
+        num_heads=4,
+        patch_size=8,
+        spatial_merge_size=2,
+        temporal_patch_size=2,
+        out_hidden_size=64,
+        window_size=16,
+        fullatt_block_indexes=[0, 1],
+    )
+    txt = dict(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=512,
+        rope_scaling={"rope_type": "default", "mrope_section": [2, 3, 3]},
+    )
+    cfg = Qwen2_5OmniThinkerConfig(
+        audio_config=aud,
+        vision_config=vis,
+        text_config=txt,
+        audio_token_index=IMG_TOK,
+        image_token_index=31,
+        video_token_index=32,
+        vision_start_token_id=33,
+        vision_end_token_id=34,
+        audio_start_token_id=35,
+        audio_end_token_id=36,
+        position_id_per_seconds=25,
+        seconds_per_chunk=2,
+    )
+    return Qwen2_5OmniThinkerForConditionalGeneration(cfg).eval(), cfg
+
+
+def test_omni_thinker_engine_greedy_matches_hf_with_audio(f32_matmuls):
+    import jax.numpy as jnp
+
+    from vllm_rust_tpu.config import ModelConfig
+    from vllm_rust_tpu.models import from_config
+
+    hf, cfg = tiny_hf_omni_thinker()
+    d = cfg.to_dict()
+    d["architectures"] = ["Qwen2_5OmniThinkerForConditionalGeneration"]
+    mc = ModelConfig.from_dict(d)
+    model = from_config(mc, dtype=jnp.float32)
+    params = model.load_weights(
+        (n, t.float().numpy()) for n, t in hf.state_dict().items()
+    )
+
+    rng = np.random.default_rng(29)
+    mel = rng.standard_normal((16, 16)).astype(np.float32) * 0.4
+    n_tok = 4  # 16 mel frames -> 8 encoder frames -> avg-pool /2
+
+    ids = [1, 2] + [IMG_TOK] * n_tok + [3, 4, 5]
+    max_new = 8
+    hf = hf.double()  # oneDNN conv1d f32 noise (see vlm2 Qwen2-Audio note)
+    with torch.no_grad():
+        hf_out = hf.generate(
+            input_ids=torch.tensor(ids, dtype=torch.long)[None],
+            attention_mask=torch.ones(1, len(ids), dtype=torch.long),
+            input_features=torch.tensor(mel)[None].double(),
+            feature_attention_mask=torch.ones(1, 16, dtype=torch.long),
+            max_new_tokens=max_new,
+            do_sample=False,
+        )
+    hf_new = hf_out[0, len(ids) :].tolist()
+
+    prompt = [1, 2, IMG_TOK, 3, 4, 5]
+    got = _drive_engine(model, params, mc, prompt, None, max_new, audio=[mel])
+    assert got == hf_new, f"greedy diverged: {got} vs {hf_new}"
+
+
+# ---------------------------------------------------------------------------
+# AyaVision (SigLIP -> pixel shuffle -> SwiGLU adapter -> Cohere LM)
+# ---------------------------------------------------------------------------
+
+
+def tiny_hf_aya_vision():
+    from transformers import (
+        AyaVisionConfig,
+        AyaVisionForConditionalGeneration,
+        SiglipVisionConfig,
+    )
+
+    torch.manual_seed(0)
+    vis = SiglipVisionConfig(
+        hidden_size=48,
+        intermediate_size=96,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        image_size=32,
+        patch_size=8,
+    )
+    txt = dict(
+        model_type="cohere",
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=512,
+        logit_scale=0.25,
+        layer_norm_eps=1e-5,
+    )
+    cfg = AyaVisionConfig(
+        vision_config=vis,
+        text_config=txt,
+        image_token_index=IMG_TOK,
+        downsample_factor=2,
+        alignment_intermediate_size=128,
+        vision_feature_layer=-1,
+        vision_feature_select_strategy="full",
+    )
+    return AyaVisionForConditionalGeneration(cfg).eval(), cfg
+
+
+def test_aya_vision_engine_greedy_matches_hf_with_image(f32_matmuls):
+    import jax.numpy as jnp
+
+    from vllm_rust_tpu.config import ModelConfig
+    from vllm_rust_tpu.models import from_config
+
+    hf, cfg = tiny_hf_aya_vision()
+    d = cfg.to_dict()
+    d["architectures"] = ["AyaVisionForConditionalGeneration"]
+    mc = ModelConfig.from_dict(d)
+    model = from_config(mc, dtype=jnp.float32)
+    assert model.tokens_per_image == 4  # 4x4 patches, shuffle 2 -> 2x2
+    params = model.load_weights(
+        (n, t.float().numpy()) for n, t in hf.state_dict().items()
+    )
+
+    rng = np.random.default_rng(31)
+    image = rng.standard_normal((3, 32, 32)).astype(np.float32) * 0.4
+
+    ids = [1, 2] + [IMG_TOK] * 4 + [3, 4, 5]
+    max_new = 8
+    with torch.no_grad():
+        hf_out = hf.generate(
+            input_ids=torch.tensor(ids, dtype=torch.long)[None],
+            attention_mask=torch.ones(1, len(ids), dtype=torch.long),
+            pixel_values=torch.tensor(image)[None],
             max_new_tokens=max_new,
             do_sample=False,
         )

@@ -1533,6 +1533,97 @@ class LLMEngine:
                     len(self.config.token_buckets), n_variants, dt)
         return dt
 
+    def _warm_step_variant(
+        self, *, t_pad: int, p_bucket: int, n_steps: int = 1,
+        watch: bool = False, decode_only: bool = False,
+    ) -> None:
+        """Compile ONE jitted step variant via a minimal fake dispatch:
+        a single padded sequence whose KV writes land on the null page
+        (page 0 — the overshoot sink) and whose ring row is slot 0 of an
+        idle engine. Orders of magnitude cheaper than driving generate()
+        shapes into each combination, and exact: the variant key IS the
+        (layout, p_bucket, flags, n_steps, watch) tuple."""
+        hb = self._host_batch(t_pad)
+        hb.header[0] = 0
+        hb.header[1] = 1
+        hb.input_ids[0] = 1
+        hb.kv_lens[0] = 1
+        hb.cu_q_lens[1:] = 1
+        hb.sample_mask[0] = 1
+        if watch:
+            hb.ban_eos[0] = 1
+        step_out = self.step_fn(
+            self.params,
+            self.kv_pages,
+            jnp.asarray(hb.buf.copy()),
+            self.token_counts,
+            self._ring_write,
+            self._ring_prev,
+            self._dummy_mask,
+            self._dummy_eplb,
+            layout=hb.layout,
+            p_bucket=p_bucket,
+            use_penalties=False,
+            use_top_filters=False,
+            decode_only=decode_only,
+            n_steps=n_steps,
+            watch_stops=watch and n_steps > 1,
+        )
+        step_out = list(step_out)
+        if n_steps > 1:
+            step_out.pop()  # n_stopped summary
+        self.kv_pages, self.token_counts, self._ring_write = step_out
+
+    def warmup_variants(
+        self, page_buckets: tuple[int, ...] | None = None
+    ) -> int:
+        """Exhaustively compile the decode-window and mixed-step variant
+        lattice (r5 serving forensics: the Poisson round was losing
+        ~2.5 s per UNWARMED variant — a decode_w2 at a new page bucket,
+        a mixed batch at a new token bucket — and the old generate()-
+        driven warmup could not reach every combination). Every variant
+        the serving engine can emit is compiled here:
+          - decode windows: pow2 n_steps <= decode_window, watch and
+            no-watch, per page bucket;
+          - mixed/prefill single steps per token bucket x page bucket.
+        With the persistent XLA cache, repeat boots load instead of
+        compiling. Returns the number of variants touched."""
+        if page_buckets is None:
+            max_pages = min(
+                self.config.pages_per_seq,
+                (self.config.max_model_len + self.config.cache.page_size - 1)
+                // self.config.cache.page_size,
+            )
+            page_buckets = tuple(
+                b for b in (8, 16, 32, 64, 128, 256) if b <= max_pages
+            ) or (self.config.pages_per_seq,)
+        n = 0
+        w = 2
+        windows = []
+        while w <= self.config.decode_window:
+            windows.append(w)
+            w *= 2
+        t0 = self.config.token_buckets[0]
+        for pb in page_buckets:
+            for ns in windows:
+                for watch in (False, True):
+                    self._warm_step_variant(
+                        t_pad=t0, p_bucket=pb, n_steps=ns, watch=watch,
+                        decode_only=True,
+                    )
+                    n += 1
+            # single-step decode (window truncated to 1) + mixed/prefill
+            self._warm_step_variant(
+                t_pad=t0, p_bucket=pb, n_steps=1, decode_only=True
+            )
+            n += 1
+            for t_pad in self.config.token_buckets:
+                self._warm_step_variant(
+                    t_pad=t_pad, p_bucket=pb, n_steps=1, decode_only=False
+                )
+                n += 1
+        return n
+
     def beam_search(self, prompt, **kw):
         """Beam search (reference sampling/beam.rs; see engine/beam_search)."""
         from .beam_search import beam_search

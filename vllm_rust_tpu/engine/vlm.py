@@ -111,6 +111,59 @@ class VlmEngine(SpecLLMEngine):
             seq = self.requests[request_id]
             seq.mrope_pos, seq.mrope_delta = pos, delta
 
+    def add_audio_request(
+        self,
+        request_id: str,
+        prompt_ids: list[int],
+        audios: list,  # mel spectrograms [n_mels, frames]
+        params: SamplingParams | None = None,
+    ) -> None:
+        """Audio input for dual-modality models (Qwen2.5-Omni thinker):
+        placeholder = model.audio_token_id, encoder = model.encode_audio.
+        Audio spans carry no mrope grid — HF's get_rope_index advances
+        audio positions 1-D/temporally, which equals the text path here.
+        Single-modality audio LMMs (Qwen2-Audio, Voxtral, Ultravox) set
+        image_token_index to the audio token and route encode_images to
+        the audio encoder, so they keep using add_image_request."""
+        aud_tok = int(getattr(self.model, "audio_token_id", -1))
+        enc = getattr(self.model, "encode_audio", None)
+        if aud_tok < 0 or enc is None:
+            # single-modality audio LMM: the image path IS the audio path
+            return self.add_image_request(
+                request_id, prompt_ids, audios, params
+            )
+        if not hasattr(self, "_encode_audio_jit"):
+            self._encode_audio_jit = jax.jit(enc)
+        n_placeholders = sum(1 for t in prompt_ids if t == aud_tok)
+        if n_placeholders != len(audios):
+            raise ValueError(
+                f"prompt has {n_placeholders} audio tokens but "
+                f"{len(audios)} audio inputs"
+            )
+        encoded = [
+            self._encode_cached(a, request_id, jit_fn=self._encode_audio_jit)
+            for a in audios
+        ]
+        lens = [int(e.shape[0]) for e in encoded]
+        if sum(lens) > self.max_mm_tokens:
+            raise ValueError(
+                f"{sum(lens)} audio tokens exceed the {self.max_mm_tokens}-"
+                "token multimodal budget"
+            )
+        expanded: list[int] = []
+        spans: list[tuple[int, int]] = []
+        it = iter(lens)
+        for tok in prompt_ids:
+            if tok == aud_tok:
+                n = next(it)
+                spans.append((len(expanded), n))
+                expanded.extend([aud_tok] * n)
+            else:
+                expanded.append(tok)
+        if encoded:
+            self._mm[request_id] = (jnp.concatenate(encoded, axis=0), spans)
+        self.add_request(request_id, expanded, params)
+
     def add_video_request(
         self,
         request_id: str,
@@ -191,7 +244,9 @@ class VlmEngine(SpecLLMEngine):
     def _entry_bytes(self, e: jax.Array) -> int:
         return int(e.size) * e.dtype.itemsize
 
-    def _encode_cached(self, img, request_id: str | None = None) -> jax.Array:
+    def _encode_cached(
+        self, img, request_id: str | None = None, jit_fn=None
+    ) -> jax.Array:
         if isinstance(img, tuple):  # anyres: (pixel_values [P,3,S,S], size)
             pv, size = img
             key = hashlib.sha256(
@@ -209,9 +264,13 @@ class VlmEngine(SpecLLMEngine):
                 self._req_keys.setdefault(request_id, []).append(key)
             return e
         key = hashlib.sha256(np.ascontiguousarray(img).tobytes()).hexdigest()
+        if jit_fn is not None:
+            key = "aud:" + key
         e = self._encoder_cache.pop(key, None)
         if e is None:
-            e = self._encode_jit(self.params, jnp.asarray(img)[None])
+            e = (jit_fn or self._encode_jit)(
+                self.params, jnp.asarray(img)[None]
+            )
             self._cache_used += self._entry_bytes(e)
             # LRU eviction under the byte budget, skipping referenced
             # entries (reference encoder_cache.rs refcounted free)

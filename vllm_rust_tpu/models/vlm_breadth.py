@@ -484,9 +484,31 @@ class Qwen2VLVisionTower:
                     lp[sub][parts[3]] = jnp.asarray(a, self.dtype)
                 elif sub == "attn":
                     leaf = parts[4]
-                    lp[parts[3]][leaf] = jnp.asarray(
-                        a.T if leaf == "weight" else a, self.dtype
-                    )
+                    if parts[3] in ("q", "k", "v"):
+                        # Qwen2.5-Omni ViT ships split q/k/v; fuse into
+                        # the qkv tensor ([h, 3h] weight / [3h] bias)
+                        node = lp["qkv"]
+                        h3 = node["weight"].shape[1]
+                        off = ("q", "k", "v").index(parts[3]) * (h3 // 3)
+                        if leaf == "weight":
+                            node["weight"] = (
+                                node["weight"]
+                                .at[:, off : off + h3 // 3]
+                                .set(jnp.asarray(a.T, self.dtype))
+                            )
+                        else:
+                            node.setdefault(
+                                "bias", jnp.zeros((h3,), self.dtype)
+                            )
+                            node["bias"] = (
+                                node["bias"]
+                                .at[off : off + h3 // 3]
+                                .set(jnp.asarray(a, self.dtype))
+                            )
+                    else:
+                        lp[parts[3]][leaf] = jnp.asarray(
+                            a.T if leaf == "weight" else a, self.dtype
+                        )
                 elif sub == "mlp":
                     leaf = parts[4]
                     lp[parts[3]][leaf] = jnp.asarray(
