@@ -66,9 +66,10 @@ def qwen3_small_config():
 def quantize_params_awq(model, params, group_size=128):
     """Replace every decoder linear with synthetic 4-bit weights (random
     int4 + unit-ish scales) through the production AWQ packer — exercises
-    the default serving path (int8-group MXU image, ops/int8_group.py) at
-    the real shapes without a checkpoint. The lm_head goes int8_col, as
-    load_model does for quantized checkpoints."""
+    the default serving path (native s4 image, ops/int4_group.py; int8
+    image via VLLM_TPU_W4_SERVE=int8) at the real shapes without a
+    checkpoint. The lm_head goes int8_col, as load_model does for
+    quantized checkpoints."""
     import numpy as np
 
     from vllm_rust_tpu.quantization.awq import make_w4a16_linear

@@ -28,7 +28,9 @@ import bench as bench_mod
 
 
 def run_backend(spec, cfg, model, params):
-    """spec: backend[:window[:fetch_interval]] e.g. v2, v2:16, v2:32:64."""
+    """spec: backend[:window[:fetch_interval]] e.g. v2, v2:16, v2:32:64.
+    A ``@form`` suffix (e.g. v2:16:32@int8) rebuilds the AWQ params with
+    that serve form (VLLM_TPU_W4_SERVE) — the r5 int4-vs-int8 A/B."""
     from vllm_rust_tpu.config import CacheConfig, EngineConfig, SchedulerConfig
     from vllm_rust_tpu.engine import LLMEngine
     from vllm_rust_tpu.ops import paged_attention as pa
@@ -106,11 +108,27 @@ def main():
     from vllm_rust_tpu.models import from_config
 
     model = from_config(cfg, dtype=jnp.bfloat16)
-    params = model.init_params(jax.random.PRNGKey(0))
-    params = bench_mod.quantize_params_awq(model, params)
+    # quantize_params_awq rebuilds the decoder linears in place, and two
+    # full param sets + KV pool would not fit HBM: group specs by serve
+    # form and (re)build params only at form changes, dropping the old
+    # set first.
+    params = None
+    cur_form = None
+    import gc
+
     for b in backends:
+        b, _, form = b.partition("@")
+        form = form or os.environ.get("VLLM_TPU_W4_SERVE", "int4")
+        if form != cur_form:
+            params = None
+            gc.collect()
+            os.environ["VLLM_TPU_W4_SERVE"] = form
+            params = bench_mod.quantize_params_awq(
+                model, model.init_params(jax.random.PRNGKey(0))
+            )
+            cur_form = form
         vals = run_backend(b, cfg, model, params)
-        print(f"backend={b}: " + " ".join(f"{v:.0f}" for v in vals) +
+        print(f"backend={b}@{form}: " + " ".join(f"{v:.0f}" for v in vals) +
               f"  (best {max(vals):.0f} tok/s)", flush=True)
 
 

@@ -71,8 +71,30 @@ def test_small_groups_refused():
     assert prepare_int8_group(q, s, zs) is None  # gs < MIN_GROUP
 
 
-def test_make_w4a16_linear_defaults_to_int8_image(monkeypatch):
+def test_make_w4a16_linear_defaults_to_int4_image(monkeypatch):
+    # r5 default: NATIVE s4 serve (ops/int4_group.py) — half the HBM
+    # bytes at the same dot numerics (benchmarks/int4_native_ab.py)
     monkeypatch.delenv("VLLM_TPU_W4_KERNEL", raising=False)
+    monkeypatch.delenv("VLLM_TPU_W4_SERVE", raising=False)
+    q, s, zs = _mk(512, 256, 128)
+    ql = make_w4a16_linear(q, s, zs, None, "awq")
+    assert "q4g" in ql.aux
+    assert ql.in_features == 512 and ql.out_features == 256
+    from vllm_rust_tpu.layers.linear import linear
+
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((4, 512)), jnp.bfloat16)
+    out = linear(x, ql)
+    ref = quant_matmul_w4a16_ref(
+        x, jnp.asarray(repack_k_half(q)),
+        jnp.asarray(s, jnp.bfloat16), jnp.asarray(zs, jnp.bfloat16))
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=0.05, atol=0.05)
+
+
+def test_make_w4a16_linear_int8_image_escape(monkeypatch):
+    monkeypatch.delenv("VLLM_TPU_W4_KERNEL", raising=False)
+    monkeypatch.setenv("VLLM_TPU_W4_SERVE", "int8")
     q, s, zs = _mk(512, 256, 128)
     ql = make_w4a16_linear(q, s, zs, None, "awq")
     assert "q8g" in ql.aux

@@ -136,7 +136,15 @@ def test_quant_param_specs_are_tp_sharded():
 
     qp = shardings["layers"][0]["self_attn"]["q_proj"]
     dp_ = shardings["layers"][0]["mlp"]["down_proj"]
-    if "q8g" in params["layers"][0]["self_attn"]["q_proj"].aux:
+    q_aux = params["layers"][0]["self_attn"]["q_proj"].aux
+    if "q4g" in q_aux:  # r5 default: native s4 image
+        assert spec(qp.aux["q4g"]) == (None, None, "tp")
+        assert spec(dp_.aux["q4g"]) == ("tp", None, None)
+        assert spec(qp.aux["zg4"]) == (None, "tp")
+        assert spec(dp_.aux["zg4"]) == ("tp", None)
+        # the [1,1] dummy qweight must fall back to replicated
+        assert spec(qp.qweight) == ()
+    elif "q8g" in q_aux:
         assert spec(qp.aux["q8g"]) == (None, None, "tp")
         assert spec(dp_.aux["q8g"]) == ("tp", None, None)
         # the [1,1] dummy qweight must fall back to replicated

@@ -54,12 +54,12 @@ PARAM_RULES: list[tuple[str, P]] = [
     # for any practical tp).
     (
         r"(q_proj|k_proj|v_proj|qkv_proj|gate_up_proj|gate_proj|up_proj)"
-        r"/aux/q8g$",
+        r"/aux/(q8g|q4g)$",
         P(None, None, "tp"),
     ),
     (
         r"(q_proj|k_proj|v_proj|qkv_proj|gate_up_proj|gate_proj|up_proj)"
-        r"/aux/(sg|zg)$",
+        r"/aux/(sg|zg|zg4)$",
         P(None, "tp"),
     ),
     (
@@ -67,8 +67,8 @@ PARAM_RULES: list[tuple[str, P]] = [
         r"/(scales|zs)$",
         P(None, "tp"),
     ),
-    (r"(o_proj|down_proj)/aux/q8g$", P("tp", None, None)),
-    (r"(o_proj|down_proj)/aux/(sg|zg)$", P("tp", None)),
+    (r"(o_proj|down_proj)/aux/(q8g|q4g)$", P("tp", None, None)),
+    (r"(o_proj|down_proj)/aux/(sg|zg|zg4)$", P("tp", None)),
     (r"(o_proj|down_proj)/(scales|zs)$", P("tp", None)),
     # packed 4-bit qweight [K/2, N] (QuantLinear.qweight): column-parallel
     # shards N, row-parallel shards K (K-half packing keeps K on dim 0)

@@ -55,11 +55,43 @@ def make_w4a16_linear(
 ) -> QuantLinear:
     """Shared packer for all 4-bit grouped formats.
 
-    Default image: int8-group (q - zero as int8, MXU-native s8 dots —
-    ops/int8_group.py; int4-in-HBM loses to VPU dequant cost on TPU).
-    Set VLLM_TPU_W4_KERNEL=1 to serve the int4 Pallas kernel instead
-    (half the HBM bytes, for HBM-capacity-constrained deployments)."""
+    Default image (r5): NATIVE s4 (ops/int4_group.py) — jnp.int4 weights
+    feed the MXU dot through an in-pipeline s4->s8 widen at the HBM rate
+    of the int4 bytes (2.15x the int8 image wall time, same numerics;
+    benchmarks/int4_native_ab.py). Fallbacks:
+      VLLM_TPU_W4_SERVE=int8 — r4's int8-group image (q - zero folded
+        into s8 codes; ops/int8_group.py)
+      VLLM_TPU_W4_KERNEL=1   — the Pallas w4a16 unpack kernel (VPU
+        dequant; kept for geometries/ablations)
+    """
     import os
+
+    serve = os.environ.get("VLLM_TPU_W4_SERVE", "int4")
+    if (
+        serve == "int4"
+        and os.environ.get("VLLM_TPU_W4_KERNEL", "0") != "1"
+    ):
+        from ..ops.int4_group import prepare_int4_group
+
+        img4 = prepare_int4_group(
+            q, s.astype(np.float32), zs.astype(np.float32)
+        )
+        if img4 is not None:
+            aux = {
+                "q4g": img4["q4g"],
+                "sg": jnp.asarray(img4["sg"]),
+                "zg4": jnp.asarray(img4["zg"]),
+            }
+            return QuantLinear(
+                qweight=jnp.asarray(
+                    np.zeros((1, 1), np.int8)
+                ),  # placeholder; shape props come from aux
+                scales=jnp.asarray(s.astype(jnp.bfloat16)),
+                zs=jnp.asarray(zs.astype(jnp.bfloat16)),
+                bias=jnp.asarray(bias) if bias is not None else None,
+                aux=aux,
+                method=method,
+            )
 
     if os.environ.get("VLLM_TPU_W4_KERNEL", "0") != "1":
         from ..ops.int8_group import prepare_int8_group
@@ -117,7 +149,13 @@ def load_awq_linear(
 def apply_awq(x, p: QuantLinear):
     t_shape = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
-    if "q8g" in p.aux:
+    if "q4g" in p.aux:
+        from ..ops.int4_group import int4_group_matmul
+
+        out = int4_group_matmul(
+            x2, p.aux["q4g"], p.aux["sg"], p.aux["zg4"]
+        )
+    elif "q8g" in p.aux:
         from ..ops.int8_group import int8_group_matmul
 
         out = int8_group_matmul(

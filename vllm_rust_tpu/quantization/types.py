@@ -41,17 +41,19 @@ class QuantLinear:
 
     @property
     def in_features(self) -> int:
-        if "q8g" in self.aux:  # int8-group image (ops/int8_group.py)
-            g, gs, _ = self.aux["q8g"].shape
-            return g * gs
+        for key in ("q8g", "q4g"):  # int8/int4 group images (ops/)
+            if key in self.aux:
+                g, gs, _ = self.aux[key].shape
+                return g * gs
         if self.method in ("awq", "gptq"):
             return 2 * self.qweight.shape[0]
         return self.qweight.shape[0]
 
     @property
     def out_features(self) -> int:
-        if "q8g" in self.aux:
-            return self.aux["q8g"].shape[2]
+        for key in ("q8g", "q4g"):
+            if key in self.aux:
+                return self.aux[key].shape[2]
         return self.qweight.shape[1]
 
     @property
