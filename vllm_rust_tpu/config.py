@@ -324,8 +324,18 @@ class EngineConfig:
     # steps per token-ring cycle: results are fetched from the device in
     # one transfer every `fetch_interval` steps (ADR 0008/0017 analogue).
     # Larger = higher throughput (round-trip amortized), smaller = lower
-    # stop-condition latency. Minimum 2.
+    # stop-condition latency. Minimum 2. 0 = AUTO (r5): run at the
+    # throughput bound (32) but rotate whenever the open cycle is older
+    # than `itl_budget_ms` or any latency signal fires (first token /
+    # device stop / budget-reached / blocked seq) — closes the
+    # fi2-vs-fi32 tradeoff table without an operator knob. The ring
+    # buffer is a fixed 64 rows regardless, so fi is a pure runtime
+    # policy (no per-fi recompiles).
     fetch_interval: int = 8
+    # auto-fi rotation deadline: an open cycle older than this is
+    # rotated so a steadily-decoding stream sees tokens at least this
+    # often (paced SSE smooths within the burst)
+    itl_budget_ms: float = 45.0
     # multi-step decode windows (engine/step_fn.py n_steps): one
     # dispatch runs up to this many decode steps with metadata evolved
     # on device — removes the per-step packed-metadata H2D (~2.7 ms

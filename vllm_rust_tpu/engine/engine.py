@@ -227,9 +227,22 @@ class LLMEngine:
 
         # token-ring pipeline state; ring rows carry
         # [tokens S | logprobs S | top ids S*K | top lps S*K]
-        self.fetch_interval = max(2, config.fetch_interval)
+        self._fi_auto = config.fetch_interval == 0
+        self.fetch_interval = (
+            32 if self._fi_auto else max(2, config.fetch_interval)
+        )
+        self._itl_budget = config.itl_budget_ms / 1e3
+        self._cycle_t0 = time.monotonic()
+        # ring rows are FIXED (>= 64) regardless of fetch_interval: the
+        # ring shape is baked into every jitted step variant, and an
+        # fi-sized ring made each fi value recompile the whole variant
+        # lattice (~70 graphs x 20-60 s over the tunnel — the r4 serving
+        # bench spent most of its wall in exactly that). A 64-row ring
+        # is a few hundred KB; fetch_interval is now a pure runtime
+        # rotation policy.
+        self._ring_rows = max(64, self.fetch_interval)
         ring_shape = (
-            self.fetch_interval,
+            self._ring_rows,
             (2 + 2 * self.top_logprobs_k) * self.num_slots,
         )
         # Ring POOL (r4): N rotating buffers. The host may lag the device
@@ -408,6 +421,14 @@ class LLMEngine:
                 # 2-step floor so arrival-heavy traffic doesn't degrade
                 # into per-step fetches
                 rotate_at = 2
+            elif (
+                self._fi_auto
+                and time.monotonic() - self._cycle_t0 >= self._itl_budget
+            ):
+                # auto-fi ITL deadline: a steadily-decoding stream gets
+                # its tokens at least every itl_budget_ms even with no
+                # stop/arrival signal in flight
+                rotate_at = 2
             if self._cycle_pos >= rotate_at:
                 self._rotate_rings()
                 self._rotate_asap = False
@@ -444,6 +465,7 @@ class LLMEngine:
         self._pending_fetches.append((self._cycle_id, ring, time.monotonic()))
         self._cycle_id += 1
         self._cycle_pos = 0
+        self._cycle_t0 = time.monotonic()
         self._ring_idx = (self._ring_idx + 1) % self._num_rings
         # the buffer now becoming the write target holds the results of
         # cycle (current - (num_rings-1)); they must be consumed before
@@ -640,7 +662,7 @@ class LLMEngine:
             self._calibrate_kv_scales(scheduled)
         cfg = self.config
         s_pad = self.num_slots
-        k = self.fetch_interval
+        k = self._ring_rows  # feedback flat-index space (ring row count)
         ring_slot = self._cycle_pos
 
         total_tokens = sum(s.num_tokens for s in scheduled)
@@ -803,8 +825,13 @@ class LLMEngine:
                      or use_prompt_lps or use_eplb)
             and self.multihost is None
         ):
+            win_cap = self.config.decode_window
+            if self._fi_auto:
+                # one window must not bust the ITL deadline (~5-6 ms per
+                # step at bench geometry -> 8 steps ~ 45 ms)
+                win_cap = min(win_cap, 8)
             hard = min(
-                self.config.decode_window,
+                win_cap,
                 self.fetch_interval - self._cycle_pos,  # ring room
             )
             soft = hard

@@ -1301,7 +1301,9 @@ def run_server(args=None) -> None:
 
     g = parser.add_argument_group("engine")
     g.add_argument("--fetch-interval", "--multi-step-count", type=int,
-                   default=4, dest="fetch_interval")
+                   default=4, dest="fetch_interval",
+                   help="steps per token-ring cycle (0 = auto: rotate "
+                   "on the itl-budget deadline or any latency signal)")
     g.add_argument("--ring-buffers", type=int, default=0,
                    dest="ring_buffers",
                    help="token-ring pool size (0 = auto): the host may "
